@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` is the smoke check; each ``queries()[name]`` runs at
+sf=0.01 and is hash-compared against ``oracle_sql()[name]`` via DuckDB.
+Every oracle-facing query formats continuous values through the shared
+'%.6e' contract (petk_spark/functions/oracle_fmt.py) on both engines so
+last-ulp summation noise cannot flap the hash.
 """
 
 from __future__ import annotations
@@ -12,27 +12,208 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from petk_spark import oracle
+from petk_spark.functions.oracle_fmt import duckdb_fmt_sci, fmt_sci
+from petk_spark.operators.describe import describe_frame
+from petk_spark.operators.introduce import introduce_frame
+from petk_spark.operators.validate import validate_frame
+from petk_spark.nulls import canonicalize_nulls
+from petk_spark.report import Report
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read as raw nanos and profile as epoch SECONDS
+        # (double), truncated to microseconds to match DuckDB's read of
+        # the same file (DuckDB truncates nanos → micro TIMESTAMP).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        return df.withColumn(
+            "ts", (F.expr("ts div 1000").cast("double") / F.lit(1e6))
+        )
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full fused statistical profile of lineitem at sf0.001."""
+    df = _read(spark, "/root/testdata/sf0.001", "lineitem")
+    report = Report(df, key=["l_orderkey", "l_linenumber"])
+    return report.describe()
 
+
+# ---------------------------------------------------------------------------
+# describe / introduce
+# ---------------------------------------------------------------------------
+
+def _describe_query(table: str, columns=None):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = _read(spark, sf_dir, table)
+        long = describe_frame(df, columns, exact=True, include_mad=True)
+        return long.filter(F.col("statistic") != "memory_usage").select(
+            F.col("column").alias("col_name"),
+            "statistic",
+            F.when(F.col("statistic") == "content_type", F.col("value_str"))
+            .otherwise(fmt_sci(F.col("value_num")))
+            .alias("value"),
+        )
+
+    return q
+
+
+def _introduce_query(table: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = _read(spark, sf_dir, table)
+        long = introduce_frame(df)
+        return long.filter(F.col("metric") != "memory_usage").select(
+            "section", "metric", fmt_sci(F.col("value_num")).alias("value")
+        )
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# validation
+# ---------------------------------------------------------------------------
+
+_LINEITEM_RULES = {
+    "l_quantity": {"range": [2, 45]},
+    "l_discount": {"range": [0.0, 0.08]},
+    "l_returnflag": {"accepted": ["A", "N"]},
+}
+_LINEITEM_KEY = ["l_orderkey", "l_linenumber"]
+
+
+def _validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _read(spark, sf_dir, "lineitem")
+    return validate_frame(df, _LINEITEM_RULES, _LINEITEM_KEY).select(
+        F.col("column").alias("col_name"), "row_key",
+        F.col("function").alias("rule_name"), "notes",
+    )
+
+
+_VALIDATE_LINEITEM_SQL = """
+WITH keyed AS (
+  SELECT *, l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR AS row_key
+  FROM lineitem
+)
+SELECT 'l_quantity' AS col_name, row_key,
+       'range' AS rule_name,
+       CASE WHEN l_quantity < 2 THEN 'Value is less than the lower bound'
+            ELSE 'Value is greater than the upper bound' END AS notes
+FROM keyed WHERE l_quantity < 2 OR l_quantity > 45
+UNION ALL
+SELECT 'l_discount', row_key, 'range',
+       CASE WHEN l_discount < 0.0 THEN 'Value is less than the lower bound'
+            ELSE 'Value is greater than the upper bound' END
+FROM keyed WHERE l_discount < 0.0 OR l_discount > 0.08
+UNION ALL
+SELECT 'l_returnflag', row_key, 'accepted', 'Value not within the accepted range'
+FROM keyed WHERE l_returnflag NOT IN ('A', 'N') OR l_returnflag IS NULL
+"""
+
+
+def _validate_verbose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — violations joined back to full original rows (broadcast).
+    Uses orders: o_orderkey is a genuinely unique key (lineitem's
+    (l_orderkey, l_linenumber) is NOT unique in the synthetic data, which
+    would multiply the join)."""
+    df = _read(spark, sf_dir, "orders")
+    report = Report(
+        df, schema={"o_totalprice": {"range": [5000, 250000]}}, key="o_orderkey"
+    )
+    out = report.validate(verbose=True)
+    return out.select(
+        "row_key", "o_orderkey", "o_orderstatus",
+        fmt_sci(F.col("o_totalprice")).alias("totalprice"), "notes",
+    )
+
+
+_VALIDATE_VERBOSE_SQL = f"""
+SELECT o_orderkey::VARCHAR AS row_key,
+       o_orderkey, o_orderstatus,
+       {duckdb_fmt_sci('o_totalprice')} AS totalprice,
+       CASE WHEN o_totalprice < 5000 THEN 'Value is less than the lower bound'
+            ELSE 'Value is greater than the upper bound' END AS notes
+FROM orders WHERE o_totalprice < 5000 OR o_totalprice > 250000
+"""
+
+
+def _null_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — per-column null counts after sentinel canonicalization."""
+    df = _read(spark, sf_dir, "customer")
+    schema = {"c_mktsegment": {"nulls": ["BUILDING"]}, "c_acctbal": {"nulls": [-1.0]}}
+    canon = canonicalize_nulls(df, schema)
+    aggs = [
+        F.sum(F.col(c).isNull().cast("long")).alias(c) for c in canon.columns
+    ]
+    wide = canon.agg(*aggs)
+    entries = [
+        F.struct(F.lit(c).alias("col_name"), F.col(c).alias("n_null"))
+        for c in canon.columns
+    ]
+    return wide.select(F.explode(F.array(*entries)).alias("e")).select("e.*")
+
+
+_NULL_CANON_SQL = """
+WITH a AS (
+  SELECT
+    count_if(c_custkey IS NULL) AS c_custkey,
+    count_if(c_name IS NULL OR c_name IN ('null', '')) AS c_name,
+    count_if(c_nationkey IS NULL) AS c_nationkey,
+    count_if(c_acctbal IS NULL OR isnan(c_acctbal) OR c_acctbal = -1.0) AS c_acctbal,
+    count_if(c_mktsegment IS NULL OR c_mktsegment IN ('BUILDING', 'null', '')) AS c_mktsegment
+  FROM customer
+)
+SELECT 'c_custkey' AS col_name, c_custkey AS n_null FROM a
+UNION ALL SELECT 'c_name', c_name FROM a
+UNION ALL SELECT 'c_nationkey', c_nationkey FROM a
+UNION ALL SELECT 'c_acctbal', c_acctbal FROM a
+UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "describe_lineitem": _describe_query("lineitem"),
+        "describe_orders": _describe_query("orders"),
+        "describe_customer": _describe_query("customer"),
+        "describe_events": _describe_query("events"),
+        "describe_documents": _describe_query("documents"),
+        "describe_embeddings": _describe_query("embeddings"),
+        "introduce_lineitem": _introduce_query("lineitem"),
+        "introduce_events": _introduce_query("events"),
+        "validate_lineitem": _validate_lineitem,
+        "validate_verbose_join": _validate_verbose,
+        "null_canonicalization": _null_canonicalization,
+    }
+    from petk_spark.operators import extensions_registry
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q.update(extensions_registry.queries())
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql = {
+        "describe_lineitem": oracle.describe_sql("lineitem"),
+        "describe_orders": oracle.describe_sql("orders"),
+        "describe_customer": oracle.describe_sql("customer"),
+        "describe_events": oracle.describe_sql("events"),
+        "describe_documents": oracle.describe_sql("documents"),
+        "describe_embeddings": oracle.describe_sql("embeddings"),
+        "introduce_lineitem": oracle.introduce_sql("lineitem"),
+        "introduce_events": oracle.introduce_sql("events"),
+        "validate_lineitem": _VALIDATE_LINEITEM_SQL,
+        "validate_verbose_join": _VALIDATE_VERBOSE_SQL,
+        "null_canonicalization": _NULL_CANON_SQL,
+    }
+    from petk_spark.operators import extensions_registry
+
+    sql.update(extensions_registry.oracle_sql())
+    return sql

@@ -1,0 +1,364 @@
+"""Deduplication operators (SURVEY §2.F1/F2 + LLM-pipeline extensions).
+
+Beyond-reference surface (the reference has no dedup — absence noted in
+SURVEY §2.F): exact duplicate detection, n-gram Jaccard near-dup,
+MinHash+LSH near-dup, SimHash near-dup, and embedding-cosine near-dup.
+
+Scale design:
+  * exact dedup is a hash-partition groupBy on the dup key — fully
+    parallel, map-side partial aggregation, no driver involvement.
+  * n-gram Jaccard is exact: explode distinct shingles → self-join on
+    shingle → pair-count → filter |A∩B|/(|A|+|B|-|A∩B|) ≥ t. The
+    shingle join is the scale bottleneck (hot shingles fan out), so
+    `max_shingle_freq` drops stop-shingles (document frequency cap) —
+    the standard guard that keeps the join linear-ish at 100 TB.
+  * MinHash+LSH replaces the exact join's quadratic worst case with
+    banded bucketing: k hash functions (xxhash64 with k seeds), min per
+    doc per seed, b bands of r rows, candidate pairs = equal band
+    signature, then exact-Jaccard verification of candidates only.
+    Everything is built-in expressions (no Python in the hot path).
+  * SimHash: 64-bit fingerprints from token hashes, near-dup = Hamming
+    distance ≤ d on block-partitioned candidates (pigeonhole: split the
+    64 bits into d+1 blocks; equal pairs must share one block).
+  * embedding cosine: exact pairwise above a threshold via a blocked
+    self-join; LSH (random hyperplane) variant for scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# F1 — exact duplicates
+# ---------------------------------------------------------------------------
+
+def duplicate_report(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Groups with more than one occurrence of the key columns.
+
+    Returns (``*cols``, n_dup). One shuffle on the dup key with map-side
+    partial counts; output is only the duplicated groups (tiny).
+    """
+    cols = cols or df.columns
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+        .filter(F.col("n_dup") > 1)
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Spark-native exact dedup (keeps an arbitrary row per group)."""
+    return df.dropDuplicates(cols or df.columns)
+
+
+def dedup_first_by(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Deterministic exact dedup: keep the minimum ``order_col`` row per
+    key group (row_number window — one shuffle on the key)."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenization / shingling (shared by Jaccard, MinHash, SimHash)
+# ---------------------------------------------------------------------------
+
+def _tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens; empty strings removed."""
+    return F.filter(
+        F.split(F.lower(text), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def _shingles(text: Column, n: int) -> Column:
+    """Distinct word n-gram shingles (space-joined) of ``text``."""
+    toks = _tokens(text)
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) exploded long frame — the dedup building block."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2a — exact n-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+def jaccard_near_dup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs: (id_a, id_b, jaccard) with
+    ``id_a < id_b`` and jaccard ≥ threshold.
+
+    jaccard is an integer ratio (|A∩B| over |A∪B|), so the value is
+    bit-identical across engines — safe for hash-matching oracles.
+    """
+    sh = shingle_frame(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        keep = freq.filter(F.col("df_") <= max_shingle_freq).select("shingle")
+        sh = sh.join(F.broadcast(keep), "shingle")
+
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "sh_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("sh_a") + F.col("sh_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# F2b — MinHash + LSH near-dup (the 100 TB path)
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 64
+) -> DataFrame:
+    """(id, sig: array<bigint>) — k minhash values per document, one
+    xxhash64 seed per hash function. One explode + one groupBy; the k
+    mins are computed as k aggregate expressions over the shingle set."""
+    sh = shingle_frame(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig")
+    )
+
+
+def minhash_lsh_near_dup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    verify_exact: bool = True,
+) -> DataFrame:
+    """Banded-LSH candidate generation + (optional) exact verification.
+
+    With k=64, bands=16 (rows r=4), the S-curve crosses ~0.5 at
+    s = (1/b)^(1/r) ≈ 0.5 — high recall at threshold 0.8. Candidates
+    sharing ≥1 band bucket are verified with exact Jaccard so precision
+    is 1.0; recall is the LSH S-curve (not guaranteed 100%, hence this
+    operator is a scale path, not the oracle-exact one).
+    """
+    assert k % bands == 0, "k must divide into equal bands"
+    r = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(",", *[F.element_at("sig", b * r + j + 1).cast("string") for j in range(r)])
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("id", F.explode(band_entries).alias("e")).select(
+        "id", "e.band", "e.bucket"
+    )
+
+    a = buckets.alias("a")
+    b_ = buckets.alias("b")
+    cand = (
+        a.join(b_, ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    if not verify_exact:
+        return cand
+
+    sh = shingle_frame(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # Count common shingles via join on (shingle) scoped to candidate pairs.
+    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
+    n_common = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        n_common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "sh_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("sh_a") + F.col("sh_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# F2c — SimHash near-dup
+# ---------------------------------------------------------------------------
+
+def simhash(text: Column, n: int = 1) -> Column:
+    """64-bit SimHash of the token set as BIGINT: for each bit, sum +1/-1
+    over token hashes, take the sign. Built entirely from higher-order
+    array functions — JVM-side, no Python."""
+    toks = F.array_distinct(_tokens(text))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit(i: int) -> Column:
+        votes = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        return F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        out = out + F.shiftleft(bit(i), i)
+    return out
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole blocking: the 64-bit fingerprint is split into
+    ``max_hamming + 1`` blocks; any pair within distance d must agree on
+    at least one block, so candidates = equi-join per block — no
+    quadratic cross join."""
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+
+    fp = df.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sim")
+    )
+
+    def block(c: Column, i: int) -> Column:
+        # Unsigned slice of bits [i*width, (i+1)*width) — last block takes
+        # the remainder bits too.
+        lo = i * width
+        size = 64 - lo if i == nblocks - 1 else width
+        mask = (1 << size) - 1
+        return F.shiftrightunsigned(c, lo).bitwiseAND(F.lit(mask))
+
+    entries = F.array(
+        *[
+            F.struct(F.lit(i).alias("blk"), block(F.col("sim"), i).alias("val"))
+            for i in range(nblocks)
+        ]
+    )
+    blocked = fp.select("id", "sim", F.explode(entries).alias("e")).select(
+        "id", "sim", "e.blk", "e.val"
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+
+    # Hamming distance = popcount(xor) via bit_count (Spark 3.3+).
+    ham = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+    return (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2d — embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns in double arithmetic,
+    left-to-right summation (matches DuckDB's list_* reducers for oracle
+    stability; formatted through the %.6e contract regardless)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact pairs with cosine ≥ threshold (id_a < id_b).
+
+    O(n²/2) comparisons — correct-but-quadratic reference path; the LSH
+    variant in similarity.py is the scale path. The join is a cross
+    product partitioned on id ranges; at 100 TB use the LSH bucketer."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,128 @@
+"""Grouped and windowed profiling (SURVEY §2.F5) + correlation (F6) +
+frequent values / histograms (F7).
+
+These reuse the describe stat-bundle philosophy — one fused aggregation
+per call — but keyed by group columns or tumbling time buckets. All
+expressions are built-in (JVM codegen); the only shuffle is the groupBy
+on the profiling key, with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+#: The numeric stat bundle applied per group — a compact subset of the
+#: describe() statistics that aggregates mergeably (no exact quantiles:
+#: grouped profiling is a scale operator, so quantiles are approximate
+#: by design; use describe() on a filtered frame for exact ones).
+def _group_stats(c: Column) -> list[Column]:
+    d = c.cast("double")
+    return [
+        F.count(c).alias("count"),
+        F.avg(d).alias("mean"),
+        F.stddev_samp(d).alias("std"),
+        F.min(d).alias("min"),
+        F.max(d).alias("max"),
+        F.sum(d).alias("sum"),
+    ]
+
+
+def grouped_profile(
+    df: DataFrame, group_cols: str | list[str], value_col: str
+) -> DataFrame:
+    """Per-group numeric profile: (group…, count, mean, std, min, max, sum).
+    One shuffle on the group key."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    return df.groupBy(*group_cols).agg(*_group_stats(F.col(value_col)))
+
+
+def windowed_profile(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int = 3600,
+    group_cols: list[str] | None = None,
+    ts_is_epoch_seconds: bool = False,
+) -> DataFrame:
+    """Tumbling-window numeric profile.
+
+    The bucket is ``floor(epoch_seconds / w) * w`` — numerically
+    identical in any SQL engine (oracle-safe), equivalent to
+    ``F.window(ts, ...)`` for tumbling windows but cheaper: a plain
+    groupBy on a derived long, no struct window column.
+    """
+    if ts_is_epoch_seconds:
+        epoch = F.col(ts_col).cast("double")
+    else:
+        epoch = F.col(ts_col).cast("timestamp").cast("double")
+    bucket = (F.floor(epoch / window_seconds) * window_seconds).cast("long")
+    keys = [bucket.alias("window_start")] + [F.col(c) for c in (group_cols or [])]
+    return df.groupBy(*keys).agg(*_group_stats(F.col(value_col)))
+
+
+# ---------------------------------------------------------------------------
+# F6 — correlation matrix
+# ---------------------------------------------------------------------------
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations in ONE aggregation pass (all
+    ``n*(n-1)/2`` ``corr`` expressions fused into a single scan).
+    Long output (col_a, col_b, corr) with col_a < col_b."""
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]
+    ]
+    aggs = [
+        F.corr(F.col(a).cast("double"), F.col(b).cast("double")).alias(f"{a}::{b}")
+        for a, b in pairs
+    ]
+    wide = df.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col(f"`{a}::{b}`").alias("corr"),
+        )
+        for a, b in pairs
+    ]
+    return wide.select(F.explode(F.array(*entries)).alias("e")).select("e.*")
+
+
+# ---------------------------------------------------------------------------
+# F7 — frequent values & histograms
+# ---------------------------------------------------------------------------
+
+def frequent_values(df: DataFrame, col: str, top_n: int = 10) -> DataFrame:
+    """Top-n most frequent values of a column (count desc, value asc —
+    deterministic). Nulls excluded (they are profiled by n_null)."""
+    c = F.col(col)
+    return (
+        df.filter(c.isNotNull())
+        .groupBy(c.cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("value").asc())
+        .limit(top_n)
+    )
+
+
+def histogram(
+    df: DataFrame, col: str, lo: float, hi: float, n_buckets: int = 10
+) -> DataFrame:
+    """Equi-width histogram via width_bucket (bucket 0 = below lo,
+    n_buckets+1 = above hi, matching SQL width_bucket semantics).
+    Single shuffle on the bucket id; bounds are explicit so the operator
+    needs no pre-pass (at scale, feed min/max from describe())."""
+    c = F.col(col).cast("double")
+    b = F.width_bucket(c, F.lit(float(lo)), F.lit(float(hi)), F.lit(n_buckets))
+    return (
+        df.filter(c.isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "bucket_lo",
+            F.lit(float(lo)) + (F.col("bucket") - 1) * F.lit((hi - lo) / n_buckets),
+        )
+        .orderBy("bucket")
+    )

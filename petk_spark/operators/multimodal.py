@@ -1,0 +1,184 @@
+"""Multimodal (binary) column operators (SURVEY §2.F8).
+
+Images / audio / video are carried as opaque ``BinaryType`` payload
+columns plus typed metadata. The Spark-side plumbing — schemas,
+partition-preserving projections, Arrow-batched UDF signatures — is
+real and tested; the actual media decode is STUBBED (the image/audio
+libraries are not available in this environment) behind
+``NotImplementedError`` with a deterministic fake used by tests.
+
+Operators:
+  * ``binary_metadata_frame`` — size, magic-byte sniffing, md5 — all
+    built-in JVM expressions (oracle-checkable).
+  * ``decode_image_features`` — mapInPandas plumbing for per-item decode
+    → fixed-width feature rows; batch-shape and schema are real, the
+    pixel decode is the stub seam.
+  * ``frame_sample`` — video frame sampling plumbing (stub decode).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Magic-byte prefixes → declared media type (sniffed with startswith on
+#: the hex encoding — a pure JVM expression).
+MAGIC_PREFIXES: list[tuple[str, str]] = [
+    ("89504E47", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("47494638", "image/gif"),
+    ("52494646", "riff"),  # wav/avi containers
+    ("494433", "audio/mp3"),
+    ("664C6143", "audio/flac"),
+    ("00000018667479", "video/mp4"),
+    ("1A45DFA3", "video/webm"),
+]
+
+
+def sniff_media_type(payload: Column) -> Column:
+    """Declared media type from magic bytes (JVM-side hex prefix match)."""
+    hexed = F.upper(F.hex(payload))
+    out = F.lit("application/octet-stream")
+    for prefix, mtype in reversed(MAGIC_PREFIXES):
+        out = F.when(hexed.startswith(prefix), F.lit(mtype)).otherwise(out)
+    return F.when(payload.isNull(), F.lit(None).cast("string")).otherwise(out)
+
+
+def binary_metadata_frame(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """(id, n_bytes, media_type, digest) metadata profile of a binary
+    column — one scan, zero Python."""
+    p = F.col(payload_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(p).cast("long").alias("n_bytes"),
+        sniff_media_type(p).alias("media_type"),
+        F.md5(p).alias("digest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decode plumbing (Arrow-batched; decode stubbed)
+# ---------------------------------------------------------------------------
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def _decode_image(payload: bytes) -> tuple[int, int, int, float]:
+    """STUB — media libraries are unavailable in this environment.
+
+    Deterministic fake keyed on payload bytes so the distributed
+    plumbing (batching, schema, partitioning) is testable; a real
+    deployment replaces this one function with PIL/opencv decode.
+    """
+    if payload is None:
+        raise NotImplementedError("media decode requires an image library")
+    # Deterministic fake: derive pseudo-dimensions from payload content.
+    h = 0
+    for b in payload[:64]:
+        h = (h * 131 + b) % (1 << 31)
+    width = 64 + h % 512
+    height = 64 + (h // 512) % 512
+    return width, height, 3, float(h % 256)
+
+
+def decode_image_features(
+    df: DataFrame, id_col: str, payload_col: str, use_stub: bool = True
+) -> DataFrame:
+    """Arrow-batched per-item image feature extraction via mapInPandas.
+
+    The iterator-of-batches shape keeps memory bounded regardless of
+    partition size; partitioning is inherited from the source (no
+    shuffle). ``use_stub=False`` raises until a decoder is installed.
+    """
+
+    id_name, payload_name = id_col, payload_col
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = row[payload_name]
+                if not use_stub:
+                    raise NotImplementedError(
+                        "real image decode unavailable in this environment"
+                    )
+                try:
+                    w, h, nc, luma = _decode_image(payload)
+                except NotImplementedError:
+                    w = h = nc = None
+                    luma = None
+                rows.append((row[id_name], w, h, nc, luma))
+            yield pd.DataFrame(
+                rows, columns=["id", "width", "height", "n_channels", "mean_luma"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_digest", T.StringType()),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    every_n: int = 10,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Video frame-sampling plumbing: one row out per sampled frame.
+
+    Decode is stubbed — frames are deterministic digests of payload
+    slices — but the fan-out shape (1 row in → ≤ max_frames rows out via
+    mapInPandas) is the real production plumbing.
+    """
+    import hashlib
+
+    id_name, payload_name = id_col, payload_col
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = row[payload_name]
+                if payload is None:
+                    continue
+                n = min(max_frames, max(len(payload) // max(every_n, 1), 1))
+                for i in range(n):
+                    sl = payload[i * every_n : (i + 1) * every_n]
+                    out.append(
+                        (
+                            row[id_name],
+                            i,
+                            hashlib.md5(bytes(sl)).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["id", "frame_index", "frame_digest"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=FRAME_SAMPLE_SCHEMA
+    )

@@ -1,0 +1,249 @@
+"""Similarity search over embedding columns (SURVEY §2.F3).
+
+Exact brute-force cosine top-k as the correctness baseline, plus two
+scale paths: random-hyperplane LSH bucketing and IVF (inverted file)
+with sampled k-means centroids.
+
+Scale design: brute-force is a broadcast join (queries are small by
+assumption) — the corpus side streams, never shuffles, and the top-k is
+a per-query partial aggregate (no global sort). The LSH/IVF variants cut
+the candidate set per query from N to N/buckets before scoring. At
+100 TB the corpus stays partitioned; only (query × bucket) candidates
+are scored.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from petk_spark.operators.dedup import cosine_expr
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    Returns (query_id, neighbor_id, cosine, rank). The query side is
+    broadcast; ranking is a window per query ordered by
+    (cosine desc, neighbor_id asc) — the id tiebreak makes the result
+    deterministic and oracle-hashable.
+    """
+    query_id_col = query_id_col or id_col
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = c.join(F.broadcast(q)).withColumn(
+        "cosine", cosine_expr(F.col("qv"), F.col("cv"))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH bucketing (scale path)
+# ---------------------------------------------------------------------------
+
+def hyperplane_signature(
+    vec: Column, planes: list[list[float]]
+) -> Column:
+    """Sign-bit signature of ``vec`` against fixed hyperplanes → BIGINT
+    bucket id. Planes are literals folded into the plan (deterministic,
+    no model state)."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, arr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return sig
+
+
+def deterministic_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Pseudo-random unit-ish hyperplanes from a fixed LCG (no numpy RNG
+    state; reproducible across sessions for stable bucketing)."""
+    state = seed & 0x7FFFFFFF or 1
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append((state / float(1 << 31)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    n_planes: int = 8,
+    n_probes: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only candidates whose hyperplane bucket
+    matches the query's (multi-probe = flip each of the lowest
+    ``n_probes-1`` bits). ~N/2^planes of the corpus scored per query."""
+    planes = deterministic_planes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    qsig = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        hyperplane_signature(F.col(vec_col), planes).alias("b0"),
+    )
+    probes = [F.col("b0")] + [
+        F.col("b0").bitwiseXOR(F.lit(1 << i)) for i in range(max(n_probes - 1, 0))
+    ]
+    q = qsig.select(
+        "query_id", "qv", F.explode(F.array(*probes)).alias("bucket")
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) bucketing (scale path #2)
+# ---------------------------------------------------------------------------
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine). Centroids
+    are plan literals — at realistic list sizes (≤ 4k) this stays a
+    map-only projection, no shuffle."""
+    best_id = F.lit(-1)
+    best_score = F.lit(-2.0)
+    for ci, cen in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in cen])
+        s = cosine_expr(F.col(vec_col), arr)
+        cond = s > best_score
+        best_id = F.when(cond, F.lit(ci)).otherwise(best_id)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        best_id.alias("centroid_id"),
+    )
+
+
+def sample_centroids(
+    df: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 2,
+) -> list[list[float]]:
+    """K-means on a driver-side sample (numpy): sample ≤ 10k vectors,
+    Lloyd iterations, return centroid list. The sample collect is the
+    only driver materialization and is capped."""
+    import numpy as np
+
+    sample = (
+        df.select(vec_col).orderBy(F.col(id_col)).limit(10_000).collect()
+    )
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    rng = np.random.default_rng(42)
+    cent = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iterations):
+        norms = np.linalg.norm(X, axis=1, keepdims=True) * np.linalg.norm(
+            cent, axis=1
+        )
+        sim = (X @ cent.T) / np.where(norms == 0, 1, norms)
+        assign = sim.argmax(axis=1)
+        for ci in range(len(cent)):
+            members = X[assign == ci]
+            if len(members):
+                cent[ci] = members.mean(axis=0)
+    return [list(map(float, c)) for c in cent]
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probes: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: corpus bucketed by nearest centroid; each
+    query scores only its ``n_probes`` nearest centroid buckets."""
+    centroids = sample_centroids(corpus, n_centroids, vec_col, id_col)
+    c = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("cv"), "centroid_id"
+    )
+
+    # Query-side: n_probes nearest centroids each.
+    probe_entries = []
+    for ci, cen in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in cen])
+        probe_entries.append(
+            F.struct(
+                cosine_expr(F.col(vec_col), arr).alias("score"),
+                F.lit(ci).alias("centroid_id"),
+            )
+        )
+    ranked = F.slice(
+        F.reverse(F.array_sort(F.array(*probe_entries))), 1, n_probes
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(ranked).alias("p"),
+    ).select("query_id", "qv", F.col("p.centroid_id").alias("centroid_id"))
+
+    scored = (
+        c.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

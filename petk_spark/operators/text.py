@@ -1,0 +1,206 @@
+"""Text-analysis operators over string columns (SURVEY §2.F4 +
+LLM-pipeline extensions): text profile, token counting, quality scoring,
+language identification, document fingerprinting.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM
+whole-stage codegen); nothing here drops to Python. Every operator is a
+single scan with map-side partial aggregation where it aggregates.
+
+Oracle notes: token/char counts are integers (bit-stable); ratios are
+formatted through the %.6e contract; fingerprints use md5 (identical
+algorithm and hex encoding in Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+#: BPE-ish word/number/punctuation splitter: runs of letters, runs of
+#: digits, or single non-space symbols — a deterministic, regex-only
+#: approximation of byte-pair tokenizer segment boundaries.
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def whitespace_token_count(text: Column) -> Column:
+    toks = F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+    return F.size(toks)
+
+
+def bpeish_token_count(text: Column) -> Column:
+    """Count of BPE-ish segments via regexp_count (Spark ≥3.5)."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
+
+
+# ---------------------------------------------------------------------------
+# quality signals
+# ---------------------------------------------------------------------------
+
+#: Tiny deterministic English stopword list for ratio features.
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this",
+]
+
+
+def quality_signals(text: Column) -> dict[str, Column]:
+    """Per-document quality features, each a single JVM expression."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    n_punct = F.regexp_count(text, F.lit("[^a-zA-Z0-9\\s]"))
+    n_digit = F.regexp_count(text, F.lit("[0-9]"))
+    n_upper = F.regexp_count(text, F.lit("[A-Z]"))
+    n_stop = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in STOPWORDS])))
+    mean_word_len = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).cast(
+            "double"
+        )
+        / n_tok,
+    )
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "n_tokens_bpeish": bpeish_token_count(text).cast("long"),
+        "punct_ratio": F.when(n_chars > 0, n_punct.cast("double") / n_chars),
+        "digit_ratio": F.when(n_chars > 0, n_digit.cast("double") / n_chars),
+        "upper_ratio": F.when(n_chars > 0, n_upper.cast("double") / n_chars),
+        "stopword_ratio": F.when(n_tok > 0, n_stop.cast("double") / n_tok),
+        "mean_word_len": mean_word_len,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: long-enough, low punctuation,
+    some stopwords (prose-like), plausible word lengths."""
+    s = quality_signals(text)
+    len_ok = F.least(s["n_tokens"].cast("double") / F.lit(20.0), F.lit(1.0))
+    punct_ok = F.greatest(F.lit(0.0), F.lit(1.0) - s["punct_ratio"] * 4)
+    stop_ok = F.least(s["stopword_ratio"] * 5, F.lit(1.0))
+    wordlen_ok = F.when(
+        (s["mean_word_len"] >= 2) & (s["mean_word_len"] <= 12), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    return (len_ok + punct_ok + stop_ok + wordlen_ok) / 4
+
+
+def text_quality_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, <quality signal columns>, quality_score) per document."""
+    t = F.col(text_col)
+    sig = quality_signals(t)
+    return df.select(
+        F.col(id_col).alias("id"),
+        *[c.alias(name) for name, c in sig.items()],
+        quality_score(t).alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language identification
+# ---------------------------------------------------------------------------
+
+#: Marker-word lists per language — deterministic n-gram/stopword
+#: heuristic. Score = number of token hits; argmax with lexicographic
+#: tie-break; 'und' (undetermined) when no list scores > 0.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "en": ["the", "and", "is", "of", "to", "in", "that", "it", "for", "with"],
+    "es": ["el", "la", "los", "las", "es", "y", "de", "que", "en", "por"],
+    "fr": ["le", "la", "les", "est", "et", "de", "que", "en", "une", "pour"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不", "这", "人"],
+}
+
+
+def language_id(text: Column) -> Column:
+    """Predicted language code by marker-word hit count (ties broken by
+    language code order; 0 hits → 'und')."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+    # Fold langs in reverse-lexicographic order with a >= comparison, so
+    # on equal scores the lexicographically FIRST language wins.
+    score = F.lit(-1)
+    out = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        s = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS[lang])))
+        out = F.when((s >= 1) & (s >= score), F.lit(lang)).otherwise(out)
+        score = F.greatest(score, s)
+    return out
+
+
+def language_id_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), language_id(F.col(text_col)).alias("lang_pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+def fingerprint(text: Column) -> Column:
+    """Canonical document fingerprint: md5 of the normalized text
+    (lowercased, whitespace collapsed to single spaces, trimmed). md5 is
+    available and bit-identical in Spark and DuckDB — oracle-safe."""
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.md5(norm.cast("binary"))
+
+
+def rolling_fingerprints(text: Column, window: int = 8) -> Column:
+    """Winnowing-style rolling fingerprints: xxhash64 of each
+    ``window``-token shingle — array<bigint> per document. Scale path for
+    partial-overlap detection (not oracle-matched: xxhash64 is
+    Spark-specific)."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0)))
+    return F.when(
+        F.size(toks) >= window,
+        F.transform(
+            idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window)))
+        ),
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
+
+
+def fingerprint_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        fingerprint(F.col(text_col)).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4 — aggregate text profile
+# ---------------------------------------------------------------------------
+
+def text_profile(
+    df: DataFrame, text_col: str, group_by: str | None = None
+) -> DataFrame:
+    """Aggregate profile of a text column: doc/char/token counts, length
+    stats, token-length stats — optionally per group (e.g. per lang).
+    One scan, one shuffle iff grouped."""
+    t = F.col(text_col)
+    toks = whitespace_token_count(t)
+    aggs = [
+        F.count(t).alias("n_docs"),
+        F.sum(F.length(t)).alias("total_chars"),
+        F.sum(toks.cast("long")).alias("total_tokens"),
+        F.avg(F.length(t).cast("double")).alias("avg_chars"),
+        F.min(F.length(t)).cast("long").alias("min_chars"),
+        F.max(F.length(t)).cast("long").alias("max_chars"),
+        F.avg(toks.cast("double")).alias("avg_tokens"),
+        F.count_distinct(fingerprint(t)).alias("distinct_fingerprints"),
+    ]
+    if group_by:
+        return df.groupBy(F.col(group_by).alias("group_key")).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def token_histogram(df: DataFrame, text_col: str, top_n: int = 20) -> DataFrame:
+    """Top-n token frequencies (count desc, token asc — deterministic)."""
+    toks = F.explode(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    ).alias("token")
+    counts = df.select(toks).groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(top_n)

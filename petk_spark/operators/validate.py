@@ -1,0 +1,132 @@
+"""Rule-based row-level data-quality validation — ``validate()``.
+
+Reference parity: petk/exploration.py:80-126 + petk/validation.py. Each
+rule lazily filters the source to its violating rows and projects
+``(column, row_key, function, notes)``; all rules for all columns are
+``unionByName``-ed into ONE plan so Catalyst shares the scan — a single
+job regardless of rule count. Violations carry a deterministic row key
+(user-designated key columns) instead of the reference's implicit pandas
+index (SURVEY §1.1 — ``monotonically_increasing_id`` is not stable
+across runs and would break oracle hashing).
+
+Rule semantics pinned to the reference:
+  * ``range`` (petk/validation.py:36-45 + tools.py:104-110): NULLs pass
+    (NaN comparisons are falsy in pandas apply). Messages are exactly
+    'Value is less than the lower bound' / 'Value is greater than the
+    upper bound'. The reference's falsy-bound bug (``if lower and ...``
+    disables a bound of 0) is FIXED here: only None/NaN disables a bound
+    — the documented no-bound sentinel (reference README.md:49).
+    Divergence recorded in CHANGES.md.
+  * ``accepted`` (petk/validation.py:47-51): NULLs are FLAGGED — pandas
+    ``~isin`` is True for NaN. Spark's ``isin`` returns NULL for NULL
+    input, so the predicate ORs in ``isNull`` explicitly. Message:
+    'Value not within the accepted range'.
+  * unknown rule names are silently ignored (reflective dispatch,
+    petk/exploration.py:88-91 — here an explicit registry, same
+    ignore-unknown behavior). The ``nulls`` key is consumed by ingest
+    canonicalization, not a rule.
+  * geometry rules (bounding_box / geospatial / sliver) live in geo/ and
+    are registered on import when shapely is available.
+
+Scale: each rule is a predicate filter the Parquet scan can push down;
+violations are expected to be a small fraction of rows, so the verbose
+join-back (E1) broadcasts the violation side.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+VIOLATION_COLUMNS = ["column", "row_key", "function", "notes"]
+
+MSG_BELOW = "Value is less than the lower bound"
+MSG_ABOVE = "Value is greater than the upper bound"
+MSG_NOT_ACCEPTED = "Value not within the accepted range"
+
+
+def row_key_expr(key) -> Column:
+    """Deterministic row identity: one key column, or several concatenated
+    with ':' (e.g. lineitem → 'l_orderkey:l_linenumber')."""
+    if isinstance(key, str):
+        key = [key]
+    parts = [F.col(k).cast("string") for k in key]
+    if len(parts) == 1:
+        return parts[0]
+    return F.concat_ws(":", *parts)
+
+
+def _no_bound(b) -> bool:
+    return b is None or (isinstance(b, float) and math.isnan(b))
+
+
+def rule_range(df: DataFrame, column: str, key, bounds) -> DataFrame:
+    assert len(bounds) == 2, "A lower and upper bound must be provided, use None/NaN if no bounds"
+    lower, upper = bounds
+    c = F.col(column)
+
+    below = F.lit(False) if _no_bound(lower) else c < F.lit(lower)
+    above = F.lit(False) if _no_bound(upper) else c > F.lit(upper)
+    notes = F.when(below, F.lit(MSG_BELOW)).otherwise(F.lit(MSG_ABOVE))
+    # NULLs pass: `c < lit` is NULL for NULL input and filter drops it.
+    return df.filter(below | above).select(
+        F.lit(column).alias("column"),
+        row_key_expr(key).alias("row_key"),
+        F.lit("range").alias("function"),
+        notes.alias("notes"),
+    )
+
+
+def rule_accepted(df: DataFrame, column: str, key, values) -> DataFrame:
+    c = F.col(column)
+    pred = ~c.isin(list(values)) | c.isNull()
+    return df.filter(pred).select(
+        F.lit(column).alias("column"),
+        row_key_expr(key).alias("row_key"),
+        F.lit("accepted").alias("function"),
+        F.lit(MSG_NOT_ACCEPTED).alias("notes"),
+    )
+
+
+#: Explicit rule registry replacing the reference's reflective dispatch
+#: (petk/exploration.py:88-91). Geometry rules register on geo import.
+RULE_REGISTRY = {
+    "range": rule_range,
+    "accepted": rule_accepted,
+}
+
+
+def validate_frame(df: DataFrame, schema: dict, key, columns=None) -> DataFrame:
+    """Lazy unioned violation table ``(column, row_key, function, notes)``,
+    ordered (column, row_key, function) like petk/exploration.py:116-124."""
+    from petk_spark.operators.describe import find_columns
+
+    requested = find_columns(df, columns)
+    parts = []
+    for col in requested:
+        rules = schema.get(col) or {}
+        for rule_name, params in rules.items():
+            impl = RULE_REGISTRY.get(rule_name)
+            if impl is None or rule_name == "nulls":
+                continue  # silently ignore unknown keys (reference parity)
+            parts.append(impl(df, col, key, params))
+
+    spark = df.sparkSession
+    if not parts:
+        return spark.createDataFrame(
+            [], "column string, row_key string, function string, notes string"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("column", "row_key", "function")
+
+
+def verbose_violations(df: DataFrame, violations: DataFrame, key) -> DataFrame:
+    """E1 — join violations back to the full original rows
+    (petk/exploration.py:139-141). The violation side is broadcast: it is
+    the small side by construction."""
+    keyed = df.withColumn("row_key", row_key_expr(key))
+    return keyed.join(F.broadcast(violations), on="row_key", how="inner")

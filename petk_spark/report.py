@@ -1,0 +1,129 @@
+"""The user-facing entry point: ``Report``.
+
+Reference parity: petk/exploration.py:9-32 (``DataReport``). Differences
+by design (SURVEY §3): construction is fully lazy — schema assertions run
+on the driver against ``df.schema`` (no data touched), and null
+canonicalization is composed as a projection instead of the reference's
+eager destructive mutation (petk/exploration.py:27-29). Nothing executes
+until ``describe``/``introduce``/``validate`` is acted upon.
+
+Memoization (petk/exploration.py:73-75, 83-85): per-column describe
+results and per-column validation results are cached on the report
+object. Unlike the reference (acknowledged TODO petk/exploration.py:12),
+the validation cache IS invalidated when the schema changes — the cache
+key includes a hash of the column's rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from petk_spark.nulls import canonicalize_nulls
+from petk_spark.operators.describe import describe_frame, find_columns
+from petk_spark.operators.introduce import introduce_frame
+from petk_spark.operators.validate import validate_frame, verbose_violations
+
+
+class Report:
+    def __init__(
+        self,
+        df: DataFrame,
+        schema: dict | None = None,
+        key: str | list[str] | None = None,
+        exact: bool = True,
+    ):
+        schema = dict(schema or {})
+
+        # A2 — schema keys must be existing columns (petk/exploration.py:19-20).
+        for col in schema:
+            assert col in df.columns, f"{col} is not a column in the data"
+
+        # A3 — scalar 'nulls' promoted to a list (petk/exploration.py:22-25).
+        for col, rules in schema.items():
+            if rules and "nulls" in rules and not isinstance(rules["nulls"], list):
+                rules["nulls"] = [rules["nulls"]]
+
+        self.schema = schema
+        self.key = key if key is not None else df.columns[0]
+        self.exact = exact
+        self.source = df
+        # A4 — lazy canonical null projection (petk/exploration.py:27-29).
+        self.df = canonicalize_nulls(df, schema)
+
+        self._description: dict[str, list] = {}
+        self._validation: dict[tuple, list] = {}
+
+    # -- dataset summary ------------------------------------------------
+    def introduce(self) -> DataFrame:
+        return introduce_frame(self.df)
+
+    # -- per-column profile ---------------------------------------------
+    def describe(self, columns=None, include_mad: bool = True) -> DataFrame:
+        """Long-form stats for the requested columns. Cached per column:
+        already-described columns are not recomputed (petk/exploration.py:73-75)."""
+        cols = find_columns(self.df, columns)
+        todo = [c for c in cols if c not in self._description]
+        if todo:
+            computed = describe_frame(
+                self.df, todo, exact=self.exact, include_mad=include_mad
+            ).collect()
+            for c in todo:
+                self._description[c] = [r for r in computed if r["column"] == c]
+        rows = [r for c in cols for r in self._description[c]]
+        return self.df.sparkSession.createDataFrame(
+            rows, "column string, statistic string, value_num double, value_str string"
+        )
+
+    def describe_plan(self, columns=None, include_mad: bool = True) -> DataFrame:
+        """The uncached, fully-lazy describe plan (for composition/explain)."""
+        return describe_frame(self.df, columns, exact=self.exact, include_mad=include_mad)
+
+    # -- validation ------------------------------------------------------
+    def validate(self, columns=None, verbose: bool = False) -> DataFrame:
+        cols = find_columns(self.df, columns)
+        spark = self.df.sparkSession
+
+        def rules_key(c):
+            rules = self.schema.get(c) or {}
+            return (c, repr(sorted((k, repr(v)) for k, v in rules.items())))
+
+        todo = [c for c in cols if rules_key(c) not in self._validation]
+        if todo:
+            computed = validate_frame(self.df, self.schema, self.key, todo).collect()
+            for c in todo:
+                self._validation[rules_key(c)] = [
+                    r for r in computed if r["column"] == c
+                ]
+        rows = [r for c in cols for r in self._validation[rules_key(c)]]
+        out = spark.createDataFrame(
+            rows, "column string, row_key string, function string, notes string"
+        ).orderBy("column", "row_key", "function")
+        if verbose:
+            return verbose_violations(self.df, out, self.key)
+        return out
+
+    def validate_plan(self, columns=None) -> DataFrame:
+        """The uncached, fully-lazy unioned validation plan."""
+        return validate_frame(self.df, self.schema, self.key, columns)
+
+    # -- shaping ---------------------------------------------------------
+    @staticmethod
+    def as_dict(result: DataFrame, key_cols: list[str], value_cols=None) -> dict:
+        """E2 — nest a (small) long result frame into dicts keyed by the
+        given columns (petk/exploration.py:143-162). Driver-side: results
+        are reports, not data."""
+        rows = result.collect()
+        value_cols = value_cols or [
+            c for c in result.columns if c not in key_cols
+        ]
+        out: dict = {}
+        for r in rows:
+            node = out
+            for k in key_cols[:-1]:
+                node = node.setdefault(r[k], {})
+            leaf = {c: r[c] for c in value_cols if r[c] is not None}
+            if len(leaf) == 1:
+                leaf = next(iter(leaf.values()))
+            node[r[key_cols[-1]]] = leaf
+        return out
