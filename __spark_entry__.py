@@ -21,20 +21,7 @@ from petk_spark.operators.introduce import introduce_frame
 from petk_spark.operators.validate import validate_frame
 from petk_spark.nulls import canonicalize_nulls
 from petk_spark.report import Report
-
-
-def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    if table == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read as raw nanos and profile as epoch SECONDS
-        # (double), truncated to microseconds to match DuckDB's read of
-        # the same file (DuckDB truncates nanos → micro TIMESTAMP).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        return df.withColumn(
-            "ts", (F.expr("ts div 1000").cast("double") / F.lit(1e6))
-        )
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+from petk_spark.sources.tables import read_table as _read
 
 
 def entry(spark: SparkSession) -> DataFrame:

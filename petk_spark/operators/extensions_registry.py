@@ -1,17 +1,551 @@
-"""Registry of beyond-reference extension queries (SURVEY §2.F) exposed
-to the driver contract. Populated as operators land: dedup, similarity
-search, text analysis, grouped/windowed profiling, multimodal."""
+"""Registry of beyond-reference extension queries (SURVEY §2.F +
+LLM-pipeline operators) exposed to the driver contract.
+
+Every oracle-checkable operator declares BOTH the Spark callable and a
+DuckDB SQL twin computing the same logical result with identical column
+names. Operators whose result depends on Spark-specific hashing
+(xxhash64-based MinHash/SimHash/LSH buckets) or on stubbed media decode
+are declared WITHOUT oracle SQL — the driver records rows-only checks
+for them, which is the honest contract.
+
+Cross-engine determinism notes (load-bearing):
+  * Jaccard similarities are integer ratios — bit-identical.
+  * Cosine similarity uses a LEFT-FOLD dot/norm on both engines
+    (Spark ``F.aggregate`` seeded 0.0 ≡ DuckDB ``list_reduce``, since
+    0.0 + x == x exactly) so scores, threshold filters and ranks agree
+    bitwise.
+  * md5 fingerprints are algorithmically identical in both engines.
+  * Continuous aggregates go through the shared %.6e two-stage contract.
+"""
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from petk_spark.functions.oracle_fmt import duckdb_fmt_sci as dfmt
+from petk_spark.functions.oracle_fmt import fmt_sci
+from petk_spark.operators import dedup, grouped, multimodal, similarity, text
+from petk_spark.sources.tables import EVENTS_TS_SQL, read_table
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+#: DuckDB tokens CTE fragment for documents (mirror of text._tokens).
+_TOKS_CTE = r"""
+toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS tk
+  FROM documents
+)"""
+
+#: DuckDB 3-shingle long table (mirror of dedup.shingle_frame at n=3).
+_SHINGLE_CTE = _TOKS_CTE + r""",
+sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+    CASE WHEN len(tk) >= 3
+      THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
+      ELSE [] END)) AS shingle
+  FROM toks
+)"""
+
+
+def _duck_list(values: list[str]) -> str:
+    quoted = ", ".join("'" + v.replace("'", "''") + "'" for v in values)
+    return f"[{quoted}]"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Left-fold dot product — operand-ordered to match dedup.cosine_expr."""
+    return (
+        f"list_reduce(list_transform(range(1, len({a})+1), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform(range(1, len({a})+1), "
+        f"i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE), (x, y) -> x + y))"
+    )
+
+
+def _cosine_sql(q: str, c: str) -> str:
+    """cosine_expr(qv, cv) twin: dot / (sqrt(Σq²) * sqrt(Σc²))."""
+    return f"({_dot_sql(q, c)} / ({_norm_sql(q)} * {_norm_sql(c)}))"
+
+
+# ---------------------------------------------------------------------------
+# F1 — exact dedup
+# ---------------------------------------------------------------------------
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_table(spark, sf_dir, "lineitem")
+    return dedup.duplicate_report(df, ["l_orderkey", "l_linenumber"])
+
+
+_SQL_DEDUP_EXACT = """
+SELECT l_orderkey, l_linenumber, count(*) AS n_dup
+FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# text fingerprint / near-dup
+# ---------------------------------------------------------------------------
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_table(spark, sf_dir, "documents")
+    return text.fingerprint_frame(df, "doc_id", "text")
+
+
+_SQL_FINGERPRINT = r"""
+SELECT doc_id AS id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_table(spark, sf_dir, "documents")
+    out = dedup.jaccard_near_dup(df, "doc_id", "text", n=3, threshold=0.1)
+    return out.select("id_a", "id_b", fmt_sci(F.col("jaccard")).alias("jaccard"))
+
+
+_SQL_JACCARD = f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.id < b.id GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b,
+         n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS j
+  FROM pairs
+  JOIN sizes sa ON pairs.id_a = sa.id
+  JOIN sizes sb ON pairs.id_b = sb.id
+)
+SELECT id_a, id_b, {dfmt('j')} AS jaccard FROM scored WHERE j >= 0.1
+"""
+
+
+# ---------------------------------------------------------------------------
+# token histogram / quality / language id / text profile
+# ---------------------------------------------------------------------------
+
+def _q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_table(spark, sf_dir, "documents")
+    return text.token_histogram(df, "text", top_n=20)
+
+
+_SQL_TOKEN_HISTOGRAM = f"""
+WITH {_TOKS_CTE},
+tok AS (SELECT unnest(tk) AS token FROM toks)
+SELECT token, count(*) AS n FROM tok
+GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20
+"""
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_table(spark, sf_dir, "documents")
+    q = text.text_quality_frame(df, "doc_id", "text")
+    return q.select(
+        "id", "n_chars", "n_tokens", "n_tokens_bpeish",
+        *[
+            fmt_sci(F.col(c)).alias(c)
+            for c in [
+                "punct_ratio", "digit_ratio", "upper_ratio",
+                "stopword_ratio", "mean_word_len", "quality_score",
+            ]
+        ],
+    )
+
+
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+_SQL_QUALITY = f"""
+WITH {_TOKS_CTE},
+sig AS (
+  SELECT doc_id AS id,
+    length(text) AS n_chars,
+    len(tk) AS n_tokens,
+    len(regexp_extract_all(text, '{_BPE_RE}')) AS n_tokens_bpeish,
+    CASE WHEN length(text) > 0 THEN
+      len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE / length(text) END AS punct_ratio,
+    CASE WHEN length(text) > 0 THEN
+      len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text) END AS digit_ratio,
+    CASE WHEN length(text) > 0 THEN
+      len(regexp_extract_all(text, '[A-Z]'))::DOUBLE / length(text) END AS upper_ratio,
+    CASE WHEN len(tk) > 0 THEN
+      len(list_filter(tk, t -> list_contains({_duck_list(text.STOPWORDS)}, t)))::DOUBLE / len(tk) END AS stopword_ratio,
+    CASE WHEN len(tk) > 0 THEN
+      list_sum(list_transform(tk, t -> length(t)))::DOUBLE / len(tk) END AS mean_word_len
+  FROM toks
+)
+SELECT id, n_chars::BIGINT AS n_chars, n_tokens::BIGINT AS n_tokens,
+       n_tokens_bpeish::BIGINT AS n_tokens_bpeish,
+       {dfmt('punct_ratio')} AS punct_ratio,
+       {dfmt('digit_ratio')} AS digit_ratio,
+       {dfmt('upper_ratio')} AS upper_ratio,
+       {dfmt('stopword_ratio')} AS stopword_ratio,
+       {dfmt('mean_word_len')} AS mean_word_len,
+       {dfmt('''(
+         least(n_tokens::DOUBLE / 20.0, 1.0)
+         + greatest(0.0, 1.0 - punct_ratio * 4)
+         + least(stopword_ratio * 5, 1.0)
+         + CASE WHEN mean_word_len >= 2 AND mean_word_len <= 12 THEN 1.0 ELSE 0.0 END
+       ) / 4''')} AS quality_score
+FROM sig
+"""
+
+
+def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_table(spark, sf_dir, "documents")
+    return text.language_id_frame(df, "doc_id", "text")
+
+
+def _lang_sql() -> str:
+    langs = sorted(text.LANG_MARKERS)
+    scores = ", ".join(
+        f"len(list_filter(tk, t -> list_contains({_duck_list(text.LANG_MARKERS[lang])}, t))) AS s_{lang}"
+        for lang in langs
+    )
+    all_scores = ", ".join(f"s_{lang}" for lang in langs)
+    cases = " ".join(
+        f"WHEN s_{lang} >= 1 AND s_{lang} >= greatest({all_scores}) THEN '{lang}'"
+        for lang in langs
+    )
+    return f"""
+WITH {_TOKS_CTE},
+scored AS (SELECT doc_id AS id, {scores} FROM toks)
+SELECT id, CASE {cases} ELSE 'und' END AS lang_pred FROM scored
+"""
+
+
+def _q_text_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_table(spark, sf_dir, "documents")
+    p = text.text_profile(df, "text", group_by="lang")
+    return p.select(
+        "group_key", "n_docs", "total_chars", "total_tokens",
+        fmt_sci(F.col("avg_chars")).alias("avg_chars"),
+        "min_chars", "max_chars",
+        fmt_sci(F.col("avg_tokens")).alias("avg_tokens"),
+        "distinct_fingerprints",
+    )
+
+
+_SQL_TEXT_PROFILE_BY_LANG = rf"""
+WITH base AS (
+  SELECT lang AS group_key, text,
+         len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS n_tok,
+         length(text) AS n_chars,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT group_key,
+       count(text) AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       sum(n_tok)::BIGINT AS total_tokens,
+       {dfmt('avg(n_chars::DOUBLE)')} AS avg_chars,
+       min(n_chars)::BIGINT AS min_chars,
+       max(n_chars)::BIGINT AS max_chars,
+       {dfmt('avg(n_tok::DOUBLE)')} AS avg_tokens,
+       count(DISTINCT fp) AS distinct_fingerprints
+FROM base GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# F5 — grouped / windowed profiling (events)
+# ---------------------------------------------------------------------------
+
+def _fmt_group_stats(df: DataFrame, keys: list[str]) -> DataFrame:
+    guarded_std = F.when(F.col("count") > 1, F.col("std"))
+    return df.select(
+        *keys,
+        F.col("count").cast("long").alias("count"),
+        fmt_sci(F.col("mean")).alias("mean"),
+        fmt_sci(guarded_std).alias("std"),
+        fmt_sci(F.col("min")).alias("min"),
+        fmt_sci(F.col("max")).alias("max"),
+        fmt_sci(F.col("sum")).alias("sum"),
+    )
+
+
+def _q_grouped_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_table(spark, sf_dir, "events")
+    out = grouped.grouped_profile(df, "event_type", "value")
+    return _fmt_group_stats(out, ["event_type"])
+
+
+_SQL_GROUPED_PROFILE = f"""
+SELECT event_type,
+       count(value) AS count,
+       {dfmt('avg(value)')} AS mean,
+       {dfmt('CASE WHEN count(value) > 1 THEN stddev_samp(value) END')} AS std,
+       {dfmt('min(value)')} AS min,
+       {dfmt('max(value)')} AS max,
+       {dfmt('sum(value)')} AS sum
+FROM events GROUP BY 1
+"""
+
+
+def _q_windowed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_table(spark, sf_dir, "events")
+    out = grouped.windowed_profile(
+        df, "ts", "value", window_seconds=3600, ts_is_epoch_seconds=True
+    )
+    return _fmt_group_stats(out, ["window_start"])
+
+
+_SQL_WINDOWED_PROFILE = f"""
+WITH e AS (
+  SELECT CAST(floor({EVENTS_TS_SQL} / 3600) * 3600 AS BIGINT) AS window_start, value
+  FROM events
+)
+SELECT window_start,
+       count(value) AS count,
+       {dfmt('avg(value)')} AS mean,
+       {dfmt('CASE WHEN count(value) > 1 THEN stddev_samp(value) END')} AS std,
+       {dfmt('min(value)')} AS min,
+       {dfmt('max(value)')} AS max,
+       {dfmt('sum(value)')} AS sum
+FROM e GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# F6 — correlation matrix
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_table(spark, sf_dir, "lineitem")
+    out = grouped.correlation_matrix(df, _CORR_COLS)
+    return out.select("col_a", "col_b", fmt_sci(F.col("corr")).alias("corr"))
+
+
+def _corr_sql() -> str:
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    selects = [
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, {dfmt(f'corr({a}, {b})')} AS corr FROM lineitem"
+        for a, b in pairs
+    ]
+    return " UNION ALL ".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# F7 — frequent values / histogram
+# ---------------------------------------------------------------------------
+
+def _q_frequent_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_table(spark, sf_dir, "part")
+    return grouped.frequent_values(df, "p_brand", top_n=10)
+
+
+_SQL_FREQUENT_VALUES = """
+SELECT p_brand::VARCHAR AS value, count(*) AS n
+FROM part WHERE p_brand IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, value ASC LIMIT 10
+"""
+
+
+def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_table(spark, sf_dir, "lineitem")
+    out = grouped.histogram(df, "l_quantity", lo=1.0, hi=51.0, n_buckets=10)
+    return out.select("bucket", "n", fmt_sci(F.col("bucket_lo")).alias("bucket_lo"))
+
+
+_SQL_HISTOGRAM = f"""
+WITH b AS (
+  SELECT CASE WHEN l_quantity < 1.0 THEN 0
+              WHEN l_quantity >= 51.0 THEN 11
+              ELSE CAST(floor((l_quantity - 1.0) / 5.0) + 1 AS BIGINT) END AS bucket
+  FROM lineitem WHERE l_quantity IS NOT NULL
+)
+SELECT bucket, count(*) AS n,
+       {dfmt('1.0 + (bucket - 1) * 5.0')} AS bucket_lo
+FROM b GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# F3 — cosine top-k / embedding near-dup
+# ---------------------------------------------------------------------------
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=10)
+    return out.select(
+        "query_id", "neighbor_id", fmt_sci(F.col("cosine")).alias("cosine"), "rank"
+    )
+
+
+_SQL_COSINE_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_cosine_sql('qv', 'cv')} AS cosine
+  FROM c CROSS JOIN q WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, {dfmt('cosine')} AS cosine, rank::INT AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = dedup.embedding_near_dup(emb, "vec_id", "embedding", threshold=0.4)
+    return out.select("id_a", "id_b", fmt_sci(F.col("cosine")).alias("cosine"))
+
+
+_SQL_EMBEDDING_NEAR_DUP = f"""
+WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
+b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings),
+scored AS (
+  SELECT id_a, id_b, {_cosine_sql('va', 'vb')} AS cosine
+  FROM a JOIN b ON id_a < id_b
+)
+SELECT id_a, id_b, {dfmt('cosine')} AS cosine FROM scored WHERE cosine >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
+# F8 — multimodal binary metadata
+# ---------------------------------------------------------------------------
+
+def _q_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_table(spark, sf_dir, "documents")
+    payload = df.select(
+        F.col("doc_id"), F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return multimodal.binary_metadata_frame(payload, "doc_id", "payload")
+
+
+def _binary_metadata_sql() -> str:
+    sniff = "CASE "
+    for prefix, mtype in multimodal.MAGIC_PREFIXES:
+        sniff += f"WHEN upper(to_hex(encode(text))) LIKE '{prefix}%' THEN '{mtype}' "
+    sniff += "ELSE 'application/octet-stream' END"
+    return f"""
+SELECT doc_id AS id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       CASE WHEN text IS NULL THEN NULL ELSE {sniff} END AS media_type,
+       md5(text) AS digest  -- duckdb md5 is VARCHAR-only; hashes the same UTF-8 bytes
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-hash-dependent / stub-backed operators (rows-only checks)
+# ---------------------------------------------------------------------------
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_near_dup(
+        df, "doc_id", "text", n=3, k=64, bands=16, threshold=0.1
+    )
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup(df, "doc_id", "text", max_hamming=3)
+
+
+def _q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_lsh(
+        emb, queries, "vec_id", "embedding", dim=64, k=10, n_planes=6, n_probes=2
+    )
+
+
+def _q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_ivf(
+        emb, queries, "vec_id", "embedding", k=10, n_centroids=8, n_probes=2
+    )
+
+
+def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_table(spark, sf_dir, "documents")
+    payload = df.select(
+        F.col("doc_id"), F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return multimodal.decode_image_features(payload, "doc_id", "payload")
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_table(spark, sf_dir, "documents")
+    payload = df.select(
+        F.col("doc_id"), F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return multimodal.frame_sample(payload, "doc_id", "payload", every_n=32, max_frames=4)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {}
+    return {
+        "dedup_exact_report": _q_dedup_exact,
+        "fingerprint_documents": _q_fingerprint,
+        "near_dup_jaccard": _q_jaccard,
+        "token_histogram": _q_token_histogram,
+        "text_quality": _q_quality,
+        "language_id": _q_language_id,
+        "text_profile_by_lang": _q_text_profile_by_lang,
+        "grouped_profile_events": _q_grouped_profile,
+        "windowed_profile_events": _q_windowed_profile,
+        "correlation_lineitem": _q_correlation,
+        "frequent_values_part": _q_frequent_values,
+        "histogram_lineitem": _q_histogram,
+        "cosine_topk": _q_cosine_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "binary_metadata": _q_binary_metadata,
+        # rows-only (Spark-hash or stub dependent):
+        "near_dup_minhash_lsh": _q_minhash_lsh,
+        "near_dup_simhash": _q_simhash,
+        "cosine_topk_lsh": _q_cosine_topk_lsh,
+        "cosine_topk_ivf": _q_cosine_topk_ivf,
+        "image_features_stub": _q_image_features,
+        "frame_sample_stub": _q_frame_sample,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {}
+    return {
+        "dedup_exact_report": _SQL_DEDUP_EXACT,
+        "fingerprint_documents": _SQL_FINGERPRINT,
+        "near_dup_jaccard": _SQL_JACCARD,
+        "token_histogram": _SQL_TOKEN_HISTOGRAM,
+        "text_quality": _SQL_QUALITY,
+        "language_id": _lang_sql(),
+        "text_profile_by_lang": _SQL_TEXT_PROFILE_BY_LANG,
+        "grouped_profile_events": _SQL_GROUPED_PROFILE,
+        "windowed_profile_events": _SQL_WINDOWED_PROFILE,
+        "correlation_lineitem": _corr_sql(),
+        "frequent_values_part": _SQL_FREQUENT_VALUES,
+        "histogram_lineitem": _SQL_HISTOGRAM,
+        "cosine_topk": _SQL_COSINE_TOPK,
+        "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
+        "binary_metadata": _binary_metadata_sql(),
+    }

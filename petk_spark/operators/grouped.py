@@ -110,12 +110,19 @@ def frequent_values(df: DataFrame, col: str, top_n: int = 10) -> DataFrame:
 def histogram(
     df: DataFrame, col: str, lo: float, hi: float, n_buckets: int = 10
 ) -> DataFrame:
-    """Equi-width histogram via width_bucket (bucket 0 = below lo,
-    n_buckets+1 = above hi, matching SQL width_bucket semantics).
+    """Equi-width histogram (bucket 0 = below lo, n_buckets+1 = above hi
+    — SQL width_bucket semantics, but computed with an explicit floor
+    expression so the arithmetic is engine-identical for the oracle).
     Single shuffle on the bucket id; bounds are explicit so the operator
     needs no pre-pass (at scale, feed min/max from describe())."""
     c = F.col(col).cast("double")
-    b = F.width_bucket(c, F.lit(float(lo)), F.lit(float(hi)), F.lit(n_buckets))
+    w = (hi - lo) / n_buckets
+    b = (
+        F.when(c < F.lit(float(lo)), F.lit(0))
+        .when(c >= F.lit(float(hi)), F.lit(n_buckets + 1))
+        .otherwise(F.floor((c - F.lit(float(lo))) / F.lit(w)) + 1)
+        .cast("long")
+    )
     return (
         df.filter(c.isNotNull())
         .groupBy(b.alias("bucket"))

@@ -55,7 +55,7 @@ def quality_signals(text: Column) -> dict[str, Column]:
     n_punct = F.regexp_count(text, F.lit("[^a-zA-Z0-9\\s]"))
     n_digit = F.regexp_count(text, F.lit("[0-9]"))
     n_upper = F.regexp_count(text, F.lit("[A-Z]"))
-    n_stop = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in STOPWORDS])))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     mean_word_len = F.when(
         n_tok > 0,
         F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).cast(
