@@ -82,7 +82,7 @@ def _validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _VALIDATE_LINEITEM_SQL = """
-WITH keyed AS (
+WITH keyed AS MATERIALIZED (
   SELECT *, l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR AS row_key
   FROM lineitem
 )
@@ -145,7 +145,7 @@ def _null_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NULL_CANON_SQL = """
-WITH a AS (
+WITH a AS MATERIALIZED (
   SELECT
     count_if(c_custkey IS NULL) AS c_custkey,
     count_if(c_name IS NULL OR c_name IN ('null', '')) AS c_name,

@@ -1,0 +1,104 @@
+"""Arrow-batched Spark bindings for the WKT geometry kernel.
+
+Each function returns a pandas UDF column over a WKT string column.
+Batches cross the JVM↔Python boundary once per ~10k rows via Arrow;
+per-geometry work is the pure-Python kernel in geo/wkt.py. At 100 TB
+these UDFs scale with partition parallelism — no shuffle is introduced
+by any of them (they are all row-local projections).
+
+Reference parity: petk/exploration.py:52-66 (geo introspection) and
+petk/validation.py:11-60 (geo rules).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from petk_spark.geo import wkt as K
+
+
+def _series_map(s: pd.Series, fn):
+    return s.map(lambda v: fn(K.parse_wkt(v)))
+
+
+def geom_type(col: Column) -> Column:
+    @F.pandas_udf(T.StringType())
+    def u(s: pd.Series) -> pd.Series:
+        return _series_map(s, lambda g: None if g is None else g.display_type)
+
+    return u(col)
+
+
+def has_z(col: Column) -> Column:
+    @F.pandas_udf(T.BooleanType())
+    def u(s: pd.Series) -> pd.Series:
+        return _series_map(s, lambda g: None if g is None else g.has_z)
+
+    return u(col)
+
+
+_BOUNDS_TYPE = T.StructType(
+    [
+        T.StructField("minx", T.DoubleType()),
+        T.StructField("miny", T.DoubleType()),
+        T.StructField("maxx", T.DoubleType()),
+        T.StructField("maxy", T.DoubleType()),
+    ]
+)
+
+
+def bounds(col: Column) -> Column:
+    @F.pandas_udf(_BOUNDS_TYPE)
+    def u(s: pd.Series) -> pd.DataFrame:
+        rows = [
+            K.bounds(K.parse_wkt(v)) or (None, None, None, None) for v in s
+        ]
+        return pd.DataFrame(rows, columns=["minx", "miny", "maxx", "maxy"])
+
+    return u(col)
+
+
+_POINT_TYPE = T.StructType(
+    [T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]
+)
+
+
+def centroid(col: Column) -> Column:
+    @F.pandas_udf(_POINT_TYPE)
+    def u(s: pd.Series) -> pd.DataFrame:
+        rows = [K.centroid(K.parse_wkt(v)) or (None, None) for v in s]
+        return pd.DataFrame(rows, columns=["x", "y"])
+
+    return u(col)
+
+
+def validity_reason(col: Column) -> Column:
+    """NULL when valid, else the shapely-style reason string."""
+
+    @F.pandas_udf(T.StringType())
+    def u(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: K.explain_validity(K.parse_wkt(v)))
+
+    return u(col)
+
+
+def intersects_bbox(col: Column, xmin: float, xmax: float, ymin: float, ymax: float) -> Column:
+    @F.pandas_udf(T.BooleanType())
+    def u(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: K.intersects_bbox(K.parse_wkt(v), xmin, xmax, ymin, ymax)
+        )
+
+    return u(col)
+
+
+def sliver_count(col: Column, threshold: float, epsg: int) -> Column:
+    @F.pandas_udf(T.IntegerType())
+    def u(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: K.sliver_count(K.parse_wkt(v), threshold, epsg))
+
+    return u(col)

@@ -33,9 +33,9 @@ def static_logical_type(field: T.StructField) -> str:
     dt = field.dataType
     if field.metadata and field.metadata.get(GEOMETRY_METADATA_KEY):
         return constants.TYPE_GEO
-    if field.name == "geometry" and isinstance(dt, (T.BinaryType,)):
-        # WKB payload named 'geometry' ≈ the reference's GeoSeries named
-        # 'geometry' rule (petk/tools.py:83-84).
+    if field.name == "geometry" and isinstance(dt, (T.BinaryType, T.StringType)):
+        # WKB/WKT payload named 'geometry' ≈ the reference's GeoSeries
+        # named 'geometry' rule (petk/tools.py:83-84).
         return constants.TYPE_GEO
     if isinstance(dt, T.BooleanType):
         return constants.TYPE_BOOL

@@ -10,6 +10,14 @@ frame by exploding an array of structs over the 1-row aggregate.
 Expressions are generated as SQL text and parsed once (a Column-object
 builder at this width costs seconds of py4j round trips).
 
+Job structure: approx mode (the 100 TB path) is ONE scan. Exact mode is
+two fused scans — the distinct-count bundle runs as its own Aggregate
+because Catalyst plans multi-column count(DISTINCT) via EXPAND (row
+replication per distinct group), which would evaluate the percentile/
+moment expressions over a 12×-multiplied input (measured 88 s → 15 s at
+sf0.1 by splitting). ``include_mad`` adds one more scan (mad needs the
+mean first).
+
 Statistics and their type gating mirror petk/tools.py exactly:
   * all types:       content_type, memory_usage, count, p_null, n_null
   * non-GEO/UNSUP:   distinct_count, is_constant, is_unique, p_unique
@@ -92,16 +100,30 @@ def _nv(name: str, ltype: str) -> str:
     return f"CAST(`{name}` AS DOUBLE)"
 
 
-def _agg_sql(name: str, ltype: str, exact: bool) -> list[str]:
-    """Single-pass aggregate expressions for one column, aliased
-    ``{name}::{stat}``."""
+def _agg_sql(name: str, ltype: str, exact: bool) -> tuple[list[str], list[str]]:
+    """Aggregate expressions for one column, aliased ``{name}::{stat}``.
+
+    Returns (main, distinct) expression lists. Exact ``count(DISTINCT)``
+    must NOT share an Aggregate with the other statistics: Catalyst
+    plans multi-distinct via EXPAND, replicating every input row once
+    per distinct group and evaluating the heavy percentile/moment
+    expressions over the multiplied input (measured 88 s vs 7 s at
+    sf0.1). The caller runs the distinct bundle as a second fused agg
+    and broadcast-joins the two 1-row results."""
     nv = _nv(name, ltype)
     c = f"`{name}`"
     out = [f"count({c}) AS `{name}::count`"]
+    distinct_out = []
 
     if ltype not in _DISTINCT_SKIP:
-        d = f"count(DISTINCT {c})" if exact else f"approx_count_distinct({c})"
-        out.append(f"CAST({d} AS BIGINT) AS `{name}::distinct_count`")
+        if exact:
+            distinct_out.append(
+                f"CAST(count(DISTINCT {c}) AS BIGINT) AS `{name}::distinct_count`"
+            )
+        else:
+            out.append(
+                f"CAST(approx_count_distinct({c}) AS BIGINT) AS `{name}::distinct_count`"
+            )
 
     if ltype == constants.TYPE_BOOL:
         out.append(f"avg(CAST({c} AS DOUBLE)) AS `{name}::mean`")
@@ -127,7 +149,7 @@ def _agg_sql(name: str, ltype: str, exact: bool) -> list[str]:
             f" + CAST({nv} = double('-inf') AS BIGINT)) AS `{name}::n_infinite`",
             f"sum(CAST({nv} = 0.0 AS BIGINT)) AS `{name}::n_zeros`",
         ]
-    return out
+    return out, distinct_out
 
 
 def _entry_sql(column: str, statistic: str, num_expr: str, str_expr: str = "CAST(NULL AS STRING)") -> str:
@@ -235,9 +257,15 @@ def describe_frame(
     ltypes = {c: static_logical_type(fields[c]) for c in cols}
 
     aggs = ["count(1) AS `::rows`"]
+    distinct_aggs = []
     for c in cols:
-        aggs += _agg_sql(c, ltypes[c], exact)
+        main, dist = _agg_sql(c, ltypes[c], exact)
+        aggs += main
+        distinct_aggs += dist
     stats = df.agg(*[F.expr(s) for s in aggs])
+    if distinct_aggs:
+        distinct = df.agg(*[F.expr(s) for s in distinct_aggs])
+        stats = stats.crossJoin(F.broadcast(distinct))
 
     num_cols = [c for c in cols if ltypes[c] == constants.TYPE_NUM]
     has_mad = bool(include_mad and num_cols)

@@ -36,7 +36,7 @@ from petk_spark.sources.tables import EVENTS_TS_SQL, read_table
 
 #: DuckDB tokens CTE fragment for documents (mirror of text._tokens).
 _TOKS_CTE = r"""
-toks AS (
+toks AS MATERIALIZED (
   SELECT doc_id, text,
          list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS tk
   FROM documents
@@ -44,7 +44,7 @@ toks AS (
 
 #: DuckDB 3-shingle long table (mirror of dedup.shingle_frame at n=3).
 _SHINGLE_CTE = _TOKS_CTE + r""",
-sh AS (
+sh AS MATERIALIZED (
   SELECT doc_id AS id, unnest(list_distinct(
     CASE WHEN len(tk) >= 3
       THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
@@ -453,6 +453,92 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Geospatial (SURVEY §2.B7-B11, D3-D5) — point geometries derived
+# deterministically from orders, so bbox/validity semantics reduce to
+# plain SQL and the geometry kernel gets a real oracle check. Richer
+# shapes (polygons, slivers, self-intersection) are golden-tested in
+# tests/test_geo.py (duckdb has no spatial extension here).
+# ---------------------------------------------------------------------------
+
+def _points_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_table(spark, sf_dir, "orders")
+    lon = F.lit(-80.0) + (F.col("o_orderkey") % 200) * F.lit(0.01)
+    lat = F.lit(43.0) + (F.col("o_custkey") % 100) * F.lit(0.01)
+    wkt = F.when(
+        F.col("o_orderkey") % 97 == 0, F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(
+            F.lit("POINT("), lon.cast("string"), F.lit(" "), lat.cast("string"), F.lit(")")
+        )
+    )
+    return df.select(F.col("o_orderkey"), wkt.alias("geometry"))
+
+
+_POINTS_CTE = """
+pts AS MATERIALIZED (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN NULL
+              ELSE -80.0 + (o_orderkey % 200) * 0.01 END AS lon,
+         43.0 + (o_custkey % 100) * 0.01 AS lat
+  FROM orders
+)"""
+
+
+def _q_geo_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petk_spark.operators.validate import validate_frame
+
+    pts = _points_frame(spark, sf_dir)
+    out = validate_frame(
+        pts, {"geometry": {"bounding_box": [-80, -79, 43, 44]}}, "o_orderkey"
+    )
+    return out.select(
+        F.col("column").alias("col_name"), "row_key",
+        F.col("function").alias("rule_name"), "notes",
+    )
+
+
+_SQL_GEO_VALIDATE = f"""
+WITH {_POINTS_CTE}
+SELECT 'geometry' AS col_name, o_orderkey::VARCHAR AS row_key,
+       'bounding_box' AS rule_name,
+       'Geometry outside of bbox(-80, -79, 43, 44)' AS notes
+FROM pts WHERE lon IS NULL OR lon < -80 OR lon > -79 OR lat < 43 OR lat > 44
+UNION ALL
+SELECT 'geometry', o_orderkey::VARCHAR, 'geospatial', 'Null geometry'
+FROM pts WHERE lon IS NULL
+"""
+
+
+def _q_geo_introduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petk_spark.geo.introduce_geo import introduce_geo_frame
+
+    pts = _points_frame(spark, sf_dir)
+    out = introduce_geo_frame(pts, "geometry", crs="epsg:4326")
+    return out.filter(F.col("metric") != "centroid_location").select(
+        "section", "metric",
+        fmt_sci(F.col("value_num")).alias("value"), "value_str",
+    )
+
+
+_SQL_GEO_INTRODUCE = f"""
+WITH {_POINTS_CTE},
+agg AS MATERIALIZED (
+  SELECT min(lon) AS minx, min(lat) FILTER (lon IS NOT NULL) AS miny,
+         max(lon) AS maxx, max(lat) FILTER (lon IS NOT NULL) AS maxy,
+         count(lon) AS npts
+  FROM pts
+)
+SELECT 'geospatial' AS section, 'crs' AS metric, NULL AS value, 'epsg:4326' AS value_str FROM agg
+UNION ALL SELECT 'geospatial', 'bounds_minx', {dfmt('minx')}, NULL FROM agg
+UNION ALL SELECT 'geospatial', 'bounds_miny', {dfmt('miny')}, NULL FROM agg
+UNION ALL SELECT 'geospatial', 'bounds_maxx', {dfmt('maxx')}, NULL FROM agg
+UNION ALL SELECT 'geospatial', 'bounds_maxy', {dfmt('maxy')}, NULL FROM agg
+UNION ALL SELECT 'geospatial', '3d_shapes', {dfmt('0')}, NULL FROM agg
+UNION ALL SELECT 'geospatial', 'points', {dfmt('npts')}, NULL FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # Spark-hash-dependent / stub-backed operators (rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -521,6 +607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "binary_metadata": _q_binary_metadata,
+        "geo_validate_points": _q_geo_validate,
+        "geo_introduce_points": _q_geo_introduce,
         # rows-only (Spark-hash or stub dependent):
         "near_dup_minhash_lsh": _q_minhash_lsh,
         "near_dup_simhash": _q_simhash,
@@ -548,4 +636,6 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _SQL_COSINE_TOPK,
         "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
         "binary_metadata": _binary_metadata_sql(),
+        "geo_validate_points": _SQL_GEO_VALIDATE,
+        "geo_introduce_points": _SQL_GEO_INTRODUCE,
     }

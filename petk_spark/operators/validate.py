@@ -101,9 +101,19 @@ RULE_REGISTRY = {
 def validate_frame(df: DataFrame, schema: dict, key, columns=None) -> DataFrame:
     """Lazy unioned violation table ``(column, row_key, function, notes)``,
     ordered (column, row_key, function) like petk/exploration.py:116-124."""
+    from petk_spark import constants
+    from petk_spark.logical_types import static_logical_type
     from petk_spark.operators.describe import find_columns
 
     requested = find_columns(df, columns)
+    fields = {f.name: f for f in df.schema.fields}
+    if any(
+        static_logical_type(fields[c]) == constants.TYPE_GEO for c in requested
+    ):
+        # Geo rules live in an optional subpackage; importing it
+        # registers bounding_box/geospatial/sliver BEFORE rule lookup.
+        import petk_spark.geo  # noqa: F401
+
     parts = []
     for col in requested:
         rules = schema.get(col) or {}
@@ -112,6 +122,13 @@ def validate_frame(df: DataFrame, schema: dict, key, columns=None) -> DataFrame:
             if impl is None or rule_name == "nulls":
                 continue  # silently ignore unknown keys (reference parity)
             parts.append(impl(df, col, key, params))
+        # Implicit validity audit for geometry columns, schema or not
+        # (petk/exploration.py:95-99).
+        if (
+            static_logical_type(fields[col]) == constants.TYPE_GEO
+            and "geospatial" not in rules
+        ):
+            parts.append(RULE_REGISTRY["geospatial"](df, col, key, None))
 
     spark = df.sparkSession
     if not parts:
@@ -121,6 +138,9 @@ def validate_frame(df: DataFrame, schema: dict, key, columns=None) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if df.isStreaming:
+        # Streaming forbids global sort; violations flow unordered.
+        return out
     return out.orderBy("column", "row_key", "function")
 
 

@@ -181,13 +181,18 @@ def describe_sql(table: str, columns: list[str] | None = None) -> str:
             row(col, "n_zeros", fmt(f"{col}__nzeros"))
             row(col, "p_zeros", fmt(f"{col}__nzeros / rows_"))
 
+    # MATERIALIZED is load-bearing: DuckDB inlines CTEs by default, so
+    # every UNION ALL branch below would re-run the full aggregate —
+    # measured 725 s vs 0.75 s on lineitem at sf0.01.
     mad_cte = (
-        f", mads AS (SELECT {', '.join(mad_exprs)} FROM {table})" if mad_exprs else ""
+        f", mads AS MATERIALIZED (SELECT {', '.join(mad_exprs)} FROM {table})"
+        if mad_exprs
+        else ""
     )
     agg_src = "a, mads" if mad_exprs else "a"
     return (
-        f"WITH a AS (SELECT {', '.join(agg_exprs)} FROM {table})"
-        f"{mad_cte}, agg AS (SELECT * FROM {agg_src}) "
+        f"WITH a AS MATERIALIZED (SELECT {', '.join(agg_exprs)} FROM {table})"
+        f"{mad_cte}, agg AS MATERIALIZED (SELECT * FROM {agg_src}) "
         + " UNION ALL ".join(selects)
     )
 
@@ -222,6 +227,6 @@ def introduce_sql(table: str) -> str:
             f"SELECT 'columns', '{t}', {fmt(expr)} FROM agg WHERE ({expr}) > 0"
         )
     return (
-        f"WITH agg AS (SELECT {', '.join(aggs)} FROM {table}) "
+        f"WITH agg AS MATERIALIZED (SELECT {', '.join(aggs)} FROM {table}) "
         + " UNION ALL ".join(selects)
     )

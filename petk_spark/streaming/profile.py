@@ -1,0 +1,171 @@
+"""Structured Streaming profiling & validation (beyond-reference: the
+reference — petk/exploration.py — is strictly batch; SURVEY §1.1 row
+'Streams' declares this as a Spark-native extension).
+
+Design notes for scale:
+
+* ``streaming_profile`` is a watermarked tumbling-window aggregation —
+  all statistics are mergeable (count/sum/avg/min/max/stddev), so the
+  state store holds one compact row per (window, group); late data past
+  the watermark is dropped, bounding state.
+* ``streaming_validate`` reuses the exact batch rule registry: every
+  rule is a stateless filter+project (petk_spark/operators/validate.py),
+  which Structured Streaming runs unchanged, row-at-a-time, with no
+  state at all.
+* ``streaming_dedup_exact`` uses Spark's watermarked dropDuplicates —
+  state holds one entry per key within the watermark horizon.
+* ``running_profile`` is the custom stateful operator path
+  (applyInPandasWithState): per-key Welford accumulators
+  (count, mean, M2) merged batch-by-batch — numerically stable at
+  unbounded stream length, constant state per key.
+
+Every function accepts a *streaming* DataFrame and returns a lazy
+streaming DataFrame; callers attach their own ``writeStream`` sink.
+All of them equally accept a batch DataFrame (same plan, no watermark
+semantics) — handy for backfill parity tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from petk_spark.operators.grouped import _group_stats
+
+
+def streaming_profile(
+    sdf: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window numeric profile of a stream.
+
+    Output: (window_start, window_end, group…, count, mean, std, min,
+    max, sum) — the mergeable subset of describe()'s statistics (exact
+    quantiles are not incrementally mergeable; use approx summaries or
+    batch describe on the landed data).
+    """
+    wm = sdf.withWatermark(ts_col, watermark) if sdf.isStreaming else sdf
+    keys = [F.window(F.col(ts_col), window).alias("win")] + [
+        F.col(c) for c in (group_cols or [])
+    ]
+    out = wm.groupBy(*keys).agg(*_group_stats(F.col(value_col)))
+    return out.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        *[c for c in out.columns if c != "win"],
+    )
+
+
+def streaming_validate(
+    sdf: DataFrame, schema: dict, key, columns=None
+) -> DataFrame:
+    """Row-level quality audit of a stream: the batch rule registry
+    applied as stateless streaming filters. Violations flow out with
+    zero state; attach any sink (kafka/parquet/memory)."""
+    from petk_spark.operators.validate import validate_frame
+
+    return validate_frame(sdf, schema, key, columns)
+
+
+def streaming_dedup_exact(
+    sdf: DataFrame,
+    subset: list[str],
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact streaming dedup on a key subset. With a ts_col, state is
+    bounded by the watermark horizon (duplicates arriving later than
+    the watermark are NOT caught — the documented at-scale contract);
+    without one, state grows with distinct keys (only for bounded key
+    domains)."""
+    if ts_col is not None and sdf.isStreaming:
+        return sdf.withWatermark(ts_col, watermark).dropDuplicates(
+            subset + [ts_col]
+        )
+    return sdf.dropDuplicates(subset)
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: running per-key profile (Welford)
+# ---------------------------------------------------------------------------
+
+_RUNNING_SCHEMA = (
+    "group_key string, count long, mean double, m2 double, "
+    "min double, max double"
+)
+_STATE_SCHEMA = "count long, mean double, m2 double, min double, max double"
+
+
+def running_profile(
+    sdf: DataFrame,
+    group_col: str,
+    value_col: str,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Continuously-updated per-key numeric profile via
+    ``applyInPandasWithState``: state is a constant-size Welford
+    accumulator (count, mean, M2, min, max) per key; each micro-batch
+    merges its local moments into state and emits the updated row.
+
+    variance = m2 / (count - 1) — sample variance, matching describe()'s
+    ddof=1 contract (petk/tools.py:56-57 parity).
+    """
+    import pandas as pd  # noqa: F401 (documented dependency of the UDF)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import numpy as np
+
+        if state.exists:
+            cnt, mean, m2, mn, mx = state.get
+        else:
+            cnt, mean, m2, mn, mx = 0, 0.0, 0.0, None, None
+
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna().to_numpy(dtype=np.float64)
+            if len(vals) == 0:
+                continue
+            b_cnt = len(vals)
+            b_mean = float(vals.mean())
+            b_m2 = float(((vals - b_mean) ** 2).sum())
+            b_mn, b_mx = float(vals.min()), float(vals.max())
+            # Chan et al. parallel merge of (count, mean, M2)
+            delta = b_mean - mean
+            tot = cnt + b_cnt
+            m2 = m2 + b_m2 + delta * delta * cnt * b_cnt / tot
+            mean = mean + delta * b_cnt / tot
+            cnt = tot
+            mn = b_mn if mn is None else min(mn, b_mn)
+            mx = b_mx if mx is None else max(mx, b_mx)
+
+        state.update((cnt, mean, m2, mn, mx))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "group_key": [str(key[0])],
+                "count": [cnt],
+                "mean": [mean],
+                "m2": [m2],
+                "min": [mn],
+                "max": [mx],
+            }
+        )
+
+    timeout = GroupStateTimeout.NoTimeout
+    return (
+        sdf.select(F.col(group_col).cast("string").alias("__g"), value_col)
+        .groupBy("__g")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_RUNNING_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )

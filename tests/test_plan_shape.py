@@ -1,0 +1,67 @@
+"""Scale-contract tests: assert the PLAN SHAPES the 100 TB design
+depends on, so a regression that adds a scan/shuffle or drops pushdown
+fails here instead of in production."""
+
+from __future__ import annotations
+
+import pytest
+
+from petk_spark.operators.describe import describe_frame
+from petk_spark.operators.validate import validate_frame, verbose_violations
+from petk_spark.plans.inspect import (
+    exchange_count,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+    scan_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+def test_describe_approx_is_single_scan(lineitem):
+    plan_df = describe_frame(lineitem, exact=False, include_mad=False)
+    assert scan_count(plan_df) == 1
+
+
+def test_describe_exact_is_two_scans(lineitem):
+    # main bundle + the split count(DISTINCT) bundle (EXPAND isolation,
+    # see operators/describe.py docstring) — and no more.
+    plan_df = describe_frame(lineitem, exact=True, include_mad=False)
+    assert scan_count(plan_df) == 2
+
+
+def test_describe_prunes_columns(lineitem):
+    plan_df = describe_frame(lineitem, ["l_quantity"], exact=False,
+                             include_mad=False)
+    for cols in read_schema_columns(plan_df):
+        assert cols == ["l_quantity"]
+
+
+def test_validate_filters_are_pushed_down(lineitem):
+    v = validate_frame(lineitem, {"l_quantity": {"range": [2, 45]}},
+                       ["l_orderkey", "l_linenumber"])
+    pushed = pushed_filters(v)
+    assert any("l_quantity" in p for p in pushed), pushed
+
+
+def test_verbose_join_broadcasts(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    v = validate_frame(orders, {"o_totalprice": {"range": [5000, 250000]}},
+                       "o_orderkey")
+    joined = verbose_violations(orders, v, "o_orderkey")
+    assert has_broadcast_join(joined)
+
+
+def test_grouped_profile_single_shuffle(spark):
+    from petk_spark.operators.grouped import grouped_profile
+
+    events = spark.read.parquet(f"{SF}/part.parquet")
+    prof = grouped_profile(events, "p_brand", "p_retailsize"
+                           if "p_retailsize" in events.columns else "p_size")
+    assert exchange_count(prof) == 1

@@ -1,0 +1,135 @@
+"""Structured Streaming extension tests: file-source micro-batches into
+memory sinks, asserting parity with the equivalent batch computation."""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from petk_spark.streaming.profile import (
+    running_profile,
+    streaming_dedup_exact,
+    streaming_profile,
+    streaming_validate,
+)
+
+SCHEMA = "event_id long, event_type string, ts timestamp, value double"
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    """Two parquet micro-batch files of synthetic events."""
+    d = str(tmp_path / "stream")
+    rows1 = [
+        (1, "click", "2024-01-01 00:05:00", 1.0),
+        (2, "click", "2024-01-01 00:15:00", 3.0),
+        (3, "view", "2024-01-01 00:20:00", 10.0),
+        (3, "view", "2024-01-01 00:20:00", 10.0),  # exact dup
+    ]
+    rows2 = [
+        (4, "click", "2024-01-01 01:05:00", 5.0),
+        (5, "view", "2024-01-01 01:10:00", -7.0),
+        (6, "click", "2024-01-01 00:25:00", 100.0),  # late but in watermark
+    ]
+    for i, rows in enumerate([rows1, rows2]):
+        df = spark.createDataFrame(
+            [(a, b, c, d_) for a, b, c, d_ in rows],
+            "event_id long, event_type string, ts string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.coalesce(1).write.mode("append").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream(spark, out_df, mode="append"):
+    name = "t" + uuid.uuid4().hex[:8]
+    q = (
+        out_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+def test_streaming_profile_matches_batch(spark, stream_dir):
+    sdf = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    out = streaming_profile(
+        sdf, "ts", "value", window="1 hour", watermark="2 hours",
+        group_cols=["event_type"],
+    )
+    # update mode: append only emits once the watermark passes a window
+    # end, which never happens within a finite availableNow run; take
+    # the final emission per window instead.
+    import math
+
+    def canon(rows):
+        return sorted(
+            tuple(None if isinstance(v, float) and math.isnan(v) else v for v in r)
+            for r in rows
+        )
+
+    pdf = _run_stream(spark, out, "update").toPandas()
+    last = pdf.groupby(["window_start", "event_type"]).last().reset_index()
+    g = canon(map(tuple, last.itertuples(index=False)))
+
+    batch = spark.read.schema(SCHEMA).parquet(stream_dir)
+    want = streaming_profile(
+        batch, "ts", "value", window="1 hour", group_cols=["event_type"]
+    )
+    w = canon(
+        map(tuple, want.toPandas()[last.columns.tolist()].itertuples(index=False))
+    )
+    assert g == w
+    assert len(g) == 4  # (h0 click, h0 view, h1 click, h1 view)
+
+
+def test_streaming_validate_stateless_rules(spark, stream_dir):
+    sdf = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    out = streaming_validate(
+        sdf,
+        {"value": {"range": [0, 50]}, "event_type": {"accepted": ["click", "view"]}},
+        key="event_id",
+    )
+    got = _run_stream(spark, out, "append")
+    viol = {(r["row_key"], r["function"]) for r in got.collect()}
+    assert ("5", "range") in viol  # -7 below lower bound
+    assert ("6", "range") in viol  # 100 above upper bound
+    assert len(viol) == 2
+
+
+def test_streaming_dedup(spark, stream_dir):
+    sdf = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    out = streaming_dedup_exact(sdf, ["event_id"], ts_col="ts", watermark="1 day")
+    got = _run_stream(spark, out, "append")
+    ids = sorted(r["event_id"] for r in got.collect())
+    assert ids == [1, 2, 3, 4, 5, 6]
+
+
+def test_running_profile_welford(spark, stream_dir):
+    sdf = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    out = running_profile(sdf, "event_type", "value")
+    got = _run_stream(spark, out, "update")
+    # memory sink in update mode appends every emission; take the last
+    # state per key.
+    import pandas as pd
+
+    pdf = got.toPandas()
+    last = pdf.groupby("group_key").last()
+
+    batch = spark.read.schema(SCHEMA).parquet(stream_dir).toPandas()
+    for key, grp in batch.groupby("event_type"):
+        vals = grp["value"].dropna()
+        row = last.loc[key]
+        assert row["count"] == len(vals)
+        assert abs(row["mean"] - vals.mean()) < 1e-9
+        if len(vals) > 1:
+            var = row["m2"] / (row["count"] - 1)
+            assert abs(var - vals.var(ddof=1)) < 1e-9
+        assert row["min"] == vals.min() and row["max"] == vals.max()
