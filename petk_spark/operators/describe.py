@@ -179,7 +179,7 @@ def _long_sql(name: str, ltype: str, has_mad: bool) -> list[str]:
         _entry_sql(name, "memory_usage", f"{rows} * {_TYPE_WIDTH[ltype]} + 128")
     )
     e.append(_entry_sql(name, "count", cnt))
-    e.append(_entry_sql(name, "p_null", f"({rows} - {cnt}) / {rows}"))
+    e.append(_entry_sql(name, "p_null", f"try_divide({rows} - {cnt}, {rows})"))
     e.append(_entry_sql(name, "n_null", f"{rows} - {cnt}"))
 
     if ltype not in _DISTINCT_SKIP:
@@ -188,7 +188,7 @@ def _long_sql(name: str, ltype: str, has_mad: bool) -> list[str]:
             _entry_sql(name, "distinct_count", nd),
             _entry_sql(name, "is_constant", f"CAST({nd} = 1 AS INT)"),
             _entry_sql(name, "is_unique", f"CAST({nd} = {rows} AS INT)"),
-            _entry_sql(name, "p_unique", f"{nd} / {rows}"),
+            _entry_sql(name, "p_unique", f"try_divide({nd}, {rows})"),
         ]
 
     if ltype == constants.TYPE_BOOL:
@@ -231,11 +231,14 @@ def _long_sql(name: str, ltype: str, has_mad: bool) -> list[str]:
             _entry_sql(name, "skewness", skew),
             _entry_sql(name, "sum", f"`{name}::sum`"),
             _entry_sql(name, "mad", mad),
-            _entry_sql(name, "cv", f"`{name}::std` / `{name}::mean`"),
-            _entry_sql(name, "p_infinite", f"{n_inf} / {rows}"),
+            # try_divide ≡ DuckDB's NULL-on-zero-divisor double division —
+            # keeps cv (mean=0) and the ratios (empty frame) oracle-equal
+            # instead of raising under ANSI mode.
+            _entry_sql(name, "cv", f"try_divide(`{name}::std`, `{name}::mean`)"),
+            _entry_sql(name, "p_infinite", f"try_divide({n_inf}, {rows})"),
             _entry_sql(name, "n_infinite", n_inf),
             _entry_sql(name, "n_zeros", n_zero),
-            _entry_sql(name, "p_zeros", f"{n_zero} / {rows}"),
+            _entry_sql(name, "p_zeros", f"try_divide({n_zero}, {rows})"),
         ]
     return e
 

@@ -1,0 +1,91 @@
+"""File-format ingestion (SURVEY §2.A1).
+
+The reference delegates file reading to geopandas (`README.md:23`) and
+profiles whatever DataFrame arrives. Here ingestion is first-class:
+parquet / CSV / JSON / text readers returning standard DataFrames, with
+an explicit-schema fast path (no inference scan — at 100 TB, schema
+inference is a full extra pass) and the engine's null-canonicalization
+applied lazily on top.
+
+GeoJSON/WKT ingest: ``read_geo_csv`` marks the geometry column with the
+metadata key the logical-type system recognises (logical_types.py), so
+downstream describe/validate treat it as GEOMETRY without relying on
+the name-based fallback.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from petk_spark.logical_types import GEOMETRY_METADATA_KEY
+from petk_spark.nulls import canonicalize_nulls
+
+
+def read_parquet(spark: SparkSession, path: str, schema: dict | None = None) -> DataFrame:
+    """Parquet scan; Catalyst prunes columns and pushes filters into the
+    reader. ``schema`` here is the VALIDATION schema (rules dict) — its
+    per-column 'nulls' sentinels are canonicalized lazily."""
+    return canonicalize_nulls(spark.read.parquet(path), schema or {})
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    struct: T.StructType | str | None = None,
+    header: bool = True,
+    schema: dict | None = None,
+    **options,
+) -> DataFrame:
+    """CSV ingest. Pass ``struct`` (StructType or DDL string) to skip the
+    inference pass — mandatory practice at scale; inference reads the
+    data once before the real job."""
+    reader = spark.read.option("header", str(header).lower())
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if struct is not None:
+        reader = reader.schema(struct)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return canonicalize_nulls(reader.csv(path), schema or {})
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    struct: T.StructType | str | None = None,
+    schema: dict | None = None,
+    **options,
+) -> DataFrame:
+    """JSON-lines ingest; same explicit-schema contract as read_csv."""
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if struct is not None:
+        reader = reader.schema(struct)
+    return canonicalize_nulls(reader.json(path), schema or {})
+
+
+def with_geometry_column(df: DataFrame, column: str, crs: str = "epsg:4326") -> DataFrame:
+    """Mark ``column`` as the geometry column via field metadata —
+    the declarative alternative to naming it 'geometry'
+    (petk/tools.py:83-84 parity is the name rule; this is the
+    engine-native one). CRS travels with the column metadata."""
+    from pyspark.sql import functions as F
+
+    field = df.schema[column]
+    meta = dict(field.metadata or {})
+    meta[GEOMETRY_METADATA_KEY] = True
+    meta["crs"] = crs
+    return df.withColumn(column, F.col(column).alias(column, metadata=meta))
+
+
+def read_geo_csv(
+    spark: SparkSession,
+    path: str,
+    geometry_col: str = "geometry",
+    crs: str = "epsg:4326",
+    **kwargs,
+) -> DataFrame:
+    """CSV with a WKT geometry column, marked for the geo subsystem."""
+    return with_geometry_column(read_csv(spark, path, **kwargs), geometry_col, crs)
