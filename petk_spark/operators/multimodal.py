@@ -41,8 +41,11 @@ MAGIC_PREFIXES: list[tuple[str, str]] = [
 
 
 def sniff_media_type(payload: Column) -> Column:
-    """Declared media type from magic bytes (JVM-side hex prefix match)."""
-    hexed = F.upper(F.hex(payload))
+    """Declared media type from magic bytes (JVM-side hex prefix match).
+
+    Only the first 8 bytes are hexed — every magic prefix fits there, and
+    hexing whole payloads would triple-materialize each blob at scale."""
+    hexed = F.upper(F.hex(F.substring(payload, 1, 8)))
     out = F.lit("application/octet-stream")
     for prefix, mtype in reversed(MAGIC_PREFIXES):
         out = F.when(hexed.startswith(prefix), F.lit(mtype)).otherwise(out)

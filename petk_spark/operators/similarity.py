@@ -152,19 +152,27 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine). Centroids
     are plan literals — at realistic list sizes (≤ 4k) this stays a
-    map-only projection, no shuffle."""
-    best_id = F.lit(-1)
-    best_score = F.lit(-2.0)
-    for ci, cen in enumerate(centroids):
-        arr = F.array(*[F.lit(float(x)) for x in cen])
-        s = cosine_expr(F.col(vec_col), arr)
-        cond = s > best_score
-        best_id = F.when(cond, F.lit(ci)).otherwise(best_id)
-        best_score = F.when(cond, s).otherwise(best_score)
+    map-only projection, no shuffle.
+
+    Argmax is array_sort over (score, id) structs — linear expression
+    size. (A chained when(s > best, ...) fold references the running
+    best twice per step, doubling the expression tree per centroid:
+    2^16 nodes at 16 centroids, which took multi-MiB task binaries and
+    ~13 s of codegen for 600 rows.)"""
+    entries = [
+        F.struct(
+            cosine_expr(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cen])).alias(
+                "score"
+            ),
+            F.lit(ci).alias("centroid_id"),
+        )
+        for ci, cen in enumerate(centroids)
+    ]
+    best = F.reverse(F.array_sort(F.array(*entries)))[0]
     return df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        best_id.alias("centroid_id"),
+        best["centroid_id"].alias("centroid_id"),
     )
 
 
