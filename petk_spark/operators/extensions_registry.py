@@ -570,6 +570,59 @@ def _q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_describe_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 scale mode through the contract: approx_count_distinct +
+    percentile_approx (mergeable sketches, bounded executor memory — the
+    actual 100 TB path). Sketch outputs are estimator-specific, so this
+    is declared rows-only; the exact twin (describe_lineitem) carries the
+    value contract."""
+    from petk_spark.operators.describe import describe_frame
+
+    df = read_table(spark, sf_dir, "lineitem")
+    long = describe_frame(df, None, exact=False, include_mad=False)
+    return long.filter(F.col("statistic") != "memory_usage").select(
+        F.col("column").alias("col_name"),
+        "statistic",
+        F.when(F.col("statistic") == "content_type", F.col("value_str"))
+        .otherwise(fmt_sci(F.col("value_num")))
+        .alias("value"),
+    )
+
+
+def _q_geo_sliver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 sliver rule over synthetic triangles: every 13th order gets a
+    degenerate near-zero-area triangle (a sliver under a 1000 m^2 UTM-17N
+    threshold), the rest get ~4e5 m^2 triangles. Geometry predicates run
+    in the pure-python WKT kernel (geo/kernel.py) — rows-only check, like
+    the reference's other geometry rules (SURVEY §2 Oracle-~)."""
+    from petk_spark.operators.validate import validate_frame
+
+    df = read_table(spark, sf_dir, "orders")
+    lon = F.lit(-80.0) + (F.col("o_orderkey") % 200) * F.lit(0.001)
+    lat = F.lit(43.5) + (F.col("o_custkey") % 100) * F.lit(0.001)
+    thin = (F.col("o_orderkey") % 13 == 0).cast("boolean")
+    dy = F.when(thin, F.lit(0.0000001)).otherwise(F.lit(0.01))
+    x0, y0 = lon.cast("string"), lat.cast("string")
+    x1 = (lon + 0.01).cast("string")
+    y1 = (lat + dy).cast("string")
+    wkt = F.concat(
+        F.lit("POLYGON(("), x0, F.lit(" "), y0,
+        F.lit(", "), x1, F.lit(" "), y0,
+        F.lit(", "), x1, F.lit(" "), y1,
+        F.lit(", "), x0, F.lit(" "), y0, F.lit("))"),
+    )
+    polys = df.select(F.col("o_orderkey"), wkt.alias("geometry"))
+    out = validate_frame(
+        polys,
+        {"geometry": {"sliver": {"threshold": 1000.0, "projected_coordinates": 32617}}},
+        "o_orderkey",
+    )
+    return out.select(
+        F.col("column").alias("col_name"), "row_key",
+        F.col("function").alias("rule_name"), "notes",
+    )
+
+
 def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = read_table(spark, sf_dir, "documents")
     payload = df.select(
@@ -616,6 +669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_ivf": _q_cosine_topk_ivf,
         "image_features_stub": _q_image_features,
         "frame_sample_stub": _q_frame_sample,
+        "describe_lineitem_approx": _q_describe_approx,
+        "geo_validate_sliver": _q_geo_sliver,
     }
 
 
