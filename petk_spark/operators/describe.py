@@ -11,12 +11,18 @@ Expressions are generated as SQL text and parsed once (a Column-object
 builder at this width costs seconds of py4j round trips).
 
 Job structure: approx mode (the 100 TB path) is ONE scan. Exact mode is
-two fused scans — the distinct-count bundle runs as its own Aggregate
-because Catalyst plans multi-column count(DISTINCT) via EXPAND (row
-replication per distinct group), which would evaluate the percentile/
-moment expressions over a 12×-multiplied input (measured 88 s → 15 s at
-sf0.1 by splitting). ``include_mad`` adds one more scan (mad needs the
-mean first).
+two fused scans: the main moment bundle, plus ONE value-histogram pass
+(``groupBy(column_id, value)``) that yields BOTH exact distinct counts
+AND exact linear-interpolated percentiles for every applicable column.
+This replaces the naive ``count(DISTINCT)`` (Catalyst plans multi-column
+distinct via EXPAND — row replication per distinct group) and
+``percentile`` (ObjectHashAggregate: buffers every value of a column on
+a single reducer, interpreted, unmergeable) — both measured as the
+dominant cost at sf0.1 and both non-starters at 100 TB. The histogram is
+hash-partitioned on (column, value) with map-side partial aggregation,
+so the shuffle carries only distinct values; rank arithmetic over a
+per-column running count then recovers pandas-exact quantiles.
+``include_mad`` adds one more scan (mad needs the mean first).
 
 Statistics and their type gating mirror petk/tools.py exactly:
   * all types:       content_type, memory_usage, count, p_null, n_null
@@ -43,16 +49,18 @@ Semantics pinned to the reference:
   * ``n_zeros`` counts exact zeros; nulls/NaN are neither zero nor
     infinite (petk/tools.py:51,66-67 via np.count_nonzero).
 
-Scale modes: ``exact=True`` (oracle parity) uses ``count(DISTINCT)`` +
-``percentile`` — the latter concentrates each column's values on one
-reducer, acceptable to ~10^9 rows. ``exact=False`` switches to
+Scale modes: ``exact=True`` (oracle parity) computes distinct counts and
+quantiles from the distributed value histogram — bounded by per-column
+distinct cardinality, not row count; the per-column rank window is the
+residual skew point (a near-unique 100 TB column concentrates on one
+reducer at the window stage). ``exact=False`` switches to
 ``approx_count_distinct`` + ``percentile_approx`` (mergeable sketches,
 bounded executor memory — the true 100 TB path).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -100,41 +108,34 @@ def _nv(name: str, ltype: str) -> str:
     return f"CAST(`{name}` AS DOUBLE)"
 
 
-def _agg_sql(name: str, ltype: str, exact: bool) -> tuple[list[str], list[str]]:
+def _agg_sql(name: str, ltype: str, exact: bool) -> list[str]:
     """Aggregate expressions for one column, aliased ``{name}::{stat}``.
 
-    Returns (main, distinct) expression lists. Exact ``count(DISTINCT)``
-    must NOT share an Aggregate with the other statistics: Catalyst
-    plans multi-distinct via EXPAND, replicating every input row once
-    per distinct group and evaluating the heavy percentile/moment
-    expressions over the multiplied input (measured 88 s vs 7 s at
-    sf0.1). The caller runs the distinct bundle as a second fused agg
-    and broadcast-joins the two 1-row results."""
+    In exact mode, distinct_count and quantiles are NOT produced here —
+    they come from the value-histogram pass (``_exact_value_stats``),
+    because ``count(DISTINCT)`` (EXPAND row replication) and
+    ``percentile`` (single-reducer ObjectHashAggregate) in this bundle
+    were the dominant cost at sf0.1 and do not scale."""
     nv = _nv(name, ltype)
     c = f"`{name}`"
     out = [f"count({c}) AS `{name}::count`"]
-    distinct_out = []
 
-    if ltype not in _DISTINCT_SKIP:
-        if exact:
-            distinct_out.append(
-                f"CAST(count(DISTINCT {c}) AS BIGINT) AS `{name}::distinct_count`"
-            )
-        else:
-            out.append(
-                f"CAST(approx_count_distinct({c}) AS BIGINT) AS `{name}::distinct_count`"
-            )
+    if ltype not in _DISTINCT_SKIP and not exact:
+        out.append(
+            f"CAST(approx_count_distinct({c}) AS BIGINT) AS `{name}::distinct_count`"
+        )
 
     if ltype == constants.TYPE_BOOL:
         out.append(f"avg(CAST({c} AS DOUBLE)) AS `{name}::mean`")
 
     if ltype in (constants.TYPE_DATE, constants.TYPE_NUM):
         out += [f"min({nv}) AS `{name}::min`", f"max({nv}) AS `{name}::max`"]
-        if exact:
-            out.append(f"percentile({nv}, {_PROBS_SQL}) AS `{name}::quantiles`")
-        else:
+        if not exact:
+            # accuracy=1000 ⇒ ≤0.1% rank error; sketch update cost scales
+            # linearly with accuracy (measured 2.5× at sf0.1). Exact mode
+            # is the oracle path; this is the declared-approximate one.
             out.append(
-                f"percentile_approx({nv}, {_PROBS_SQL}, 10000) AS `{name}::quantiles`"
+                f"percentile_approx({nv}, {_PROBS_SQL}, 1000) AS `{name}::quantiles`"
             )
 
     if ltype == constants.TYPE_NUM:
@@ -149,7 +150,97 @@ def _agg_sql(name: str, ltype: str, exact: bool) -> tuple[list[str], list[str]]:
             f" + CAST({nv} = double('-inf') AS BIGINT)) AS `{name}::n_infinite`",
             f"sum(CAST({nv} = 0.0 AS BIGINT)) AS `{name}::n_zeros`",
         ]
-    return out, distinct_out
+    return out
+
+
+def _exact_value_stats(df: DataFrame, cols, ltypes) -> DataFrame | None:
+    """Exact distinct counts + exact interpolated percentiles for every
+    applicable column, as ONE 1-row DataFrame, from a single distributed
+    value-histogram pass.
+
+    Plan: inline-explode the needed columns to ``(cid, vnum, vstr)`` →
+    ``groupBy(cid, vnum, vstr).count()`` (hash shuffle sized by distinct
+    values, partial agg map-side) → per-cid running count window →
+    conditional aggregates picking the two values bracketing each
+    quantile rank → driver-free linear interpolation in a final select.
+
+    Quantile semantics match pandas ``Series.quantile`` / DuckDB
+    ``quantile_cont`` / Spark ``percentile``: position ``h = (n-1)·p``,
+    result ``v_lo + (h - floor(h))·(v_hi - v_lo)`` — the identical
+    float64 expression, so oracle comparisons stay bit-stable.
+    Distinct counts group on the ORIGINAL value rendered to string (not
+    the double projection), so long/decimal values beyond 2^53 don't
+    collapse (petk nunique counts exact values, petk/tools.py:28).
+    """
+    dist_cols = [c for c in cols if ltypes[c] not in _DISTINCT_SKIP]
+    q_cols = [
+        c for c in cols if ltypes[c] in (constants.TYPE_DATE, constants.TYPE_NUM)
+    ]
+    if not dist_cols and not q_cols:
+        return None
+
+    need = [c for c in cols if c in dist_cols or c in q_cols]
+    idx = {c: i for i, c in enumerate(need)}
+    structs = []
+    for c in need:
+        if ltypes[c] in (constants.TYPE_DATE, constants.TYPE_NUM):
+            nv = _nv(c, ltypes[c])
+        else:
+            nv = "CAST(NULL AS DOUBLE)"
+        structs.append(
+            f"named_struct('cid', {idx[c]}, 'vnum', {nv},"
+            f" 'vstr', CAST(`{c}` AS STRING))"
+        )
+    long = df.selectExpr(f"inline(array({', '.join(structs)}))")
+    hist = (
+        long.where("vstr IS NOT NULL")
+        .groupBy("cid", "vnum", "vstr")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    # Per-cid running count; vstr tiebreak keeps the sort deterministic.
+    w_cum = (
+        Window.partitionBy("cid")
+        .orderBy("vnum", "vstr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("cid")
+    ranked = hist.select(
+        "cid",
+        "vnum",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("ntot"),
+    )
+
+    aggs = [
+        f"count(IF(cid = {idx[c]}, 1, NULL)) AS `{c}::distinct_count`"
+        for c in dist_cols
+    ]
+    for c in q_cols:
+        i = idx[c]
+        aggs.append(f"max(IF(cid = {i}, ntot, NULL)) AS `{c}::_qn`")
+        for j, p in enumerate(constants.QUANTILES):
+            # A histogram row for value v covers 0-based ranks
+            # [cum-cnt, cum); pick the rows covering floor(h) / ceil(h).
+            for bound, fn in (("lo", "floor"), ("hi", "ceil")):
+                r = f"{fn}((ntot - 1) * CAST({p} AS DOUBLE))"
+                aggs.append(
+                    f"max(IF(cid = {i} AND cum - cnt <= {r} AND {r} < cum,"
+                    f" vnum, NULL)) AS `{c}::_q{bound}{j}`"
+                )
+    one = ranked.agg(*[F.expr(a) for a in aggs])
+
+    final = [f"`{c}::distinct_count`" for c in dist_cols]
+    for c in q_cols:
+        n = f"`{c}::_qn`"
+        parts = []
+        for j, p in enumerate(constants.QUANTILES):
+            h = f"({n} - 1) * CAST({p} AS DOUBLE)"
+            lo, hi = f"`{c}::_qlo{j}`", f"`{c}::_qhi{j}`"
+            parts.append(f"{lo} + ({h} - floor({h})) * ({hi} - {lo})")
+        final.append(f"array({', '.join(parts)}) AS `{c}::quantiles`")
+    return one.selectExpr(*final)
 
 
 def _entry_sql(column: str, statistic: str, num_expr: str, str_expr: str = "CAST(NULL AS STRING)") -> str:
@@ -243,6 +334,23 @@ def _long_sql(name: str, ltype: str, has_mad: bool) -> list[str]:
     return e
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the source offers far fewer splits
+    than the cluster has slots (e.g. a single large parquet row group —
+    unsplittable, so ``maxPartitionBytes`` can't help). The fused agg's
+    partial aggregation runs per input partition; 3 tasks on a 32-slot
+    machine leaves 90% idle (measured 12.6 s → 6.5 s at sf0.1). At real
+    scale the scan has thousands of row groups and this is a no-op — the
+    guard keeps the extra full shuffle out of the 100 TB path. The
+    repartition Exchange is shared across the exact/mad subtrees via
+    ReuseExchange (one plan), so the shuffle is written once."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def describe_frame(
     df: DataFrame,
     columns=None,
@@ -256,19 +364,29 @@ def describe_frame(
     value_str; DATE min/max/quantiles are epoch seconds.
     """
     cols = find_columns(df, columns)
+    try:
+        # The fused bundle is wide; past spark.sql.codegen.maxFields
+        # (default 100) whole-stage codegen silently falls back to
+        # interpreted mode — measured ~10% slower at sf0.1.
+        conf = df.sparkSession.conf
+        if int(conf.get("spark.sql.codegen.maxFields", "100")) < 1000:
+            conf.set("spark.sql.codegen.maxFields", "1000")
+    except Exception:  # pragma: no cover - conf is advisory
+        pass
+    # Prune before the (possible) repartition so a starved scan shuffles
+    # only the profiled columns, then fan out to every slot.
+    df = _ensure_parallelism(df.select(*dict.fromkeys(cols)))
     fields = {f.name: f for f in df.schema.fields}
     ltypes = {c: static_logical_type(fields[c]) for c in cols}
 
     aggs = ["count(1) AS `::rows`"]
-    distinct_aggs = []
     for c in cols:
-        main, dist = _agg_sql(c, ltypes[c], exact)
-        aggs += main
-        distinct_aggs += dist
+        aggs += _agg_sql(c, ltypes[c], exact)
     stats = df.agg(*[F.expr(s) for s in aggs])
-    if distinct_aggs:
-        distinct = df.agg(*[F.expr(s) for s in distinct_aggs])
-        stats = stats.crossJoin(F.broadcast(distinct))
+    if exact:
+        value_stats = _exact_value_stats(df, cols, ltypes)
+        if value_stats is not None:
+            stats = stats.crossJoin(F.broadcast(value_stats))
 
     num_cols = [c for c in cols if ltypes[c] == constants.TYPE_NUM]
     has_mad = bool(include_mad and num_cols)
