@@ -70,25 +70,43 @@ def dedup_first_by(df: DataFrame, key_cols: list[str], order_col: str) -> DataFr
 # Tokenization / shingling (shared by Jaccard, MinHash, SimHash)
 # ---------------------------------------------------------------------------
 
-def _tokens(text: Column) -> Column:
-    """Lowercased whitespace tokens; empty strings removed."""
-    return F.filter(
-        F.split(F.lower(text), r"\s+"), lambda t: t != F.lit("")
-    )
-
-
 def _shingles(text: Column, n: int) -> Column:
-    """Distinct word n-gram shingles (space-joined) of ``text``."""
-    toks = _tokens(text)
-    if n == 1:
-        return F.array_distinct(toks)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Distinct word n-gram shingles (space-joined) of ``text``.
+
+    Arrow-batched pandas UDF. A pure-expression version (sequence +
+    transform + slice + concat_ws HOFs) computes the same arrays but
+    higher-order functions are CodegenFallback — interpreted per
+    element — and measured 3× slower at sf0.1 (6.2 s vs 2.0 s for the
+    exploded frame). Tokenization matches the oracle's DuckDB CTE
+    (``regexp_split_to_array(lower(text), '\\s+')``): ``re.ASCII`` pins
+    Python's ``\\s`` to the same ASCII whitespace class RE2 and Java use
+    (str.split() without a pattern would split on Unicode whitespace).
+    """
+    import re
+
+    from pyspark.sql.types import ArrayType, StringType
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def u(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            toks = [w for w in ws.split(t.lower()) if w]
+            if len(toks) < n:
+                return []
+            if n == 1:
+                return list(dict.fromkeys(toks))
+            return list(
+                dict.fromkeys(
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                )
+            )
+
+        return texts.map(one)
+
+    return u(text)
 
 
 def shingle_frame(
@@ -127,8 +145,20 @@ def jaccard_near_dup(
 
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Singleton shingles (document frequency 1) can never produce a
+    # pair but dominate the join input (~90% of shingle instances at
+    # sf0.1); a per-shingle count window drops them before the
+    # self-join. Union sizes (n_sh) keep the FULL shingle sets, so
+    # jaccard values are unchanged — this is a pure join-input pruning.
+    w_df = Window.partitionBy("shingle")
+    sh_pair = (
+        sh.withColumn("__df", F.count(F.lit(1)).over(w_df))
+        .filter(F.col("__df") >= 2)
+        .drop("__df")
+    )
+
+    a = sh_pair.alias("a")
+    b = sh_pair.alias("b")
     pairs = (
         a.join(b, "shingle")
         .filter(F.col("a.id") < F.col("b.id"))
