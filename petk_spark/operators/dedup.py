@@ -294,6 +294,24 @@ def simhash(text: Column) -> Column:
     @F.pandas_udf(LongType())
     def u(texts: pd.Series) -> pd.Series:
         bit_idx = np.arange(64, dtype=np.uint64)
+        # Token → ±1 bit-vote row, memoized across the batch: document
+        # vocabularies overlap heavily, so md5 runs once per distinct
+        # token in the batch instead of once per (doc, token).
+        memo: dict[str, np.ndarray] = {}
+
+        def tok_votes(w):
+            v = memo.get(w)
+            if v is None:
+                h = np.uint64(
+                    int.from_bytes(
+                        hashlib.md5(w.encode("utf-8")).digest()[:8], "big"
+                    )
+                )
+                v = (
+                    ((h >> bit_idx) & np.uint64(1)).astype(np.int64) * 2 - 1
+                )
+                memo[w] = v
+            return v
 
         def one(t):
             if t is None:
@@ -301,20 +319,14 @@ def simhash(text: Column) -> Column:
             toks = {w for w in t.lower().split() if w}
             if not toks:
                 return 0
-            votes = np.zeros(64, dtype=np.int64)
-            for w in toks:
-                h = np.uint64(
-                    int.from_bytes(
-                        hashlib.md5(w.encode("utf-8")).digest()[:8], "big"
-                    )
-                )
-                bits = ((h >> bit_idx) & np.uint64(1)).astype(np.int64)
-                votes += 2 * bits - 1
-            sig = np.where(votes > 0, 1, 0)
-            # assemble as signed int64 (bit 63 is the sign bit)
-            val = 0
-            for i in range(64):
-                val |= int(sig[i]) << i
+            votes = np.sum([tok_votes(w) for w in toks], axis=0)
+            sig = (votes > 0).astype(np.uint8)
+            # assemble as signed int64 (bit 63 is the sign bit); packbits
+            # keeps the arithmetic exact where a float dot product would
+            # lose bits past the 53-bit mantissa
+            val = int.from_bytes(
+                np.packbits(sig, bitorder="little").tobytes(), "little"
+            )
             if val >= 1 << 63:
                 val -= 1 << 64
             return val
