@@ -343,11 +343,40 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     scale the scan has thousands of row groups and this is a no-op — the
     guard keeps the extra full shuffle out of the 100 TB path. The
     repartition Exchange is shared across the exact/mad subtrees via
-    ReuseExchange (one plan), so the shuffle is written once."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 <= target:
-        return df.repartition(target)
+    ReuseExchange (one plan), so the shuffle is written once.
+
+    The split estimate uses file metadata only (``inputFiles`` + stat):
+    an ``df.rdd.getNumPartitions()`` probe forces full physical planning
+    through py4j — measured ~2 s of driver time per describe call."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+        if not files:
+            return df  # derived frame — parallelism set by its shuffles
+        if len(files) * 2 > target:
+            return df  # enough file splits regardless of sizes
+        raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        digits = "".join(ch for ch in raw if ch.isdigit())
+        max_pb = int(digits) if digits else 134217728
+        total = 0
+        for f in files:
+            u = urlparse(f)
+            if u.scheme not in ("", "file"):
+                # remote FS — sizes unknown without an FS client; pay the
+                # planning probe (negligible next to a cluster-scale scan)
+                splits = df.rdd.getNumPartitions()
+                break
+            total += os.stat(unquote(u.path)).st_size
+        else:
+            splits = max(1, -(-total // max_pb))
+        if splits * 2 <= target:
+            return df.repartition(target)
+    except Exception:  # pragma: no cover - heuristic is advisory
+        pass
     return df
 
 
