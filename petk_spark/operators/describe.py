@@ -238,7 +238,12 @@ def _exact_value_stats(df: DataFrame, cols, ltypes) -> DataFrame | None:
         for j, p in enumerate(constants.QUANTILES):
             h = f"({n} - 1) * CAST({p} AS DOUBLE)"
             lo, hi = f"`{c}::_qlo{j}`", f"`{c}::_qhi{j}`"
-            parts.append(f"{lo} + ({h} - floor({h})) * ({hi} - {lo})")
+            # equal brackets short-circuit: the interpolation form would
+            # turn lo = hi = ±Infinity into NaN via (hi - lo)
+            parts.append(
+                f"CASE WHEN {lo} = {hi} THEN {lo}"
+                f" ELSE {lo} + ({h} - floor({h})) * ({hi} - {lo}) END"
+            )
         final.append(f"array({', '.join(parts)}) AS `{c}::quantiles`")
     return one.selectExpr(*final)
 
