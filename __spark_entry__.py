@@ -147,11 +147,11 @@ def _null_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NULL_CANON_SQL = """
 WITH a AS MATERIALIZED (
   SELECT
-    count_if(c_custkey IS NULL) AS c_custkey,
-    count_if(c_name IS NULL OR c_name IN ('null', '')) AS c_name,
-    count_if(c_nationkey IS NULL) AS c_nationkey,
-    count_if(c_acctbal IS NULL OR isnan(c_acctbal) OR c_acctbal = -1.0) AS c_acctbal,
-    count_if(c_mktsegment IS NULL OR c_mktsegment IN ('BUILDING', 'null', '')) AS c_mktsegment
+    count_if(c_custkey IS NULL)::BIGINT AS c_custkey,
+    count_if(c_name IS NULL OR c_name IN ('null', ''))::BIGINT AS c_name,
+    count_if(c_nationkey IS NULL)::BIGINT AS c_nationkey,
+    count_if(c_acctbal IS NULL OR isnan(c_acctbal) OR c_acctbal = -1.0)::BIGINT AS c_acctbal,
+    count_if(c_mktsegment IS NULL OR c_mktsegment IN ('BUILDING', 'null', ''))::BIGINT AS c_mktsegment
   FROM customer
 )
 SELECT 'c_custkey' AS col_name, c_custkey AS n_null FROM a

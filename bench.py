@@ -17,6 +17,11 @@ import re
 import sys
 import time
 
+# Module scope: the pandas_udf type-hint resolver evaluates annotations
+# in the function's global namespace, so a function-local import alias
+# breaks signature resolution (UNSUPPORTED_SIGNATURE).
+import pandas as pd
+
 from pyspark.sql import SparkSession
 
 
@@ -52,14 +57,13 @@ def main() -> None:
     # Engine code paths are NOT pre-run per query — each query below is
     # still a cold plan against cold data.
     try:
-        import pandas as _pd
         from pyspark.sql import functions as _F
 
         warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
         warm.groupBy(warm.columns[0]).count().collect()
 
         @_F.pandas_udf("long")
-        def _warm_udf(s: _pd.Series) -> _pd.Series:
+        def _warm_udf(s: pd.Series) -> pd.Series:
             return s.astype("int64")
 
         spark.range(1000).select(_warm_udf(_F.col("id"))).collect()

@@ -220,7 +220,24 @@ def minhash_lsh_near_dup(
     """
     assert k % bands == 0, "k must divide into equal bands"
     r = k // bands
-    sig = minhash_signatures(df, id_col, text_col, n, k)
+
+    # The shingle frame feeds BOTH signature generation and exact
+    # verification. It is the expensive subtree (pandas-UDF tokenize +
+    # explode over every document), and Catalyst does not share
+    # un-exchanged subtrees across plan branches — so persist it once
+    # and let both consumers read the cached blocks. MEMORY_AND_DISK:
+    # spills instead of recomputing, evictable under pressure.
+    sh = shingle_frame(df, id_col, text_col, n)
+    if verify_exact and not df.isStreaming:
+        sh = sh.persist()
+
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    sig = sh.groupBy("id").agg(*mins).select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig")
+    )
 
     band_entries = F.array(
         *[
@@ -248,7 +265,6 @@ def minhash_lsh_near_dup(
     if not verify_exact:
         return cand
 
-    sh = shingle_frame(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     # Count common shingles via join on (shingle) scoped to candidate pairs.
     sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
@@ -417,16 +433,26 @@ def embedding_near_dup(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
+    max_broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
     """Exact pairs with cosine ≥ threshold (id_a < id_b).
 
-    Block-broadcast all-pairs: the full (id, unit-vector) matrix is
-    broadcast (embedding tables are the broadcastable side by
-    construction — 1M × 768 floats ≈ 3 GB is the practical ceiling) and
-    each partition BLAS-matmuls its row block against it. Work is
-    embarrassingly partition-parallel, no shuffle. Beyond broadcast
-    size, use the hyperplane-LSH bucketer (similarity.py) — the true
-    100 TB path.
+    Size-adaptive physical strategy (decided here, like AQE decides
+    joins at runtime — this operator is action-bearing by necessity):
+
+    * corpus ≤ ``max_broadcast_rows``: block-broadcast all-pairs — the
+      (id, unit-vector) matrix is broadcast (1M × 768 float64 ≈ 6 GB is
+      the ceiling the default cap encodes) and each partition
+      BLAS-matmuls its row block against it. Embarrassingly
+      partition-parallel, no shuffle, exact.
+    * larger: falls through to ``embedding_near_dup_lsh`` — banded
+      random-hyperplane bucketing + exact cosine verification of
+      candidates only. No driver materialization of the corpus, the
+      true 100 TB path (approximate recall, exact precision).
+
+    The size probe is ``limit(cap + 1).count()`` — it scans at most
+    cap+1 rows of the id column regardless of corpus size, so the
+    decision itself is O(cap), never O(N).
 
     Numerical note: BLAS summation order differs from a strict fold by
     ~1e-15 relative; the declared oracle threshold keeps ≥1e-5 margin to
@@ -436,6 +462,22 @@ def embedding_near_dup(
     """
     import numpy as np
     import pandas as pd
+
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"embedding_near_dup requires an integral id column; "
+            f"{id_col} is {id_type.simpleString()}. Cast the id or use "
+            f"embedding_near_dup_lsh, which preserves the id type."
+        )
+
+    probed = df.select(id_col).limit(max_broadcast_rows + 1).count()
+    if probed > max_broadcast_rows:
+        return embedding_near_dup_lsh(df, id_col, vec_col, threshold)
 
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
@@ -468,3 +510,92 @@ def embedding_near_dup(
     return df.select(id_col, vec_col).mapInPandas(
         run, schema="id_a long, id_b long, cosine double"
     )
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    dim: int | None = None,
+    n_planes: int | None = None,
+    bands: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Bucketed near-dup pairs — the beyond-broadcast scale path.
+
+    ``bands`` independent random-hyperplane signatures of ``n_planes``
+    bits each; a pair is a candidate iff it collides in ≥1 band (banded
+    LSH, same shape as MinHash banding). Candidates are verified with
+    the exact cosine expression, so precision is 1.0; recall is the
+    S-curve 1-(1-p^r)^b with p = 1 - θ/π.
+
+    Defaults are derived from the threshold: the per-band bit width r
+    targets a ~0.35 band-collision probability AT the threshold (so 12
+    bands give ~99% recall), floored at 4 bits so a band never keeps
+    more than ~1/16 of random pairs. Low thresholds (< ~0.7) are
+    fundamentally LSH-hostile — the angle gap to random pairs is too
+    small — so there the floor trades recall (~85-90%) for join
+    boundedness; near-dup use cases live at ≥0.9 where recall is ~99%.
+
+    Everything is bucketed equi-joins on (band, bucket) — no driver
+    collect, no broadcast of the corpus, no quadratic blow-up. Skewed
+    buckets (many near-identical vectors) are AQE skew-join territory.
+    """
+    import math
+
+    from petk_spark.operators.similarity import (
+        deterministic_planes,
+        hyperplane_signature,
+    )
+
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    if n_planes is None:
+        if 0.0 < p < 1.0:
+            n_planes = max(4, min(16, round(math.log(0.35) / math.log(p))))
+        else:
+            n_planes = 8
+    if bands is None:
+        bands = 12
+
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            return df.sparkSession.createDataFrame(
+                [], f"id_a {df.schema[id_col].dataType.simpleString()}, "
+                    f"id_b {df.schema[id_col].dataType.simpleString()}, cosine double"
+            )
+        dim = first["d"]
+
+    entries = []
+    for band in range(bands):
+        planes = deterministic_planes(dim, n_planes, seed + 7919 * (band + 1))
+        entries.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                hyperplane_signature(F.col("vec"), planes).alias("bucket"),
+            )
+        )
+    buckets = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .select("id", "vec", F.explode(F.array(*entries)).alias("e"))
+        .select("id", "vec", "e.band", "e.bucket")
+    )
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_expr(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        # A pair colliding in several bands appears once per collision;
+        # cosine is a deterministic expression of the pair, so distinct
+        # collapses them exactly.
+        .distinct()
+    )
+    return pairs

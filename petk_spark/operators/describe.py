@@ -146,9 +146,13 @@ def _agg_sql(name: str, ltype: str, exact: bool) -> list[str]:
             f"skewness({nv}) AS `{name}::_g1`",
             f"kurtosis({nv}) AS `{name}::_g2`",
             f"sum({nv}) AS `{name}::sum`",
-            f"sum(CAST({nv} = double('inf') AS BIGINT)"
-            f" + CAST({nv} = double('-inf') AS BIGINT)) AS `{name}::n_infinite`",
-            f"sum(CAST({nv} = 0.0 AS BIGINT)) AS `{name}::n_zeros`",
+            # coalesce: an all-null column aggregates only NULL addends
+            # and sum() yields NULL, but the reference's np.count_nonzero
+            # semantics (petk/tools.py:51-52) and the DuckDB oracle's
+            # count_if both report 0 counts for it.
+            f"coalesce(sum(CAST({nv} = double('inf') AS BIGINT)"
+            f" + CAST({nv} = double('-inf') AS BIGINT)), 0) AS `{name}::n_infinite`",
+            f"coalesce(sum(CAST({nv} = 0.0 AS BIGINT)), 0) AS `{name}::n_zeros`",
         ]
     return out
 
@@ -160,9 +164,25 @@ def _exact_value_stats(df: DataFrame, cols, ltypes) -> DataFrame | None:
 
     Plan: inline-explode the needed columns to ``(cid, vnum, vstr)`` →
     ``groupBy(cid, vnum, vstr).count()`` (hash shuffle sized by distinct
-    values, partial agg map-side) → per-cid running count window →
-    conditional aggregates picking the two values bracketing each
-    quantile rank → driver-free linear interpolation in a final select.
+    values, partial agg map-side) → distributed two-stage prefix sum
+    (below) recovering each value's global running count → conditional
+    aggregates picking the two values bracketing each quantile rank →
+    driver-free linear interpolation in a final select.
+
+    Two-stage prefix sum (no single-reducer window): the histogram is
+    range-partitioned on (cid, vnum, vstr) so every task holds a sorted
+    slice of one-or-more columns' values; per-(cid, partition) subtotals
+    — a frame of ≤ ncols × shuffle-partitions rows — are cumulated with
+    a tiny window and broadcast-joined back as offsets; the running
+    count within each slice is a window over (cid, partition-id), whose
+    group size is bounded by the range partitioner's balancing, NOT by a
+    column's distinct cardinality. A near-unique column at 100 TB
+    therefore spreads across all tasks instead of landing on one
+    reducer. The histogram is persisted (MEMORY_AND_DISK) because the
+    partition-id assignment must be consistent across the subtotal and
+    rank branches — and it is the expensive subtree anyway; the blocks
+    are LRU-evictable and reclaimed by the ContextCleaner when the
+    result frame is dropped.
 
     Quantile semantics match pandas ``Series.quantile`` / DuckDB
     ``quantile_cont`` / Spark ``percentile``: position ``h = (n-1)·p``,
@@ -197,39 +217,77 @@ def _exact_value_stats(df: DataFrame, cols, ltypes) -> DataFrame | None:
         .groupBy("cid", "vnum", "vstr")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    if q_cols:
+        # The histogram feeds three branches (totals, subtotals, ranks);
+        # cache it so the source is scanned once, not per branch.
+        hist = hist.persist()
 
-    # Per-cid running count; vstr tiebreak keeps the sort deterministic.
-    w_cum = (
-        Window.partitionBy("cid")
-        .orderBy("vnum", "vstr")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy("cid")
-    ranked = hist.select(
-        "cid",
-        "vnum",
-        "cnt",
-        F.sum("cnt").over(w_cum).alias("cum"),
-        F.sum("cnt").over(w_all).alias("ntot"),
+    # Per-cid totals: distinct count = histogram rows, ntot = non-null
+    # rows. A plain hash aggregation — balanced regardless of skew.
+    totals = hist.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("ndistinct"), F.sum("cnt").alias("ntot")
     )
 
-    aggs = [
-        f"count(IF(cid = {idx[c]}, 1, NULL)) AS `{c}::distinct_count`"
+    # coalesce: an all-null column contributes no histogram rows, so its
+    # cid is absent from totals — nunique of an empty series is 0, not
+    # NULL (petk/tools.py:28). _qn stays NULL: quantiles of nothing are
+    # NULL, and the bracket IFs never fire without rows anyway.
+    dist_aggs = [
+        f"coalesce(max(IF(cid = {idx[c]}, ndistinct, NULL)), 0)"
+        f" AS `{c}::distinct_count`"
         for c in dist_cols
+    ] + [
+        f"max(IF(cid = {idx[c]}, ntot, NULL)) AS `{c}::_qn`" for c in q_cols
     ]
-    for c in q_cols:
-        i = idx[c]
-        aggs.append(f"max(IF(cid = {i}, ntot, NULL)) AS `{c}::_qn`")
-        for j, p in enumerate(constants.QUANTILES):
-            # A histogram row for value v covers 0-based ranks
-            # [cum-cnt, cum); pick the rows covering floor(h) / ceil(h).
-            for bound, fn in (("lo", "floor"), ("hi", "ceil")):
-                r = f"{fn}((ntot - 1) * CAST({p} AS DOUBLE))"
-                aggs.append(
-                    f"max(IF(cid = {i} AND cum - cnt <= {r} AND {r} < cum,"
-                    f" vnum, NULL)) AS `{c}::_q{bound}{j}`"
-                )
-    one = ranked.agg(*[F.expr(a) for a in aggs])
+    one = totals.agg(*[F.expr(a) for a in dist_aggs])
+
+    if q_cols:
+        q_idx = [idx[c] for c in q_cols]
+        part = (
+            hist.filter(F.col("cid").isin(q_idx))
+            .repartitionByRange("cid", "vnum", "vstr")
+            .withColumn("pid", F.spark_partition_id())
+            .persist()
+        )
+        subtot = part.groupBy("cid", "pid").agg(F.sum("cnt").alias("scnt"))
+        w_off = (
+            Window.partitionBy("cid")
+            .orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = subtot.select(
+            "cid", "pid", F.coalesce(F.sum("scnt").over(w_off), F.lit(0)).alias("off")
+        )
+        w_cum = (
+            Window.partitionBy("cid", "pid")
+            .orderBy("vnum", "vstr")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        ranked = (
+            part.join(F.broadcast(offsets), ["cid", "pid"])
+            .join(F.broadcast(totals.select("cid", "ntot")), ["cid"])
+            .select(
+                "cid",
+                "vnum",
+                "cnt",
+                "ntot",
+                (F.col("off") + F.sum("cnt").over(w_cum)).alias("cum"),
+            )
+        )
+
+        q_aggs = []
+        for c in q_cols:
+            i = idx[c]
+            for j, p in enumerate(constants.QUANTILES):
+                # A histogram row for value v covers 0-based ranks
+                # [cum-cnt, cum); pick the rows covering floor(h) / ceil(h).
+                for bound, fn in (("lo", "floor"), ("hi", "ceil")):
+                    r = f"{fn}((ntot - 1) * CAST({p} AS DOUBLE))"
+                    q_aggs.append(
+                        f"max(IF(cid = {i} AND cum - cnt <= {r} AND {r} < cum,"
+                        f" vnum, NULL)) AS `{c}::_q{bound}{j}`"
+                    )
+        one = one.crossJoin(F.broadcast(ranked.agg(*[F.expr(a) for a in q_aggs])))
 
     final = [f"`{c}::distinct_count`" for c in dist_cols]
     for c in q_cols:
@@ -396,6 +454,14 @@ def describe_frame(
     Returns a DataFrame ``(column, statistic, value_num, value_str)``.
     Booleans are encoded 1.0/0.0 in value_num; content_type lives in
     value_str; DATE min/max/quantiles are epoch seconds.
+
+    SESSION SIDE EFFECT (documented API contract): raises
+    ``spark.sql.codegen.maxFields`` to 1000 if lower and leaves it set.
+    The returned frame is lazy, so the setting must still hold when the
+    caller eventually executes it — restoring it here would silently
+    drop whole-stage codegen for the very plan this builds. The setting
+    only widens codegen applicability; it is never lowered if the
+    session already set it higher.
     """
     cols = find_columns(df, columns)
     try:

@@ -113,19 +113,20 @@ def decode_image_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not use_stub:
+                raise NotImplementedError(
+                    "real image decode unavailable in this environment"
+                )
+            # Column-wise zip, not iterrows: the per-row cost is the
+            # decode itself, not pandas Series construction per row.
             rows = []
-            for _, row in pdf.iterrows():
-                payload = row[payload_name]
-                if not use_stub:
-                    raise NotImplementedError(
-                        "real image decode unavailable in this environment"
-                    )
+            for rid, payload in zip(pdf[id_name], pdf[payload_name]):
                 try:
                     w, h, nc, luma = _decode_image(payload)
                 except NotImplementedError:
                     w = h = nc = None
                     luma = None
-                rows.append((row[id_name], w, h, nc, luma))
+                rows.append((rid, w, h, nc, luma))
             yield pd.DataFrame(
                 rows, columns=["id", "width", "height", "n_channels", "mean_luma"]
             )
@@ -164,20 +165,13 @@ def frame_sample(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                payload = row[payload_name]
+            for rid, payload in zip(pdf[id_name], pdf[payload_name]):
                 if payload is None:
                     continue
                 n = min(max_frames, max(len(payload) // max(every_n, 1), 1))
                 for i in range(n):
                     sl = payload[i * every_n : (i + 1) * every_n]
-                    out.append(
-                        (
-                            row[id_name],
-                            i,
-                            hashlib.md5(bytes(sl)).hexdigest(),
-                        )
-                    )
+                    out.append((rid, i, hashlib.md5(bytes(sl)).hexdigest()))
             yield pd.DataFrame(
                 out, columns=["id", "frame_index", "frame_digest"]
             )

@@ -98,9 +98,14 @@ RULE_REGISTRY = {
 }
 
 
-def validate_frame(df: DataFrame, schema: dict, key, columns=None) -> DataFrame:
+def validate_frame(
+    df: DataFrame, schema: dict, key, columns=None, ordered: bool = True
+) -> DataFrame:
     """Lazy unioned violation table ``(column, row_key, function, notes)``,
-    ordered (column, row_key, function) like petk/exploration.py:116-124."""
+    ordered (column, row_key, function) like petk/exploration.py:116-124.
+    ``ordered=False`` skips the global sort — callers that persist or join
+    the frame (Report memoization, verbose) don't want to pay a full
+    shuffle for an ordering the downstream plan discards."""
     from petk_spark import constants
     from petk_spark.logical_types import static_logical_type
     from petk_spark.operators.describe import find_columns
@@ -138,7 +143,7 @@ def validate_frame(df: DataFrame, schema: dict, key, columns=None) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    if df.isStreaming:
+    if df.isStreaming or not ordered:
         # Streaming forbids global sort; violations flow unordered.
         return out
     return out.orderBy("column", "row_key", "function")

@@ -51,8 +51,9 @@ class Report:
         # A4 — lazy canonical null projection (petk/exploration.py:27-29).
         self.df = canonicalize_nulls(df, schema)
 
-        self._description: dict[str, list] = {}
-        self._validation: dict[tuple, list] = {}
+        self._description: dict[tuple, list] = {}
+        self._validation: dict[tuple, DataFrame] = {}
+        self._persisted: list[DataFrame] = []
 
     # -- dataset summary ------------------------------------------------
     def introduce(self) -> DataFrame:
@@ -61,16 +62,23 @@ class Report:
     # -- per-column profile ---------------------------------------------
     def describe(self, columns=None, include_mad: bool = True) -> DataFrame:
         """Long-form stats for the requested columns. Cached per column:
-        already-described columns are not recomputed (petk/exploration.py:73-75)."""
+        already-described columns are not recomputed (petk/exploration.py:73-75).
+        Describe results are bounded (~40 stats/column), so caching collected
+        rows on the driver is safe at any data scale — unlike validation,
+        whose row-level results stay distributed (see ``validate``). The
+        cache key includes ``include_mad``: a mad-less profile is not a
+        valid answer for a mad-inclusive request."""
         cols = find_columns(self.df, columns)
-        todo = [c for c in cols if c not in self._description]
+        todo = [c for c in cols if (c, include_mad) not in self._description]
         if todo:
             computed = describe_frame(
                 self.df, todo, exact=self.exact, include_mad=include_mad
             ).collect()
             for c in todo:
-                self._description[c] = [r for r in computed if r["column"] == c]
-        rows = [r for c in cols for r in self._description[c]]
+                self._description[(c, include_mad)] = [
+                    r for r in computed if r["column"] == c
+                ]
+        rows = [r for c in cols for r in self._description[(c, include_mad)]]
         return self.df.sparkSession.createDataFrame(
             rows, "column string, statistic string, value_num double, value_str string"
         )
@@ -81,8 +89,16 @@ class Report:
 
     # -- validation ------------------------------------------------------
     def validate(self, columns=None, verbose: bool = False) -> DataFrame:
+        """Row-level violation table, fully lazy and distributed.
+
+        Violations are unbounded (a fraction of the source rows), so they
+        are NEVER collected to the driver. Memoization caches a persisted
+        DataFrame per (column, rules-hash): the first action materializes
+        the violation rows into executor storage; later ``validate`` calls
+        — including schema-change invalidation via the rules hash — reuse
+        those cached blocks instead of rescanning the source
+        (petk/exploration.py:83-85 + the TODO at :12)."""
         cols = find_columns(self.df, columns)
-        spark = self.df.sparkSession
 
         def rules_key(c):
             rules = self.schema.get(c) or {}
@@ -90,18 +106,33 @@ class Report:
 
         todo = [c for c in cols if rules_key(c) not in self._validation]
         if todo:
-            computed = validate_frame(self.df, self.schema, self.key, todo).collect()
+            frame = validate_frame(
+                self.df, self.schema, self.key, todo, ordered=False
+            )
+            if not self.df.isStreaming:
+                frame = frame.persist()
+                self._persisted.append(frame)
             for c in todo:
-                self._validation[rules_key(c)] = [
-                    r for r in computed if r["column"] == c
-                ]
-        rows = [r for c in cols for r in self._validation[rules_key(c)]]
-        out = spark.createDataFrame(
-            rows, "column string, row_key string, function string, notes string"
-        ).orderBy("column", "row_key", "function")
+                self._validation[rules_key(c)] = frame.filter(
+                    F.col("column") == F.lit(c)
+                )
+        parts = [self._validation[rules_key(c)] for c in cols]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
         if verbose:
+            # Join the lazy frame straight back to the source; a global
+            # sort before a join would be discarded by the shuffle anyway.
             return verbose_violations(self.df, out, self.key)
-        return out
+        return out.orderBy("column", "row_key", "function")
+
+    def unpersist(self) -> None:
+        """Release the executor-storage blocks held by validation
+        memoization (a long-lived Report on a shared cluster should free
+        them when done)."""
+        for frame in self._persisted:
+            frame.unpersist()
+        self._persisted.clear()
 
     def validate_plan(self, columns=None) -> DataFrame:
         """The uncached, fully-lazy unioned validation plan."""

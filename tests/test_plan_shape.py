@@ -30,10 +30,31 @@ def test_describe_approx_is_single_scan(lineitem):
 
 
 def test_describe_exact_is_two_scans(lineitem):
-    # main bundle + the split count(DISTINCT) bundle (EXPAND isolation,
-    # see operators/describe.py docstring) — and no more.
+    # main bundle + ONE scan building the persisted value histogram —
+    # its three consumers (totals, partition subtotals, bucketed ranks)
+    # must read the cached blocks, not rescan the source.
     plan_df = describe_frame(lineitem, exact=True, include_mad=False)
     assert scan_count(plan_df) == 2
+
+
+def test_describe_exact_rank_has_no_per_column_window(lineitem):
+    # The 100× hazard fixed in round 2: a running-count window over the
+    # value histogram partitioned by column id alone concentrates every
+    # distinct value of one column on a single reducer. Any window
+    # ordering by the value (vnum) must therefore also partition by the
+    # range-partition id (pid); windows over the tiny per-(cid, pid)
+    # subtotal frame may partition by cid alone.
+    import re
+
+    from petk_spark.plans.inspect import executed_plan
+
+    plan_df = describe_frame(lineitem, exact=True, include_mad=False)
+    plan = executed_plan(plan_df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs, "expected window specs in the exact-mode plan"
+    for spec in specs:
+        if "vnum" in spec:
+            assert "pid" in spec, f"value-ordered window without pid: {spec}"
 
 
 def test_describe_prunes_columns(lineitem):
