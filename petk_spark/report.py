@@ -25,6 +25,22 @@ from petk_spark.operators.introduce import introduce_frame
 from petk_spark.operators.validate import validate_frame, verbose_violations
 
 
+def _drop_all_null_rows(result: DataFrame, value_cols=None) -> DataFrame:
+    """E3 — the reference drops result rows whose every value is null on
+    every return (``results.dropna(how='all', axis=0)``,
+    petk/exploration.py:164). The long-format equivalent: keep a row iff
+    any VALUE column is non-null (label columns like ``column`` /
+    ``statistic`` are the index in the reference's frame and don't count
+    toward all-null)."""
+    value_cols = value_cols or [
+        c for c in ("value_num", "value_str") if c in result.columns
+    ]
+    pred = F.lit(False)
+    for c in value_cols:
+        pred = pred | F.col(c).isNotNull()
+    return result.filter(pred)
+
+
 class Report:
     def __init__(
         self,
@@ -57,7 +73,7 @@ class Report:
 
     # -- dataset summary ------------------------------------------------
     def introduce(self) -> DataFrame:
-        return introduce_frame(self.df)
+        return _drop_all_null_rows(introduce_frame(self.df))
 
     # -- per-column profile ---------------------------------------------
     def describe(self, columns=None, include_mad: bool = True) -> DataFrame:
@@ -79,8 +95,11 @@ class Report:
                     r for r in computed if r["column"] == c
                 ]
         rows = [r for c in cols for r in self._description[(c, include_mad)]]
-        return self.df.sparkSession.createDataFrame(
-            rows, "column string, statistic string, value_num double, value_str string"
+        return _drop_all_null_rows(
+            self.df.sparkSession.createDataFrame(
+                rows,
+                "column string, statistic string, value_num double, value_str string",
+            )
         )
 
     def describe_plan(self, columns=None, include_mad: bool = True) -> DataFrame:
@@ -124,7 +143,10 @@ class Report:
             # Join the lazy frame straight back to the source; a global
             # sort before a join would be discarded by the shuffle anyway.
             return verbose_violations(self.df, out, self.key)
-        return out.orderBy("column", "row_key", "function")
+        return _drop_all_null_rows(
+            out.orderBy("column", "row_key", "function"),
+            value_cols=["notes"],
+        )
 
     def unpersist(self) -> None:
         """Release the executor-storage blocks held by validation

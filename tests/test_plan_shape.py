@@ -42,7 +42,7 @@ def test_describe_exact_rank_has_no_per_column_window(lineitem):
     # value histogram partitioned by column id alone concentrates every
     # distinct value of one column on a single reducer. Any window
     # ordering by the value (vnum) must therefore also partition by the
-    # range-partition id (pid); windows over the tiny per-(cid, pid)
+    # ordered bucket id; windows over the tiny per-(cid, bucket)
     # subtotal frame may partition by cid alone.
     import re
 
@@ -54,7 +54,7 @@ def test_describe_exact_rank_has_no_per_column_window(lineitem):
     assert specs, "expected window specs in the exact-mode plan"
     for spec in specs:
         if "vnum" in spec:
-            assert "pid" in spec, f"value-ordered window without pid: {spec}"
+            assert "bucket" in spec, f"value-ordered window without bucket: {spec}"
 
 
 def test_describe_prunes_columns(lineitem):

@@ -97,3 +97,30 @@ def test_appending_null_only_touches_null_stats(spark, vals):
         else:
             assert math.isclose(va, vb, rel_tol=1e-9, abs_tol=1e-12), k
     assert b["n_null"][0] == a["n_null"][0] + 1
+
+
+def test_exact_quantiles_edge_values(spark):
+    """The bucketed rank path must survive the values that break naive
+    range bucketing: infinities (own buckets), an outlier stretching the
+    finite range 18 orders of magnitude, a dense sub-ulp cluster, and
+    negatives. Expected values are numpy's linear-interpolation
+    quantiles over the same data (pandas semantics, NaN-free input)."""
+    import numpy as np
+
+    vals = (
+        [float("-inf"), float("inf")]
+        + [-1e18, 1e18]
+        + [1.0 + i * 1e-9 for i in range(20)]
+        + [-5.0, -4.0, 0.0, 3.0, 7.5]
+    )
+    s = _stats(spark, vals)
+    arr = np.array(vals, dtype=np.float64)
+    for p, label in [(0.05, "5%"), (0.25, "25%"), (0.5, "50%"),
+                     (0.75, "75%"), (0.95, "95%")]:
+        expect = float(np.quantile(arr, p))
+        got = s[label][0]
+        if math.isinf(expect):
+            assert got == expect, (label, got, expect)
+        else:
+            assert math.isclose(got, expect, rel_tol=1e-12), (label, got, expect)
+    assert s["distinct_count"][0] == len(set(vals))
