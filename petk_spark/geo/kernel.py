@@ -76,6 +76,43 @@ def centroid(col: Column) -> Column:
     return u(col)
 
 
+_PROFILE_TYPE = T.StructType(
+    [
+        T.StructField("minx", T.DoubleType()),
+        T.StructField("miny", T.DoubleType()),
+        T.StructField("maxx", T.DoubleType()),
+        T.StructField("maxy", T.DoubleType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+        T.StructField("z", T.BooleanType()),
+        T.StructField("t", T.StringType()),
+    ]
+)
+
+
+def geo_profile(col: Column) -> Column:
+    """Fused per-geometry profile: bounds + centroid + has_z + type from
+    ONE WKT parse (introduce needs all four; separate UDFs cost four
+    parses per geometry and four Arrow passes)."""
+
+    @F.pandas_udf(_PROFILE_TYPE)
+    def u(s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for v in s:
+            g = K.parse_wkt(v)
+            if g is None:
+                rows.append((None,) * 8)
+                continue
+            b = K.bounds(g) or (None, None, None, None)
+            c = K.centroid(g) or (None, None)
+            rows.append((*b, *c, g.has_z, g.display_type))
+        return pd.DataFrame(
+            rows, columns=["minx", "miny", "maxx", "maxy", "x", "y", "z", "t"]
+        )
+
+    return u(col)
+
+
 def validity_reason(col: Column) -> Column:
     """NULL when valid, else the shapely-style reason string."""
 

@@ -215,11 +215,21 @@ def _exact_value_stats(df: DataFrame, cols, ltypes) -> DataFrame | None:
     for c in need:
         if ltypes[c] in (constants.TYPE_DATE, constants.TYPE_NUM):
             nv = _nv(c, ltypes[c])
+            vs = f"CAST(`{c}` AS STRING)"
         else:
             nv = "CAST(NULL AS DOUBLE)"
+            # STRING columns only need distinct counting, so group on a
+            # 128-bit md5 fingerprint: the shuffle carries 16 bytes per
+            # distinct value instead of arbitrarily long text (a
+            # documents-table profile would otherwise shuffle every
+            # distinct document body). Collision odds at 10^12 distinct
+            # values are ~10^-14 — declared, not silent: the contract is
+            # fingerprint-exact. Numeric/date columns keep the raw
+            # rendering (it is short, and the quantile rank tiebreak
+            # must order by true value).
+            vs = f"md5(CAST(`{c}` AS STRING))"
         structs.append(
-            f"named_struct('cid', {idx[c]}, 'vnum', {nv},"
-            f" 'vstr', CAST(`{c}` AS STRING))"
+            f"named_struct('cid', {idx[c]}, 'vnum', {nv}, 'vstr', {vs})"
         )
     long = df.selectExpr(f"inline(array({', '.join(structs)}))")
     hist = (

@@ -93,6 +93,28 @@ FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
 """
 
 
+def _q_dedup_first_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keep-first dedup: one row per o_custkey, the row
+    with the minimum o_orderkey (unique, so the winner is well-defined
+    and oracle-hashable)."""
+    df = read_table(spark, sf_dir, "orders")
+    out = dedup.dedup_first_by(df, ["o_custkey"], "o_orderkey")
+    return out.select(
+        "o_custkey", "o_orderkey", "o_orderstatus",
+        fmt_sci(F.col("o_totalprice")).alias("totalprice"),
+    )
+
+
+_SQL_DEDUP_FIRST_BY = f"""
+SELECT o_custkey, o_orderkey, o_orderstatus,
+       {dfmt('o_totalprice')} AS totalprice
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # text fingerprint / near-dup
 # ---------------------------------------------------------------------------
@@ -646,6 +668,7 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact_report": _q_dedup_exact,
+        "dedup_first_by": _q_dedup_first_by,
         "fingerprint_documents": _q_fingerprint,
         "near_dup_jaccard": _q_jaccard,
         "token_histogram": _q_token_histogram,
@@ -677,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact_report": _SQL_DEDUP_EXACT,
+        "dedup_first_by": _SQL_DEDUP_FIRST_BY,
         "fingerprint_documents": _SQL_FINGERPRINT,
         "near_dup_jaccard": _SQL_JACCARD,
         "token_histogram": _SQL_TOKEN_HISTOGRAM,

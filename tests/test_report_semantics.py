@@ -147,3 +147,16 @@ def test_geo_centroid_string_fallback(spark):
     rows = introduce_geo_frame(df, "geometry", crs="epsg:4326").collect()
     loc = {r["metric"]: r["value_str"] for r in rows}["centroid_location"]
     assert loc == "2.0, 1.0"
+
+
+# -- E4: key_exists nested-dict probe (petk/tools.py:120-129)
+
+def test_key_exists():
+    from petk_spark.tools import key_exists
+
+    d = {"a": {"b": {"c": 1}}}
+    assert key_exists(d, "a", "b", "c")
+    assert key_exists(d, "a")
+    assert not key_exists(d, "a", "x")
+    assert not key_exists(d, "a", "b", "c", "d")  # non-dict intermediate
+    assert not key_exists({}, "a")
