@@ -93,6 +93,64 @@ FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
 """
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified training-mix sample: sources up/down
+    weighted, membership a pure function of (salt, doc_id) — the DuckDB
+    twin selects the identical subset, which IS the correctness claim."""
+    from petk_spark.operators import sampling
+
+    df = read_table(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(
+        df,
+        "source",
+        rates={"src1": 0.8, "src2": 0.05},
+        default_rate=0.25,
+        key_cols=["doc_id"],
+        salt="mix-v1",
+    )
+    return out.select("doc_id", "source")
+
+
+def _stratified_sample_sql() -> str:
+    from petk_spark.operators.sampling import rate_threshold
+
+    key = "md5('mix-v1' || ':' || coalesce(doc_id::VARCHAR, ''))"
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE {key} < CASE source
+  WHEN 'src1' THEN '{rate_threshold(0.8)}'
+  WHEN 'src2' THEN '{rate_threshold(0.05)}'
+  ELSE '{rate_threshold(0.25)}' END
+"""
+
+
+def _q_json_field_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from petk_spark.operators import jsonfields
+
+    df = read_table(spark, sf_dir, "events")
+    out = jsonfields.json_field_profile(df, "props", "k", "event_type")
+    return out.select(
+        "group", "n", "n_present",
+        fmt_sci(F.col("vmin")).alias("vmin"),
+        fmt_sci(F.col("vmax")).alias("vmax"),
+        fmt_sci(F.col("vmean")).alias("vmean"),
+        fmt_sci(F.col("vsum")).alias("vsum"),
+    )
+
+
+_SQL_JSON_FIELD_PROFILE = f"""
+WITH x AS (
+  SELECT event_type AS "group",
+         TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS v
+  FROM events
+)
+SELECT "group", count(*) AS n, count(v) AS n_present,
+       {dfmt('min(v)')} AS vmin, {dfmt('max(v)')} AS vmax,
+       {dfmt('avg(v)')} AS vmean, {dfmt('sum(v)')} AS vsum
+FROM x GROUP BY 1
+"""
+
+
 def _q_dedup_first_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic keep-first dedup: one row per o_custkey, the row
     with the minimum o_orderkey (unique, so the winner is well-defined
@@ -579,9 +637,65 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.cosine_topk_lsh(
+    out = similarity.cosine_topk_lsh(
         emb, queries, "vec_id", "embedding", dim=64, k=10, n_planes=6, n_probes=2
     )
+    return out.select(
+        "query_id", "neighbor_id", fmt_sci(F.col("cosine")).alias("cosine"), "rank"
+    )
+
+
+def _lsh_plane_lit(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in plane) + "]::DOUBLE[]"
+
+
+def _lsh_bucket_sql(v: str) -> str:
+    """DuckDB twin of similarity.hyperplane_signature for the declared
+    (dim=64, n_planes=6, seed=42) parameters: sign-bit sum over the same
+    LCG-deterministic planes, same left-fold dot-product order, so the
+    bucket ids are bit-identical across engines."""
+    from petk_spark.operators.similarity import deterministic_planes
+
+    planes = deterministic_planes(64, 6, 42)
+    terms = []
+    for i, plane in enumerate(planes):
+        dot = (
+            f"list_reduce(list_transform(range(1, 65), "
+            f"j -> {v}[j]::DOUBLE * ({_lsh_plane_lit(plane)})[j]), (x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _lsh_sql() -> str:
+    return f"""
+WITH c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv,
+         {_lsh_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+),
+q0 AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         {_lsh_bucket_sql('embedding')} AS b0
+  FROM embeddings WHERE vec_id < 10
+),
+q AS (
+  SELECT query_id, qv, b0 AS bucket FROM q0
+  UNION ALL
+  SELECT query_id, qv, xor(b0, 1) FROM q0
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_cosine_sql('qv', 'cv')} AS cosine
+  FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, {dfmt('cosine')} AS cosine, rank::INT AS rank
+FROM ranked WHERE rank <= 10
+"""
 
 
 def _q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -669,6 +783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact_report": _q_dedup_exact,
         "dedup_first_by": _q_dedup_first_by,
+        "stratified_sample": _q_stratified_sample,
+        "json_field_profile": _q_json_field_profile,
         "fingerprint_documents": _q_fingerprint,
         "near_dup_jaccard": _q_jaccard,
         "token_histogram": _q_token_histogram,
@@ -685,10 +801,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_metadata": _q_binary_metadata,
         "geo_validate_points": _q_geo_validate,
         "geo_introduce_points": _q_geo_introduce,
-        # rows-only (Spark-hash or stub dependent):
+        "cosine_topk_lsh": _q_cosine_topk_lsh,
+        # rows-only (Spark-specific hashes, data-dependent centroids, or
+        # declared stubs — each documented at the operator):
         "near_dup_minhash_lsh": _q_minhash_lsh,
         "near_dup_simhash": _q_simhash,
-        "cosine_topk_lsh": _q_cosine_topk_lsh,
         "cosine_topk_ivf": _q_cosine_topk_ivf,
         "image_features_stub": _q_image_features,
         "frame_sample_stub": _q_frame_sample,
@@ -701,6 +818,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact_report": _SQL_DEDUP_EXACT,
         "dedup_first_by": _SQL_DEDUP_FIRST_BY,
+        "stratified_sample": _stratified_sample_sql(),
+        "json_field_profile": _SQL_JSON_FIELD_PROFILE,
+        "cosine_topk_lsh": _lsh_sql(),
         "fingerprint_documents": _SQL_FINGERPRINT,
         "near_dup_jaccard": _SQL_JACCARD,
         "token_histogram": _SQL_TOKEN_HISTOGRAM,

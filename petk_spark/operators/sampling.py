@@ -1,0 +1,70 @@
+"""Deterministic sampling for training-data pipelines.
+
+The reference has no sampling surface (absence noted in SURVEY §2.F);
+these are Spark-native extensions with a property batch pipelines need
+that ``df.sample`` cannot give: the selected subset is a pure function
+of the ROW KEY — identical across runs, engines, partitionings, and
+cluster sizes, so a re-run (or a DuckDB audit) reproduces byte-identical
+training subsets, and adding data never flips the keep/drop decision of
+an existing row.
+
+Mechanism: keep a row iff ``md5(salt || ':' || key) < threshold`` where
+the threshold is the sampling rate rendered as a 32-hex-digit boundary.
+md5's hex form is uniform, both Spark and DuckDB emit identical
+lowercase hex, and the comparison is a plain string compare — fully
+engine-portable, row-local (no shuffle), and O(1) per row. Rates are
+quantized at float64 precision. Null key parts are rendered as '' (an
+explicit coalesce, because Spark's concat_ws silently skips nulls while
+SQL's ``||`` nulls out — the one cross-engine trap in this design).
+
+Scale: a map-side filter composed directly over the scan; at 100 TB the
+sample never materializes the unsampled remainder anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def rate_threshold(rate: float) -> str:
+    """32-hex-digit keep boundary for a rate in [0, 1]."""
+    if rate <= 0.0:
+        return "0" * 32
+    if rate >= 1.0:
+        return "g"  # lexicographically above every hex digest
+    return format(int(rate * (1 << 128)), "032x")
+
+
+def sample_key(key_cols, salt: str = "") -> Column:
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("")) for c in key_cols
+    ]
+    return F.md5(F.concat_ws(":", F.lit(salt), *parts))
+
+
+def deterministic_sample(
+    df: DataFrame, key_cols: list[str], rate: float, salt: str = ""
+) -> DataFrame:
+    """Keyed Bernoulli sample: each row's fate is a pure function of
+    (salt, key). Change ``salt`` to draw an independent sample."""
+    return df.filter(sample_key(key_cols, salt) < F.lit(rate_threshold(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    key_cols: list[str] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic rates (e.g. up/down-weighting sources
+    in a training mix). Unlisted strata get ``default_rate``."""
+    key_cols = key_cols or [strata_col]
+    thr = F.lit(rate_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(rate_threshold(rate))
+        ).otherwise(thr)
+    return df.filter(sample_key(key_cols, salt) < thr)
