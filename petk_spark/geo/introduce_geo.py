@@ -27,9 +27,13 @@ from petk_spark.geo import kernel
 def introduce_geo_frame(
     df: DataFrame, geometry_col: str = "geometry", crs: str | None = None
 ) -> DataFrame:
+    from petk_spark.operators.describe import ensure_parallelism
+
     g = F.col(geometry_col)
-    proj = df.select(kernel.geo_profile(g).alias("p")).select(
-        "p.minx", "p.miny", "p.maxx", "p.maxy", "p.x", "p.y", "p.z", "p.t"
+    proj = (
+        ensure_parallelism(df.select(geometry_col))
+        .select(kernel.geo_profile(g).alias("p"))
+        .select("p.minx", "p.miny", "p.maxx", "p.maxy", "p.x", "p.y", "p.z", "p.t")
     )
 
     rolled = proj.rollup("t").agg(

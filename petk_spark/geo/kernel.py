@@ -123,6 +123,46 @@ def validity_reason(col: Column) -> Column:
     return u(col)
 
 
+_VALIDATE_TYPE = T.StructType(
+    [
+        T.StructField("reason", T.StringType()),
+        T.StructField("inside", T.BooleanType()),
+        T.StructField("sliver_n", T.IntegerType()),
+    ]
+)
+
+
+def validate_profile(
+    col: Column,
+    bbox: tuple[float, float, float, float] | None,
+    sliver: tuple[float, int] | None,
+) -> Column:
+    """Fused per-geometry rule inputs — validity reason, bbox membership,
+    sliver count — from ONE WKT parse. The unioned rule plan runs one
+    pandas-UDF branch per rule otherwise, re-parsing every geometry per
+    rule; parameters are plan literals so the column stays a row-local
+    projection."""
+
+    @F.pandas_udf(_VALIDATE_TYPE)
+    def u(s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for v in s:
+            g = K.parse_wkt(v)
+            reason = K.explain_validity(g)
+            inside = (
+                K.intersects_bbox(g, *bbox) if bbox is not None else None
+            )
+            sn = (
+                K.sliver_count(g, sliver[0], sliver[1])
+                if sliver is not None
+                else None
+            )
+            rows.append((reason, inside, sn))
+        return pd.DataFrame(rows, columns=["reason", "inside", "sliver_n"])
+
+    return u(col)
+
+
 def intersects_bbox(col: Column, xmin: float, xmax: float, ymin: float, ymax: float) -> Column:
     @F.pandas_udf(T.BooleanType())
     def u(s: pd.Series) -> pd.Series:

@@ -443,16 +443,18 @@ def _long_sql(name: str, ltype: str, has_mad: bool) -> list[str]:
     return e
 
 
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
+def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Round-robin repartition when the source offers far fewer splits
     than the cluster has slots (e.g. a single large parquet row group —
     unsplittable, so ``maxPartitionBytes`` can't help). The fused agg's
     partial aggregation runs per input partition; 3 tasks on a 32-slot
-    machine leaves 90% idle (measured 12.6 s → 6.5 s at sf0.1). At real
-    scale the scan has thousands of row groups and this is a no-op — the
-    guard keeps the extra full shuffle out of the 100 TB path. The
-    repartition Exchange is shared across the exact/mad subtrees via
-    ReuseExchange (one plan), so the shuffle is written once.
+    machine leaves 90% idle (measured 12.6 s → 6.5 s at sf0.1; the same
+    starvation taxes pandas-UDF stages — the geometry kernels import
+    this too). At real scale the scan has thousands of row groups and
+    this is a no-op — the guard keeps the extra full shuffle out of the
+    100 TB path. The repartition Exchange is shared across the
+    exact/mad subtrees via ReuseExchange (one plan), so the shuffle is
+    written once.
 
     The split estimate uses file metadata only (``inputFiles`` + stat):
     an ``df.rdd.getNumPartitions()`` probe forces full physical planning
@@ -521,7 +523,7 @@ def describe_frame(
         pass
     # Prune before the (possible) repartition so a starved scan shuffles
     # only the profiled columns, then fan out to every slot.
-    df = _ensure_parallelism(df.select(*dict.fromkeys(cols)))
+    df = ensure_parallelism(df.select(*dict.fromkeys(cols)))
     fields = {f.name: f for f in df.schema.fields}
     ltypes = {c: static_logical_type(fields[c]) for c in cols}
 

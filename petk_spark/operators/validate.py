@@ -119,21 +119,26 @@ def validate_frame(
         # registers bounding_box/geospatial/sliver BEFORE rule lookup.
         import petk_spark.geo  # noqa: F401
 
+    GEO_RULE_NAMES = {"bounding_box", "geospatial", "sliver"}
     parts = []
     for col in requested:
         rules = schema.get(col) or {}
+        if static_logical_type(fields[col]) == constants.TYPE_GEO:
+            # All geometry rules for the column — including the implicit
+            # validity audit (petk/exploration.py:95-99) — fuse into ONE
+            # kernel pass so each geometry is parsed once, not per rule.
+            from petk_spark.geo.rules import fused_geo_part
+
+            geo_rules = {k: v for k, v in rules.items() if k in GEO_RULE_NAMES}
+            parts.append(
+                fused_geo_part(df, col, key, geo_rules, include_validity=True)
+            )
+            rules = {k: v for k, v in rules.items() if k not in GEO_RULE_NAMES}
         for rule_name, params in rules.items():
             impl = RULE_REGISTRY.get(rule_name)
             if impl is None or rule_name == "nulls":
                 continue  # silently ignore unknown keys (reference parity)
             parts.append(impl(df, col, key, params))
-        # Implicit validity audit for geometry columns, schema or not
-        # (petk/exploration.py:95-99).
-        if (
-            static_logical_type(fields[col]) == constants.TYPE_GEO
-            and "geospatial" not in rules
-        ):
-            parts.append(RULE_REGISTRY["geospatial"](df, col, key, None))
 
     spark = df.sparkSession
     if not parts:
