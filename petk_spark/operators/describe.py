@@ -503,24 +503,19 @@ def describe_frame(
     Booleans are encoded 1.0/0.0 in value_num; content_type lives in
     value_str; DATE min/max/quantiles are epoch seconds.
 
-    SESSION SIDE EFFECT (documented API contract): raises
-    ``spark.sql.codegen.maxFields`` to 1000 if lower and leaves it set.
-    The returned frame is lazy, so the setting must still hold when the
-    caller eventually executes it — restoring it here would silently
-    drop whole-stage codegen for the very plan this builds. The setting
-    only widens codegen applicability; it is never lowered if the
-    session already set it higher.
+    Codegen note: the wide (>100-field) stages of this plan — the fused
+    aggregate and the 1-row reshaping — fall back to interpreted mode
+    under the default ``spark.sql.codegen.maxFields=100``, and that is
+    the intended single-shot behavior: compiling them costs ~7 s of
+    Janino time per distinct plan while all data-heavy narrow stages
+    (scan, histogram groupBy, rank windows) still compile. A deployment
+    that reuses one profile plan across many runs can raise maxFields
+    session-wide to also compile the wide aggregate (~10% steady-state
+    gain at sf0.1); this operator deliberately does NOT mutate session
+    config. Round 1 raised it here and a round-2 measurement showed the
+    compile tax dominating every cold profile.
     """
     cols = find_columns(df, columns)
-    try:
-        # The fused bundle is wide; past spark.sql.codegen.maxFields
-        # (default 100) whole-stage codegen silently falls back to
-        # interpreted mode — measured ~10% slower at sf0.1.
-        conf = df.sparkSession.conf
-        if int(conf.get("spark.sql.codegen.maxFields", "100")) < 1000:
-            conf.set("spark.sql.codegen.maxFields", "1000")
-    except Exception:  # pragma: no cover - conf is advisory
-        pass
     # Prune before the (possible) repartition so a starved scan shuffles
     # only the profiled columns, then fan out to every slot.
     df = ensure_parallelism(df.select(*dict.fromkeys(cols)))
