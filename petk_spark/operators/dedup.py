@@ -13,9 +13,10 @@ Scale design:
     `max_shingle_freq` drops stop-shingles (document frequency cap) —
     the standard guard that keeps the join linear-ish at 100 TB.
   * MinHash+LSH replaces the exact join's quadratic worst case with
-    banded bucketing: k hash functions (xxhash64 with k seeds), min per
-    doc per seed, b bands of r rows, candidate pairs = equal band
-    signature, then exact-Jaccard verification of candidates only.
+    banded bucketing: k universal-hash permutations of an md5-derived
+    base hash (engine-portable, so the full pipeline is oracle-checked),
+    min per doc per function, b bands of r rows, candidate pairs = equal
+    band signature, then exact-Jaccard verification of candidates only.
     Everything is built-in expressions (no Python in the hot path).
   * SimHash: 64-bit fingerprints from token hashes, near-dup = Hamming
     distance ≤ d on block-partitioned candidates (pigeonhole: split the
@@ -183,18 +184,62 @@ def jaccard_near_dup(
 # F2b — MinHash + LSH near-dup (the 100 TB path)
 # ---------------------------------------------------------------------------
 
+#: Mersenne prime 2^31 − 1 — the classic universal-hash modulus. The
+#: permutation family h_i(x) = (a_i·x + b_i) mod P keeps a·x + b inside
+#: 62 bits, so the arithmetic is exact signed-64 on BOTH engines — that
+#: is what makes the LSH pipeline oracle-checkable (no engine-specific
+#: hash like xxhash64 anywhere in the plan).
+MINHASH_P = 2147483647
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    """k deterministic (a, b) permutation pairs for h_i(x) = (a·x+b) mod P.
+
+    Derived from md5 of the function index — no RNG state, identical in
+    any process, so the DuckDB oracle embeds the very same constants
+    (extensions_registry builds its SQL from this function)."""
+    import hashlib
+
+    out = []
+    for i in range(k):
+        d = hashlib.md5(f"petk-minhash-{i}".encode()).digest()
+        a = int.from_bytes(d[:4], "big") % (MINHASH_P - 1) + 1
+        b = int.from_bytes(d[4:8], "big") % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def shingle_hash_expr(shingle: Column) -> Column:
+    """Engine-portable base hash of a shingle, reduced mod P: the first
+    15 hex chars (60 bits — always positive in signed 64) of md5, parsed
+    as an integer. Spark: conv(substr(md5(s),1,15),16,10); DuckDB:
+    ('0x' || substr(md5(s),1,15))::BIGINT — verified bit-identical."""
+    return (
+        F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("bigint")
+        % MINHASH_P
+    )
+
+
+def _min_sig_exprs(k: int) -> list[Column]:
+    """k min-aggregate expressions over the pre-hashed shingle column
+    ``hx``. One md5 per shingle + k cheap (a·x+b) mod P transforms —
+    measurably cheaper than k independent xxhash64 calls per shingle,
+    and portable to the oracle engine."""
+    return [
+        F.min((F.lit(a) * F.col("hx") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_params(k))
+    ]
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 64
 ) -> DataFrame:
-    """(id, sig: array<bigint>) — k minhash values per document, one
-    xxhash64 seed per hash function. One explode + one groupBy; the k
-    mins are computed as k aggregate expressions over the shingle set."""
+    """(id, sig: array<bigint>) — k minhash values per document. One
+    explode + one groupBy; the k mins are k aggregate expressions over
+    the per-shingle base hash."""
     sh = shingle_frame(df, id_col, text_col, n)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(k)
-    ]
-    agg = sh.groupBy("id").agg(*mins)
+    hx = sh.select("id", shingle_hash_expr(F.col("shingle")).alias("hx"))
+    agg = hx.groupBy("id").agg(*_min_sig_exprs(k))
     return agg.select(
         "id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig")
     )
@@ -215,8 +260,10 @@ def minhash_lsh_near_dup(
     With k=64, bands=16 (rows r=4), the S-curve crosses ~0.5 at
     s = (1/b)^(1/r) ≈ 0.5 — high recall at threshold 0.8. Candidates
     sharing ≥1 band bucket are verified with exact Jaccard so precision
-    is 1.0; recall is the LSH S-curve (not guaranteed 100%, hence this
-    operator is a scale path, not the oracle-exact one).
+    is 1.0; recall is the LSH S-curve (not guaranteed 100%). The whole
+    pipeline — base hash, permutations, band keys, verification — uses
+    engine-portable arithmetic, so the DuckDB oracle replays it exactly
+    and the output is hash-checkable despite the probabilistic recall.
     """
     assert k % bands == 0, "k must divide into equal bands"
     r = k // bands
@@ -231,20 +278,20 @@ def minhash_lsh_near_dup(
     if verify_exact and not df.isStreaming:
         sh = sh.persist()
 
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(k)
-    ]
-    sig = sh.groupBy("id").agg(*mins).select(
+    hx = sh.select("id", shingle_hash_expr(F.col("shingle")).alias("hx"))
+    sig = hx.groupBy("id").agg(*_min_sig_exprs(k)).select(
         "id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig")
     )
 
+    # Band bucket = the r signature values joined as a string. A plain
+    # concat key (not a hash of it) keeps the bucket engine-portable;
+    # at ~11 chars per value the key stays small enough to shuffle.
     band_entries = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(",", *[F.element_at("sig", b * r + j + 1).cast("string") for j in range(r)])
+                F.concat_ws(
+                    ",", *[F.element_at("sig", b * r + j + 1) for j in range(r)]
                 ).alias("bucket"),
             )
             for b in range(bands)
@@ -303,9 +350,12 @@ def simhash(text: Column) -> Column:
     F.aggregate HOFs was interpreted per row — CodegenFallback — and
     ~10× slower.)"""
     import hashlib
+    import re
 
     import numpy as np
     from pyspark.sql.types import LongType
+
+    _WS_ASCII = re.compile(r"\s+", re.ASCII)
 
     @F.pandas_udf(LongType())
     def u(texts: pd.Series) -> pd.Series:
@@ -332,7 +382,10 @@ def simhash(text: Column) -> Column:
         def one(t):
             if t is None:
                 return None
-            toks = {w for w in t.lower().split() if w}
+            # ASCII \s+ split — same token class as the oracle's DuckDB
+            # regexp_split_to_array and _shingles (plain str.split()
+            # would split on Unicode whitespace and diverge).
+            toks = {w for w in _WS_ASCII.split(t.lower()) if w}
             if not toks:
                 return 0
             votes = np.sum([tok_votes(w) for w in toks], axis=0)

@@ -618,20 +618,112 @@ UNION ALL SELECT 'geospatial', 'points', {dfmt('npts')}, NULL FROM agg
 """
 
 
-# ---------------------------------------------------------------------------
-# Spark-hash-dependent / stub-backed operators (rows-only checks)
-# ---------------------------------------------------------------------------
-
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = read_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_near_dup(
+    out = dedup.minhash_lsh_near_dup(
         df, "doc_id", "text", n=3, k=64, bands=16, threshold=0.1
     )
+    return out.select("id_a", "id_b", fmt_sci(F.col("jaccard")).alias("jaccard"))
+
+
+def _minhash_lsh_sql(k: int = 64, bands: int = 16, threshold: float = 0.1) -> str:
+    """DuckDB twin of dedup.minhash_lsh_near_dup: same md5-derived base
+    hash, same (a·x+b) mod P permutation constants (dedup.minhash_params),
+    same band keys, same exact-Jaccard verification — the candidate SET
+    is identical across engines, so even the probabilistic-recall LSH
+    output hash-matches."""
+    r = k // bands
+    p = dedup.MINHASH_P
+    mins = ",\n         ".join(
+        f"min(({a} * x + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(dedup.minhash_params(k))
+    )
+    band_sel = "\n  UNION ALL ".join(
+        "SELECT id, {b} AS band, concat_ws(',', {cols}) AS bucket FROM sig".format(
+            b=b, cols=", ".join(f"h{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_SHINGLE_CTE},
+hx AS (
+  SELECT id, (('0x' || substr(md5(shingle),1,15))::BIGINT % {p}) AS x FROM sh
+),
+sig AS (
+  SELECT id, {mins}
+  FROM hx GROUP BY id
+),
+bands AS (
+  {band_sel}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b USING (band, bucket)
+  WHERE a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.id = c.id_a
+  JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b,
+         n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS j
+  FROM common
+  JOIN sizes sa ON common.id_a = sa.id
+  JOIN sizes sb ON common.id_b = sb.id
+)
+SELECT id_a, id_b, {dfmt('j')} AS jaccard FROM scored WHERE j >= {threshold}
+"""
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = read_table(spark, sf_dir, "documents")
     return dedup.simhash_near_dup(df, "doc_id", "text", max_hamming=3)
+
+
+#: DuckDB twin of dedup.simhash_near_dup. The Spark side's pigeonhole
+#: blocking is LOSSLESS (any pair within Hamming d agrees on ≥1 of d+1
+#: blocks), so a brute-force cross join here yields the identical pair
+#: set; the fingerprint itself replays the UDF bit-for-bit (md5 first
+#: 8 bytes big-endian per distinct ASCII-\s token, ±1 votes, v>0 bits).
+_SQL_SIMHASH = f"""
+WITH {_TOKS_CTE},
+tok AS (SELECT doc_id AS id, unnest(list_distinct(tk)) AS token FROM toks),
+th AS (SELECT id, ('0x' || substr(md5(token),1,16))::UBIGINT AS h FROM tok),
+votes AS (
+  SELECT id, b.bit,
+         sum(CASE WHEN ((h >> b.bit::INTEGER) & 1) = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+  GROUP BY 1, 2
+),
+fp0 AS (
+  SELECT id,
+         sum(CASE WHEN v > 0 THEN
+               CASE WHEN bit = 63 THEN (-9223372036854775807 - 1)
+                    ELSE (1::BIGINT << bit::INTEGER) END
+             ELSE 0 END)::BIGINT AS sim
+  FROM votes GROUP BY id
+),
+fp AS (
+  SELECT d.doc_id AS id,
+         CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(f.sim, 0) END AS sim
+  FROM documents d LEFT JOIN fp0 f ON d.doc_id = f.id
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.sim, b.sim))::INTEGER AS hamming
+FROM fp a JOIN fp b ON a.id < b.id
+WHERE a.sim IS NOT NULL AND b.sim IS NOT NULL
+  AND bit_count(xor(a.sim, b.sim)) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-sample-dependent / stub-backed operators (rows-only checks)
+# ---------------------------------------------------------------------------
 
 
 def _q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -823,6 +915,8 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk_lsh": _lsh_sql(),
         "fingerprint_documents": _SQL_FINGERPRINT,
         "near_dup_jaccard": _SQL_JACCARD,
+        "near_dup_minhash_lsh": _minhash_lsh_sql(),
+        "near_dup_simhash": _SQL_SIMHASH,
         "token_histogram": _SQL_TOKEN_HISTOGRAM,
         "text_quality": _SQL_QUALITY,
         "language_id": _lang_sql(),
