@@ -3,10 +3,13 @@ LLM-pipeline operators) exposed to the driver contract.
 
 Every oracle-checkable operator declares BOTH the Spark callable and a
 DuckDB SQL twin computing the same logical result with identical column
-names. Operators whose result depends on Spark-specific hashing
-(xxhash64-based MinHash/SimHash/LSH buckets) or on stubbed media decode
-are declared WITHOUT oracle SQL — the driver records rows-only checks
-for them, which is the honest contract.
+names. That includes the probabilistic ones: MinHash/SimHash/hyperplane
+LSH use engine-portable hash arithmetic (md5-derived base hashes +
+universal-hash permutations), so the oracle replays the identical
+candidate sets. Only operators whose result depends on a data-dependent
+driver sample (IVF k-means centroids), stubbed media decode, or an
+approx-by-design sketch are declared WITHOUT oracle SQL — the driver
+records rows-only checks for them, which is the honest contract.
 
 Cross-engine determinism notes (load-bearing):
   * Jaccard similarities are integer ratios — bit-identical.
@@ -821,8 +824,9 @@ def _q_geo_sliver(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5 sliver rule over synthetic triangles: every 13th order gets a
     degenerate near-zero-area triangle (a sliver under a 1000 m^2 UTM-17N
     threshold), the rest get ~4e5 m^2 triangles. Geometry predicates run
-    in the pure-python WKT kernel (geo/kernel.py) — rows-only check, like
-    the reference's other geometry rules (SURVEY §2 Oracle-~)."""
+    in the pure-python WKT kernel (geo/kernel.py); _SQL_GEO_SLIVER
+    replays the projection + shoelace math in SQL, so this IS
+    oracle-checked despite the reference rule being Oracle-~."""
     from petk_spark.operators.validate import validate_frame
 
     df = read_table(spark, sf_dir, "orders")
@@ -849,6 +853,53 @@ def _q_geo_sliver(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("column").alias("col_name"), "row_key",
         F.col("function").alias("rule_name"), "notes",
     )
+
+
+#: DuckDB twin of _q_geo_sliver. The fixture's triangles are pure
+#: expressions of (o_orderkey, o_custkey), so the oracle regenerates the
+#: same three vertices and replays the kernel math in SQL: spherical
+#: transverse Mercator (geo/wkt.py:_utm_project — R=6371007, k0=0.9996,
+#: zone 17 → lon0=-81°) then the shoelace area of the ring. The
+#: threshold comparison (area < 1000 m²) is ULP-robust: sliver triangles
+#: measure ~4.5 m², regular ones ~4.5e5 m², so libm rounding differences
+#: between engines cannot flip a row.
+_SQL_GEO_SLIVER = """
+WITH tri AS (
+  -- ::DOUBLE on every literal: DuckDB's bare decimals are exact DECIMAL
+  -- arithmetic, but the Spark side computes IEEE doubles — the casts
+  -- replicate the same binary values and operation order.
+  SELECT o_orderkey,
+         (-80.0)::DOUBLE + (o_orderkey % 200) * (0.001)::DOUBLE AS lon,
+         (43.5)::DOUBLE + (o_custkey % 100) * (0.001)::DOUBLE AS lat,
+         CASE WHEN o_orderkey % 13 = 0 THEN (0.0000001)::DOUBLE
+              ELSE (0.01)::DOUBLE END AS dy
+  FROM orders
+),
+proj AS (
+  SELECT o_orderkey,
+    -- vertex A = (lon, lat); B = (lon+0.01, lat); C = (lon+0.01, lat+dy)
+    (0.5)::DOUBLE * (6371007.0)::DOUBLE * (0.9996)::DOUBLE * ln((1 + cos(radians(lat)) * sin(radians(lon) - radians(-81))) /
+      (1 - cos(radians(lat)) * sin(radians(lon) - radians(-81)))) + 500000 AS xa,
+    (6371007.0)::DOUBLE * (0.9996)::DOUBLE * atan2(tan(radians(lat)), cos(radians(lon) - radians(-81))) AS ya,
+    (0.5)::DOUBLE * (6371007.0)::DOUBLE * (0.9996)::DOUBLE * ln((1 + cos(radians(lat)) * sin(radians(lon + (0.01)::DOUBLE) - radians(-81))) /
+      (1 - cos(radians(lat)) * sin(radians(lon + (0.01)::DOUBLE) - radians(-81)))) + 500000 AS xb,
+    (6371007.0)::DOUBLE * (0.9996)::DOUBLE * atan2(tan(radians(lat)), cos(radians(lon + (0.01)::DOUBLE) - radians(-81))) AS yb,
+    (0.5)::DOUBLE * (6371007.0)::DOUBLE * (0.9996)::DOUBLE * ln((1 + cos(radians(lat + dy)) * sin(radians(lon + (0.01)::DOUBLE) - radians(-81))) /
+      (1 - cos(radians(lat + dy)) * sin(radians(lon + (0.01)::DOUBLE) - radians(-81)))) + 500000 AS xc,
+    (6371007.0)::DOUBLE * (0.9996)::DOUBLE * atan2(tan(radians(lat + dy)), cos(radians(lon + (0.01)::DOUBLE) - radians(-81))) AS yc
+  FROM tri
+),
+area AS (
+  SELECT o_orderkey,
+         0.5 * abs(xa*yb - xb*ya + xb*yc - xc*yb + xc*ya - xa*yc) AS a
+  FROM proj
+)
+SELECT 'geometry' AS col_name,
+       o_orderkey::VARCHAR AS row_key,
+       'sliver' AS rule_name,
+       '1 slivers found within geometry' AS notes
+FROM area WHERE a < 1000.0
+"""
 
 
 def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -931,4 +982,5 @@ def oracle_sql() -> dict[str, str]:
         "binary_metadata": _binary_metadata_sql(),
         "geo_validate_points": _SQL_GEO_VALIDATE,
         "geo_introduce_points": _SQL_GEO_INTRODUCE,
+        "geo_validate_sliver": _SQL_GEO_SLIVER,
     }

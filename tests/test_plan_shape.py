@@ -48,13 +48,35 @@ def test_describe_exact_rank_has_no_per_column_window(lineitem):
 
     from petk_spark.plans.inspect import executed_plan
 
-    plan_df = describe_frame(lineitem, exact=True, include_mad=False)
+    plan_df = describe_frame(
+        lineitem, exact=True, include_mad=False, rank_strategy="bucketed"
+    )
     plan = executed_plan(plan_df)
     specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
     assert specs, "expected window specs in the exact-mode plan"
     for spec in specs:
         if "vnum" in spec:
             assert "bucket" in spec, f"value-ordered window without bucket: {spec}"
+
+
+def test_describe_auto_rank_uses_window_for_small_source(lineitem):
+    # The auto gate: a small local parquet source takes the windowed
+    # fast path (value-ordered window WITHOUT bucket), because its size
+    # bounds the single reducer harmlessly. Protects the latency win;
+    # the test above protects the scale shape.
+    import re
+
+    from petk_spark.plans.inspect import executed_plan
+
+    plan_df = describe_frame(lineitem, exact=True, include_mad=False)
+    plan = executed_plan(plan_df)
+    specs = [
+        s
+        for s in re.findall(r"windowspecdefinition\(([^)]*)", plan)
+        if "vnum" in s
+    ]
+    assert specs, "expected a value-ordered window in the exact-mode plan"
+    assert all("bucket" not in s for s in specs), specs
 
 
 def test_describe_prunes_columns(lineitem):
