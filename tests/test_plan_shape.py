@@ -79,6 +79,19 @@ def test_describe_auto_rank_uses_window_for_small_source(lineitem):
     assert all("bucket" not in s for s in specs), specs
 
 
+def test_rank_strategies_agree(lineitem):
+    # The windowed fast path and the bucketed 100 TB path are two
+    # physical plans for the SAME logical result — quantiles, distinct
+    # counts, and (histogram-derived) mad must be identical cell for
+    # cell, not merely close: both rank over the same exact histogram.
+    cols = ["l_quantity", "l_extendedprice", "l_shipdate", "l_returnflag"]
+    win = describe_frame(lineitem, cols, exact=True, rank_strategy="windowed")
+    buc = describe_frame(lineitem, cols, exact=True, rank_strategy="bucketed")
+    rows_w = sorted(map(tuple, win.collect()))
+    rows_b = sorted(map(tuple, buc.collect()))
+    assert rows_w == rows_b
+
+
 def test_describe_prunes_columns(lineitem):
     plan_df = describe_frame(lineitem, ["l_quantity"], exact=False,
                              include_mad=False)
