@@ -154,6 +154,32 @@ FROM x GROUP BY 1
 """
 
 
+def _q_validate_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The beyond-reference ``pattern`` rule: single-digit brand ids
+    only, so every two-digit Brand#NN row violates — a real violation
+    set, not a vacuous pass."""
+    from petk_spark.operators.validate import validate_frame
+
+    df = read_table(spark, sf_dir, "part")
+    out = validate_frame(
+        df, {"p_brand": {"pattern": "^Brand#[0-9]$"}}, "p_partkey"
+    )
+    return out.select(
+        F.col("column").alias("col_name"), "row_key",
+        F.col("function").alias("rule_name"), "notes",
+    )
+
+
+_SQL_VALIDATE_PATTERN = """
+SELECT 'p_brand' AS col_name,
+       p_partkey::VARCHAR AS row_key,
+       'pattern' AS rule_name,
+       'Value does not match pattern ''^Brand#[0-9]$''' AS notes
+FROM part
+WHERE p_brand IS NOT NULL AND NOT regexp_matches(p_brand, '^Brand#[0-9]$')
+"""
+
+
 def _q_dedup_first_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic keep-first dedup: one row per o_custkey, the row
     with the minimum o_orderkey (unique, so the winner is well-defined
@@ -926,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact_report": _q_dedup_exact,
         "dedup_first_by": _q_dedup_first_by,
+        "validate_pattern": _q_validate_pattern,
         "stratified_sample": _q_stratified_sample,
         "json_field_profile": _q_json_field_profile,
         "fingerprint_documents": _q_fingerprint,
@@ -961,6 +988,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact_report": _SQL_DEDUP_EXACT,
         "dedup_first_by": _SQL_DEDUP_FIRST_BY,
+        "validate_pattern": _SQL_VALIDATE_PATTERN,
         "stratified_sample": _stratified_sample_sql(),
         "json_field_profile": _SQL_JSON_FIELD_PROFILE,
         "cosine_topk_lsh": _lsh_sql(),

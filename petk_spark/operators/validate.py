@@ -90,11 +90,34 @@ def rule_accepted(df: DataFrame, column: str, key, values) -> DataFrame:
     )
 
 
+def rule_pattern(df: DataFrame, column: str, key, pattern) -> DataFrame:
+    """Beyond-reference rule (SURVEY §2.F): flag string values that do
+    not match ``pattern`` (unanchored search in BOTH engines — anchor
+    with ^...$ for a full-value match). NULLs pass — the rule validates the
+    format of *present* values (range-style semantics, not
+    accepted-style; presence is what the ``accepted``/``range`` null
+    conventions already cover). Keep patterns in the Java∩RE2 common
+    dialect (no backreferences/lookaround) so the DuckDB oracle runs the
+    identical regex."""
+    if isinstance(pattern, (list, tuple)):
+        (pattern,) = pattern
+    c = F.col(column)
+    pred = c.isNotNull() & ~c.rlike(pattern)
+    msg = f"Value does not match pattern '{pattern}'"
+    return df.filter(pred).select(
+        F.lit(column).alias("column"),
+        row_key_expr(key).alias("row_key"),
+        F.lit("pattern").alias("function"),
+        F.lit(msg).alias("notes"),
+    )
+
+
 #: Explicit rule registry replacing the reference's reflective dispatch
 #: (petk/exploration.py:88-91). Geometry rules register on geo import.
 RULE_REGISTRY = {
     "range": rule_range,
     "accepted": rule_accepted,
+    "pattern": rule_pattern,
 }
 
 

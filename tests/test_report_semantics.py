@@ -116,6 +116,17 @@ def test_is_unique_vs_size_with_nulls(spark):
     assert stat(with_null, "p_unique") == pytest.approx(2.0 / 3.0)
 
 
+# -- F12: pattern rule — NULLs pass, non-matching values flagged
+
+def test_pattern_rule_nulls_pass(spark):
+    df = _df(spark, [(1, "AB-1"), (2, "xy"), (3, None)], "k int, v string")
+    rows = Report(df, schema={"v": {"pattern": "^[A-Z]{2}-[0-9]$"}}, key="k") \
+        .validate().collect()
+    flagged = {r["row_key"] for r in rows}
+    assert flagged == {"2"}  # NULL row 3 passes; conforming row 1 passes
+    assert all("pattern" in r["notes"] for r in rows)
+
+
 # -- E3: all-null result rows are dropped on every return
 #    (petk/exploration.py:164)
 
