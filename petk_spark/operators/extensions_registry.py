@@ -180,6 +180,66 @@ WHERE p_brand IS NOT NULL AND NOT regexp_matches(p_brand, '^Brand#[0-9]$')
 """
 
 
+def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 composite cleaning pipeline — the kept-document set is the
+    correctness claim (language filter, quality threshold, and
+    fingerprint keep-first dedup all replayed by the oracle)."""
+    from petk_spark.operators.pipeline import corpus_clean
+
+    df = read_table(spark, sf_dir, "documents")
+    out = corpus_clean(df, "doc_id", "text", lang="en", min_quality=0.5)
+    return out.select(
+        "id", "lang_pred", fmt_sci(F.col("quality")).alias("quality"),
+        "fingerprint",
+    )
+
+
+def _corpus_clean_sql(lang: str = "en", min_quality: float = 0.5) -> str:
+    """DuckDB twin of pipeline.corpus_clean: same marker-word language
+    argmax (reverse-lex fold ≡ first-lang-wins CASE), same fixed-order
+    quality arithmetic, same md5 fingerprint, same keep-lowest-id
+    window."""
+    langs = sorted(text.LANG_MARKERS)
+    scores = ", ".join(
+        f"len(list_filter(tk, t -> list_contains({_duck_list(text.LANG_MARKERS[lg])}, t))) AS s_{lg}"
+        for lg in langs
+    )
+    all_scores = ", ".join(f"s_{lg}" for lg in langs)
+    cases = " ".join(
+        f"WHEN s_{lg} >= 1 AND s_{lg} >= greatest({all_scores}) THEN '{lg}'"
+        for lg in langs
+    )
+    q = """(
+      least(len(tk)::DOUBLE / 20.0, 1.0)
+      + greatest(0.0, 1.0 - CASE WHEN length(text) > 0 THEN
+          len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE / length(text) END * 4)
+      + least(CASE WHEN len(tk) > 0 THEN
+          len(list_filter(tk, t -> list_contains({stops}, t)))::DOUBLE / len(tk) END * 5, 1.0)
+      + CASE WHEN (CASE WHEN len(tk) > 0 THEN
+            list_sum(list_transform(tk, t -> length(t)))::DOUBLE / len(tk) END)
+            BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END
+    ) / 4""".format(stops=_duck_list(text.STOPWORDS))
+    return rf"""
+WITH {_TOKS_CTE},
+scored AS (
+  SELECT doc_id AS id, text, {scores},
+         {q} AS quality,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM toks
+),
+kept AS (
+  SELECT id, CASE {cases} ELSE 'und' END AS lang_pred, quality, fingerprint
+  FROM scored
+  WHERE (CASE {cases} ELSE 'und' END) = '{lang}' AND quality >= {min_quality}
+)
+SELECT id, lang_pred, {dfmt('quality')} AS quality, fingerprint
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY id) AS rn
+  FROM kept
+) WHERE rn = 1
+"""
+
+
 def _q_dedup_first_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic keep-first dedup: one row per o_custkey, the row
     with the minimum o_orderkey (unique, so the winner is well-defined
@@ -953,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_report": _q_dedup_exact,
         "dedup_first_by": _q_dedup_first_by,
         "validate_pattern": _q_validate_pattern,
+        "corpus_clean": _q_corpus_clean,
         "stratified_sample": _q_stratified_sample,
         "json_field_profile": _q_json_field_profile,
         "fingerprint_documents": _q_fingerprint,
@@ -989,6 +1050,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_report": _SQL_DEDUP_EXACT,
         "dedup_first_by": _SQL_DEDUP_FIRST_BY,
         "validate_pattern": _SQL_VALIDATE_PATTERN,
+        "corpus_clean": _corpus_clean_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "json_field_profile": _SQL_JSON_FIELD_PROFILE,
         "cosine_topk_lsh": _lsh_sql(),

@@ -1,0 +1,58 @@
+"""Composite training-data cleaning pipeline (SURVEY §2.F13).
+
+The canonical pre-training corpus pass — language filter → quality
+threshold → canonical-fingerprint dedup — composed from the individual
+oracle-green text operators (``operators/text.py``). One declared
+operator instead of three ad-hoc stages: the point is that the FILTER
+comparisons (not just the displayed values) are deterministic across
+engines, so the kept-document SET itself is the correctness contract.
+
+Scale design: everything before the dedup window is a stateless
+projection + filter (pushed to the scan, no shuffle); the keep-first
+dedup shuffles once on the 16-byte fingerprint — the classic exact-dedup
+shape that holds at 100 TB (hash-partitioned, map-side filtered, no
+driver involvement). Near-dup layers (MinHash/SimHash) are separate
+operators by design: at corpus scale you run them AFTER the cheap exact
+pass shrinks the data.
+
+Cross-engine determinism (why the threshold filter is hash-safe): every
+quality signal is a single int/int division, and the score combines them
+in a fixed left-to-right order — the identical IEEE double expression
+DuckDB evaluates, so ``q >= t`` can't flap on a boundary document
+(verified by the text_quality query hash-matching the formatted score).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from petk_spark.operators.text import fingerprint, language_id, quality_score
+
+
+def corpus_clean(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang: str = "en",
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """Kept documents after the standard cleaning pass:
+    ``(id, lang_pred, quality, fingerprint)`` with one row per distinct
+    normalized text (lowest id wins — deterministic)."""
+    t = F.col(text_col)
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        language_id(t).alias("lang_pred"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+    )
+    kept = scored.filter(
+        (F.col("lang_pred") == lang) & (F.col("quality") >= min_quality)
+    )
+    w = Window.partitionBy("fingerprint").orderBy("id")
+    return (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
