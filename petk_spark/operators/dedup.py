@@ -180,6 +180,50 @@ def jaccard_near_dup(
     return out
 
 
+def fingerprint_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    min_common: int = 2,
+) -> DataFrame:
+    """Partial-overlap / contamination detection: ``(id_a, id_b,
+    n_common)`` pairs of documents sharing at least ``min_common``
+    distinct rolling ``window``-token fingerprints
+    (text.rolling_fingerprints — engine-portable md5-derived hashes, so
+    the pair set is oracle-checkable).
+
+    This is the train/test-contamination primitive: long verbatim spans
+    surface as runs of shared window fingerprints even when whole-doc
+    similarity (Jaccard/MinHash) is low. Scale shape mirrors
+    jaccard_near_dup: explode distinct fingerprints, drop singleton
+    fingerprints (document frequency 1 can never pair) before the
+    self-join, count per pair — one shuffle on the 8-byte fingerprint."""
+    from petk_spark.operators.text import rolling_fingerprints
+
+    fps = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(rolling_fingerprints(F.col(text_col), window))
+        ).alias("fp"),
+    )
+    w_df = Window.partitionBy("fp")
+    fp2 = (
+        fps.withColumn("__df", F.count(F.lit(1)).over(w_df))
+        .filter(F.col("__df") >= 2)
+        .drop("__df")
+    )
+    a = fp2.alias("a")
+    b = fp2.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
 # ---------------------------------------------------------------------------
 # F2b — MinHash + LSH near-dup (the 100 TB path)
 # ---------------------------------------------------------------------------

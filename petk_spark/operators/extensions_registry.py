@@ -180,6 +180,36 @@ WHERE p_brand IS NOT NULL AND NOT regexp_matches(p_brand, '^Brand#[0-9]$')
 """
 
 
+def _q_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test-contamination primitive: pairs sharing ≥2 distinct
+    rolling 8-token-window fingerprints (verbatim-span overlap even when
+    whole-document similarity is low)."""
+    df = read_table(spark, sf_dir, "documents")
+    return dedup.fingerprint_overlap(
+        df, "doc_id", "text", window=8, min_common=2
+    )
+
+
+#: DuckDB twin of dedup.fingerprint_overlap — the same 60-bit md5 base
+#: hash over the same 8-token windows (tk[i:i+7] is DuckDB's inclusive
+#: 8-element slice; range() excludes its upper bound).
+_SQL_FINGERPRINT_OVERLAP = f"""
+WITH {_TOKS_CTE},
+fps AS MATERIALIZED (
+  SELECT doc_id AS id, unnest(list_distinct(
+    CASE WHEN len(tk) >= 8 THEN
+      list_transform(range(1, len(tk) - 6),
+        i -> ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')),1,15))::BIGINT)
+    ELSE [('0x' || substr(md5(array_to_string(tk, ' ')),1,15))::BIGINT] END)) AS fp
+  FROM toks WHERE text IS NOT NULL
+)
+SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+FROM fps a JOIN fps b USING (fp)
+WHERE a.id < b.id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13 composite cleaning pipeline — the kept-document set is the
     correctness claim (language filter, quality threshold, and
@@ -1014,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_first_by": _q_dedup_first_by,
         "validate_pattern": _q_validate_pattern,
         "corpus_clean": _q_corpus_clean,
+        "fingerprint_overlap": _q_fingerprint_overlap,
         "stratified_sample": _q_stratified_sample,
         "json_field_profile": _q_json_field_profile,
         "fingerprint_documents": _q_fingerprint,
@@ -1051,6 +1082,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_first_by": _SQL_DEDUP_FIRST_BY,
         "validate_pattern": _SQL_VALIDATE_PATTERN,
         "corpus_clean": _corpus_clean_sql(),
+        "fingerprint_overlap": _SQL_FINGERPRINT_OVERLAP,
         "stratified_sample": _stratified_sample_sql(),
         "json_field_profile": _SQL_JSON_FIELD_PROFILE,
         "cosine_topk_lsh": _lsh_sql(),

@@ -149,18 +149,28 @@ def fingerprint(text: Column) -> Column:
 
 
 def rolling_fingerprints(text: Column, window: int = 8) -> Column:
-    """Winnowing-style rolling fingerprints: xxhash64 of each
-    ``window``-token shingle — array<bigint> per document. Scale path for
-    partial-overlap detection (not oracle-matched: xxhash64 is
-    Spark-specific)."""
+    """Rolling fingerprints: a 60-bit md5-derived hash of each
+    ``window``-token shingle — array<bigint> per document. The hash is
+    the engine-portable base hash (first 15 hex chars of md5, same as
+    dedup.shingle_hash_expr's pre-mod value), so overlap detection built
+    on these is oracle-checkable; documents shorter than ``window``
+    tokens contribute their whole token string as one fingerprint."""
+
+    def h(s: Column) -> Column:
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
     toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0)))
-    return F.when(
-        F.size(toks) >= window,
-        F.transform(
-            idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window)))
-        ),
-    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
+    return (
+        F.when(text.isNull(), F.lit(None).cast("array<bigint>"))
+        .when(
+            F.size(toks) >= window,
+            F.transform(
+                idx, lambda i: h(F.concat_ws(" ", F.slice(toks, i + 1, window)))
+            ),
+        )
+        .otherwise(F.array(h(F.concat_ws(" ", toks))))
+    )
 
 
 def fingerprint_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
