@@ -21,6 +21,24 @@ def test_embedding_near_dup_requires_integral_id(spark, emb):
         embedding_near_dup(stringy, "vec_id", "embedding")
 
 
+def test_fingerprint_overlap_short_and_null_docs(spark):
+    """Docs shorter than the window fingerprint their whole token string
+    (identical short docs pair); NULL text contributes nothing."""
+    from petk_spark.operators.dedup import fingerprint_overlap
+
+    df = spark.createDataFrame(
+        [
+            (1, "tiny doc"),
+            (2, "Tiny   DOC"),   # same tokens after lower + \s+ split
+            (3, "different"),
+            (4, None),
+        ],
+        "id long, text string",
+    )
+    rows = fingerprint_overlap(df, "id", "text", window=8, min_common=1).collect()
+    assert [(r.id_a, r.id_b, r.n_common) for r in rows] == [(1, 2, 1)]
+
+
 def test_lsh_fallback_subset_and_recall(emb):
     """Above the broadcast ceiling the operator must switch to the
     bucketed LSH path: exact precision (every pair it returns is a true
