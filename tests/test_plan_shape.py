@@ -37,6 +37,13 @@ def test_describe_exact_is_two_scans(lineitem):
     assert scan_count(plan_df) == 2
 
 
+def test_describe_exact_with_mad_is_still_two_scans(lineitem):
+    # mad is derived from the histogram (sum cnt*|v-mean| / n), NOT from
+    # two extra source scans — the round-2 win this test protects.
+    plan_df = describe_frame(lineitem, exact=True, include_mad=True)
+    assert scan_count(plan_df) == 2
+
+
 def test_describe_exact_rank_has_no_per_column_window(lineitem):
     # The 100× hazard fixed in round 2: a running-count window over the
     # value histogram partitioned by column id alone concentrates every
