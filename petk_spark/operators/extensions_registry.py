@@ -154,6 +154,28 @@ FROM x GROUP BY 1
 """
 
 
+def _q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles — percentile() shards by the group key,
+    so each reducer holds one category's values (bounded groups)."""
+    df = read_table(spark, sf_dir, "events")
+    out = grouped.grouped_quantiles(df, "event_type", "value")
+    return out.select(
+        "event_type",
+        *[fmt_sci(F.col(q)).alias(q) for q in ("q05", "q25", "q50", "q75", "q95")],
+    )
+
+
+_SQL_GROUPED_QUANTILES = f"""
+SELECT event_type,
+       {dfmt('quantile_cont(CAST(value AS DOUBLE), 0.05)')} AS q05,
+       {dfmt('quantile_cont(CAST(value AS DOUBLE), 0.25)')} AS q25,
+       {dfmt('quantile_cont(CAST(value AS DOUBLE), 0.5)')} AS q50,
+       {dfmt('quantile_cont(CAST(value AS DOUBLE), 0.75)')} AS q75,
+       {dfmt('quantile_cont(CAST(value AS DOUBLE), 0.95)')} AS q95
+FROM events GROUP BY 1
+"""
+
+
 def _q_validate_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The beyond-reference ``pattern`` rule: single-digit brand ids
     only, so every two-digit Brand#NN row violates — a real violation
@@ -1043,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_report": _q_dedup_exact,
         "dedup_first_by": _q_dedup_first_by,
         "validate_pattern": _q_validate_pattern,
+        "grouped_quantiles": _q_grouped_quantiles,
         "corpus_clean": _q_corpus_clean,
         "fingerprint_overlap": _q_fingerprint_overlap,
         "stratified_sample": _q_stratified_sample,
@@ -1081,6 +1104,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_report": _SQL_DEDUP_EXACT,
         "dedup_first_by": _SQL_DEDUP_FIRST_BY,
         "validate_pattern": _SQL_VALIDATE_PATTERN,
+        "grouped_quantiles": _SQL_GROUPED_QUANTILES,
         "corpus_clean": _corpus_clean_sql(),
         "fingerprint_overlap": _SQL_FINGERPRINT_OVERLAP,
         "stratified_sample": _stratified_sample_sql(),

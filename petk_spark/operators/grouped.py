@@ -39,6 +39,33 @@ def grouped_profile(
     return df.groupBy(*group_cols).agg(*_group_stats(F.col(value_col)))
 
 
+def grouped_quantiles(
+    df: DataFrame,
+    group_cols: str | list[str],
+    value_col: str,
+    probs: tuple = (0.05, 0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Exact interpolated per-group quantiles: (group…, q05..q95).
+
+    Uses ``F.percentile`` (linear interpolation — pandas/DuckDB
+    ``quantile_cont`` identical), which describe() deliberately avoids
+    table-wide because it concentrates each aggregation group on one
+    reducer. HERE that hazard is the point of the operator: grouped
+    quantiles shard by the GROUP key, so each reducer holds one group's
+    values — safe whenever groups are bounded (the usual case for
+    categorical keys), and the describe value-histogram path remains the
+    tool for whole-table quantiles. One shuffle on the group key."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    aggs = [
+        F.expr(
+            f"percentile(CAST(`{value_col}` AS DOUBLE), {p})"
+        ).alias(f"q{str(p).replace('0.', '').ljust(2, '0')}")
+        for p in probs
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
 def windowed_profile(
     df: DataFrame,
     ts_col: str,
