@@ -545,12 +545,15 @@ def source_bytes(df: DataFrame) -> int | None:
 
 
 #: Below this source size the exact-rank path uses one running-count
-#: window per column (fewer stages, no broadcast round-trips): a ≤1 GiB
+#: window per column (fewer stages, no broadcast round-trips): a small
 #: table physically cannot produce the billions-of-distincts column the
 #: bucketed prefix sum protects against — the whole column fits one
-#: reducer with room to spare. Above it (or when the size is unknown),
-#: the bucketed two-stage rank keeps every reducer bounded.
-_WINDOWED_MAX_BYTES = 1 << 30
+#: reducer with room to spare. 256 MiB of COMPRESSED parquet is ≤ a few
+#: GiB of raw values even at 10× compression, and the histogram shuffle
+#: carries ≤ ~24 bytes per DISTINCT value — worst case well under one
+#: executor thread's share. Above it (or when the size is unknown), the
+#: bucketed two-stage rank keeps every reducer bounded.
+_WINDOWED_MAX_BYTES = 256 << 20
 
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:
