@@ -154,6 +154,35 @@ FROM x GROUP BY 1
 """
 
 
+def _q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health profile — collapsed/dead dims and
+    scale outliers surface as rows of this table."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = similarity.embedding_profile(emb, "embedding")
+    return out.select(
+        "dim", "n",
+        fmt_sci(F.col("mean")).alias("mean"),
+        fmt_sci(F.col("std")).alias("std"),
+        fmt_sci(F.col("vmin")).alias("vmin"),
+        fmt_sci(F.col("vmax")).alias("vmax"),
+    )
+
+
+_SQL_EMBEDDING_PROFILE = f"""
+WITH long AS (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+)
+SELECT dim, count(v) AS n,
+       {dfmt('avg(v)')} AS mean,
+       {dfmt('stddev_samp(v)')} AS std,
+       {dfmt('min(v)')} AS vmin,
+       {dfmt('max(v)')} AS vmax
+FROM long GROUP BY 1
+"""
+
+
 def _q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group quantiles — percentile() shards by the group key,
     so each reducer holds one category's values (bounded groups)."""
@@ -1066,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_first_by": _q_dedup_first_by,
         "validate_pattern": _q_validate_pattern,
         "grouped_quantiles": _q_grouped_quantiles,
+        "embedding_profile": _q_embedding_profile,
         "corpus_clean": _q_corpus_clean,
         "fingerprint_overlap": _q_fingerprint_overlap,
         "stratified_sample": _q_stratified_sample,
@@ -1105,6 +1135,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_first_by": _SQL_DEDUP_FIRST_BY,
         "validate_pattern": _SQL_VALIDATE_PATTERN,
         "grouped_quantiles": _SQL_GROUPED_QUANTILES,
+        "embedding_profile": _SQL_EMBEDDING_PROFILE,
         "corpus_clean": _corpus_clean_sql(),
         "fingerprint_overlap": _SQL_FINGERPRINT_OVERLAP,
         "stratified_sample": _stratified_sample_sql(),

@@ -62,6 +62,34 @@ def cosine_topk(
 # Random-hyperplane LSH bucketing (scale path)
 # ---------------------------------------------------------------------------
 
+def embedding_profile(df: DataFrame, vec_col: str) -> DataFrame:
+    """Per-dimension embedding QA profile: ``(dim, n, mean, std, vmin,
+    vmax)``, dim 1-based. Collapsed dimensions (std ≈ 0), dead
+    dimensions (mean = min = max = 0), and scale outliers fall straight
+    out of this table — the standard health check before trusting
+    cosine distances.
+
+    Scale: ``posexplode`` fans each row into D value rows, then ONE hash
+    aggregation on the dimension index — D groups (64…4096), perfectly
+    balanced by construction, map-side partials absorb the fan-out.
+    Values cast to double BEFORE aggregation so both engines sum the
+    same operands (the profile, like DuckDB, widens float32 inputs)."""
+    v = F.explode(
+        F.arrays_zip(
+            F.sequence(F.lit(1), F.size(F.col(vec_col))).alias("dim"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    )
+    long = df.select(v.alias("e")).select("e.dim", "e.v")
+    return long.groupBy("dim").agg(
+        F.count("v").alias("n"),
+        F.avg("v").alias("mean"),
+        F.stddev_samp("v").alias("std"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+    )
+
+
 def hyperplane_signature(
     vec: Column, planes: list[list[float]]
 ) -> Column:
