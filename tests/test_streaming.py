@@ -112,6 +112,44 @@ def test_streaming_dedup(spark, stream_dir):
     assert ids == [1, 2, 3, 4, 5, 6]
 
 
+def test_stateless_text_ops_run_on_streams(spark, tmp_path):
+    """The text operators are pure projections, so they run UNCHANGED on
+    a readStream frame — no dedicated streaming variant needed. Pins
+    that contract (quality/language/fingerprint over a file stream match
+    the batch result on the same data)."""
+    import petk_spark.operators.text as T
+
+    d = str(tmp_path / "docs")
+    schema = "doc_id long, text string"
+    batch = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog"),
+         (2, "der hund und die katze sind nicht da")],
+        schema,
+    )
+    batch.write.parquet(d)
+
+    stream = spark.readStream.schema(schema).parquet(d)
+    out = T.language_id_frame(stream, "doc_id", "text").join(
+        T.fingerprint_frame(stream, "doc_id", "text"), "id"
+    )
+    assert out.isStreaming
+    qname = f"t_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {
+        (r.id, r.lang_pred, r.fingerprint)
+        for r in spark.sql(f"SELECT * FROM {qname}").collect()
+    }
+    want = {
+        (r.id, r.lang_pred, r.fingerprint)
+        for r in T.language_id_frame(batch, "doc_id", "text")
+        .join(T.fingerprint_frame(batch, "doc_id", "text"), "id")
+        .collect()
+    }
+    assert got == want and len(got) == 2
+
+
 def test_running_profile_welford(spark, stream_dir):
     sdf = spark.readStream.schema(SCHEMA).parquet(stream_dir)
     out = running_profile(sdf, "event_type", "value")
