@@ -154,6 +154,45 @@ FROM x GROUP BY 1
 """
 
 
+def _q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17 drift monitor over a deterministic snapshot pair: full orders
+    vs the even-orderkey half (a stand-in for yesterday/today)."""
+    from petk_spark.operators.drift import profile_drift
+
+    full = read_table(spark, sf_dir, "orders")
+    half = full.filter(F.col("o_orderkey") % 2 == 0)
+    out = profile_drift(full, half, ["o_totalprice", "o_custkey"])
+    return out.select(
+        "col_name", "statistic",
+        fmt_sci(F.col("value_a")).alias("value_a"),
+        fmt_sci(F.col("value_b")).alias("value_b"),
+    )
+
+
+def _profile_drift_sql() -> str:
+    from petk_spark.operators.drift import _STATS
+
+    cols = ["o_totalprice", "o_custkey"]
+    sides = {"a": "orders", "b": "(SELECT * FROM orders WHERE o_orderkey % 2 = 0)"}
+    selects = []
+    for tag, src in sides.items():
+        aggs = []
+        for c in cols:
+            v = f"CAST({c} AS DOUBLE)"
+            for stat, tpl in _STATS.items():
+                aggs.append(tpl.format(v=v, c=c) + f" AS {c}__{stat}")
+        selects.append(f"{tag} AS (SELECT {', '.join(aggs)} FROM {src})")
+    rows = []
+    for c in cols:
+        for stat in _STATS:
+            rows.append(
+                f"SELECT '{c}' AS col_name, '{stat}' AS statistic, "
+                f"{dfmt(f'a.{c}__{stat}::DOUBLE')} AS value_a, "
+                f"{dfmt(f'b.{c}__{stat}::DOUBLE')} AS value_b FROM a, b"
+            )
+    return "WITH " + ", ".join(selects) + "\n" + "\nUNION ALL ".join(rows)
+
+
 def _q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension embedding health profile — collapsed/dead dims and
     scale outliers surface as rows of this table."""
@@ -1096,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_pattern": _q_validate_pattern,
         "grouped_quantiles": _q_grouped_quantiles,
         "embedding_profile": _q_embedding_profile,
+        "profile_drift": _q_profile_drift,
         "corpus_clean": _q_corpus_clean,
         "fingerprint_overlap": _q_fingerprint_overlap,
         "stratified_sample": _q_stratified_sample,
@@ -1136,6 +1176,7 @@ def oracle_sql() -> dict[str, str]:
         "validate_pattern": _SQL_VALIDATE_PATTERN,
         "grouped_quantiles": _SQL_GROUPED_QUANTILES,
         "embedding_profile": _SQL_EMBEDDING_PROFILE,
+        "profile_drift": _profile_drift_sql(),
         "corpus_clean": _corpus_clean_sql(),
         "fingerprint_overlap": _SQL_FINGERPRINT_OVERLAP,
         "stratified_sample": _stratified_sample_sql(),
