@@ -151,8 +151,13 @@ def _agg_sql(name: str, ltype: str, exact: bool) -> list[str]:
             f"avg({nv}) AS `{name}::mean`",
             f"stddev_samp({nv}) AS `{name}::std`",
             f"var_samp({nv}) AS `{name}::variance`",
-            f"skewness({nv}) AS `{name}::_g1`",
-            f"kurtosis({nv}) AS `{name}::_g2`",
+            # NOTE: no skewness()/kurtosis() builtins here — their ANSI
+            # finalization throws DIVIDE_BY_ZERO when m2 underflows to 0
+            # (constant column, or near-constant doubles — found by the
+            # hypothesis suite). _g1/_g2 come from a try_divide-guarded
+            # two-pass centered-moment computation instead: off the value
+            # histogram in exact mode, off the means pass in approx mode
+            # — the same formula the DuckDB oracle uses (oracle.py).
             f"sum({nv}) AS `{name}::sum`",
             # coalesce: an all-null column aggregates only NULL addends
             # and sum() yields NULL, but the reference's np.count_nonzero
@@ -391,30 +396,53 @@ def _exact_value_stats(
                     )
         one = one.crossJoin(F.broadcast(ranked.agg(*[F.expr(a) for a in q_aggs])))
 
-    if mad_cols:
-        # mad from the (persisted) histogram instead of two more source
-        # scans: mean = Σ cnt·v / n and mad = Σ cnt·|v − mean| / n over
+    num_cols = [c for c in cols if ltypes[c] == constants.TYPE_NUM]
+    if num_cols:
+        # mad AND the central moments behind skewness/kurtosis come from
+        # the (persisted) histogram instead of extra source scans:
+        # mean = Σ cnt·v / n, then m_k = Σ cnt·(v − mean)^k / n over
         # DISTINCT values — algebraically identical to the row-level
-        # two-pass, two full scans cheaper (the default describe path
-        # went 4 source scans → 2). Float summation order differs from
-        # the row-level pass, which the %.6e oracle contract absorbs
-        # exactly as it absorbs cross-engine order differences.
-        m_idx = [idx[c] for c in mad_cols]
-        mad_aggs = [
-            f"try_divide("
-            f"sum(IF(cid = {idx[c]}, cnt * abs(vnum - wsum / ntot), NULL)),"
-            f" max(IF(cid = {idx[c]}, ntot, NULL))) AS `{c}::mad`"
-            for c in mad_cols
-        ]
-        mad_row = (
+        # two-pass (and to the DuckDB oracle's explicit formula), two
+        # full scans cheaper than a means+second-pass chain. Float
+        # summation order differs from a row-level pass, which the %.6e
+        # oracle contract absorbs exactly as it absorbs cross-engine
+        # order differences. try_divide: an all-null or constant column
+        # yields NULL moments instead of ANSI DIVIDE_BY_ZERO (the Spark
+        # builtin aggregates throw on m2 = 0).
+        m_idx = [idx[c] for c in num_cols]
+        mom_aggs = []
+        for c in num_cols:
+            i = idx[c]
+            for k in (2, 3, 4):
+                mom_aggs.append(
+                    f"try_divide("
+                    f"sum(IF(cid = {i}, cnt * pow(vnum - wsum / ntot, {k}), NULL)),"
+                    f" max(IF(cid = {i}, ntot, NULL))) AS `{c}::_m{k}`"
+                )
+            if c in mad_cols:
+                mom_aggs.append(
+                    f"try_divide("
+                    f"sum(IF(cid = {i}, cnt * abs(vnum - wsum / ntot), NULL)),"
+                    f" max(IF(cid = {i}, ntot, NULL))) AS `{c}::mad`"
+                )
+        mom_row = (
             hist.filter(F.col("cid").isin(m_idx))
             .join(F.broadcast(totals.select("cid", "ntot", "wsum")), ["cid"])
-            .agg(*[F.expr(a) for a in mad_aggs])
+            .agg(*[F.expr(a) for a in mom_aggs])
         )
-        one = one.crossJoin(F.broadcast(mad_row))
+        derived = [
+            e
+            for c in num_cols
+            for e in (
+                f"try_divide(`{c}::_m3`, pow(`{c}::_m2`, 1.5)) AS `{c}::_g1`",
+                f"try_divide(`{c}::_m4`, pow(`{c}::_m2`, 2)) - 3 AS `{c}::_g2`",
+            )
+        ] + [f"`{c}::mad`" for c in num_cols if c in mad_cols]
+        one = one.crossJoin(F.broadcast(mom_row.selectExpr(*derived)))
 
     final = [f"`{c}::distinct_count`" for c in dist_cols]
-    final += [f"`{c}::mad`" for c in mad_cols]
+    final += [f"`{c}::mad`" for c in num_cols if c in mad_cols]
+    final += [e for c in num_cols for e in (f"`{c}::_g1`", f"`{c}::_g2`")]
     for c in q_cols:
         n = f"`{c}::_qn`"
         parts = []
@@ -641,30 +669,43 @@ def describe_frame(
         aggs += _agg_sql(c, ltypes[c], exact)
     stats = df.agg(*[F.expr(s) for s in aggs])
     num_cols = [c for c in cols if ltypes[c] == constants.TYPE_NUM]
-    mad_in_hist = False
+    has_mad = bool(include_mad and num_cols)
     if exact:
-        mad_wanted = num_cols if include_mad else ()
+        # value histogram provides distinct/quantiles AND the central
+        # moments (_g1/_g2, mad) — no second source pass in exact mode.
         value_stats = _exact_value_stats(
-            df, cols, ltypes, rank_strategy, mad_cols=mad_wanted
+            df, cols, ltypes, rank_strategy,
+            mad_cols=num_cols if include_mad else (),
         )
         if value_stats is not None:
             stats = stats.crossJoin(F.broadcast(value_stats))
-            mad_in_hist = bool(mad_wanted)
-
-    has_mad = bool(include_mad and num_cols)
-    if has_mad and not mad_in_hist:
+    elif num_cols:
+        # Approx mode: a small means pass, then ONE second scan with the
+        # centered moments (and mad). Same try_divide-guarded formula as
+        # the histogram path and the DuckDB oracle — never throws on a
+        # constant column, unlike the skewness()/kurtosis() builtins.
         means = df.agg(
             *[F.expr(f"avg({_nv(c, ltypes[c])}) AS `{c}::m`") for c in num_cols]
         )
-        mad = df.crossJoin(F.broadcast(means)).agg(
-            *[
-                F.expr(
-                    f"avg(abs({_nv(c, ltypes[c])} - `{c}::m`)) AS `{c}::mad`"
-                )
-                for c in num_cols
-            ]
+        exprs = []
+        for c in num_cols:
+            nv, m = _nv(c, ltypes[c]), f"`{c}::m`"
+            for k in (2, 3, 4):
+                exprs.append(f"avg(pow({nv} - {m}, {k})) AS `{c}::_m{k}`")
+            if has_mad:
+                exprs.append(f"avg(abs({nv} - {m})) AS `{c}::mad`")
+        second = df.crossJoin(F.broadcast(means)).agg(
+            *[F.expr(e) for e in exprs]
         )
-        stats = stats.crossJoin(F.broadcast(mad))
+        derived = [
+            e
+            for c in num_cols
+            for e in (
+                f"try_divide(`{c}::_m3`, pow(`{c}::_m2`, 1.5)) AS `{c}::_g1`",
+                f"try_divide(`{c}::_m4`, pow(`{c}::_m2`, 2)) - 3 AS `{c}::_g2`",
+            )
+        ] + ([f"`{c}::mad`" for c in num_cols] if has_mad else [])
+        stats = stats.crossJoin(F.broadcast(second.selectExpr(*derived)))
 
     entries = []
     for c in cols:
