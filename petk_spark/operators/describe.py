@@ -10,7 +10,14 @@ frame by exploding an array of structs over the 1-row aggregate.
 Expressions are generated as SQL text and parsed once (a Column-object
 builder at this width costs seconds of py4j round trips).
 
-Job structure: approx mode (the 100 TB path) is ONE scan. Exact mode is
+Job structure: approx mode (the 100 TB path) is ONE scan — the central
+moments behind skewness/kurtosis are computed in the same bundle as
+one-pass SHIFTED power sums ``avg((x-a)^k)`` with a per-column anchor
+``a`` read from the parquet footer (driver-side metadata, no job; see
+``_moment_anchors``), which is as stable as a two-pass for any anchor
+near the data. ``include_mad=True`` adds one full scan (mad needs the
+finished mean first) plus one narrow means-only scan that AQE's
+query-stage reuse dedupes at runtime. Exact mode is
 two fused scans: the main moment bundle, plus ONE value-histogram pass
 (``groupBy(column_id, value)``) that yields BOTH exact distinct counts
 AND exact linear-interpolated percentiles for every applicable column.
@@ -23,8 +30,7 @@ hash-partitioned on (column, value) with map-side partial aggregation,
 so the shuffle carries only distinct values; rank arithmetic over a
 per-column running count then recovers pandas-exact quantiles.
 ``include_mad`` is free in exact mode (computed from the value
-histogram: Σ cnt·|v − mean| / n over distinct values); in approx mode it
-adds one more scan (mad needs the mean first).
+histogram: Σ cnt·|v − mean| / n over distinct values).
 
 Statistics and their type gating mirror petk/tools.py exactly:
   * all types:       content_type, memory_usage, count, p_null, n_null
@@ -110,14 +116,22 @@ def _nv(name: str, ltype: str) -> str:
     return f"CAST(`{name}` AS DOUBLE)"
 
 
-def _agg_sql(name: str, ltype: str, exact: bool) -> list[str]:
+def _agg_sql(
+    name: str, ltype: str, exact: bool, anchor: float | None = None
+) -> list[str]:
     """Aggregate expressions for one column, aliased ``{name}::{stat}``.
 
     In exact mode, distinct_count and quantiles are NOT produced here —
     they come from the value-histogram pass (``_exact_value_stats``),
     because ``count(DISTINCT)`` (EXPAND row replication) and
     ``percentile`` (single-reducer ObjectHashAggregate) in this bundle
-    were the dominant cost at sf0.1 and do not scale."""
+    were the dominant cost at sf0.1 and do not scale.
+
+    In approx mode NUMERIC columns additionally get the one-pass shifted
+    power sums ``_s1.._s4`` = ``avg((x - anchor)^k)`` feeding the
+    skewness/kurtosis central moments — keeping approx describe a
+    strict single scan (the round-2 two-pass chain read the source
+    three times)."""
     nv = _nv(name, ltype)
     c = f"`{name}`"
     out = [f"count({c}) AS `{name}::count`"]
@@ -167,6 +181,15 @@ def _agg_sql(name: str, ltype: str, exact: bool) -> list[str]:
             f" + CAST({nv} = double('-inf') AS BIGINT)), 0) AS `{name}::n_infinite`",
             f"coalesce(sum(CAST({nv} = 0.0 AS BIGINT)), 0) AS `{name}::n_zeros`",
         ]
+        if not exact:
+            a = repr(float(anchor or 0.0))
+            sa = f"({nv} - CAST({a} AS DOUBLE))"
+            out += [
+                f"avg({sa}) AS `{name}::_s1`",
+                f"avg(pow({sa}, 2)) AS `{name}::_s2`",
+                f"avg(pow({sa}, 3)) AS `{name}::_s3`",
+                f"avg(pow({sa}, 4)) AS `{name}::_s4`",
+            ]
     return out
 
 
@@ -459,6 +482,24 @@ def _exact_value_stats(
     return one.selectExpr(*final)
 
 
+#: 2^-52 — double-precision machine epsilon, shared with oracle.py.
+EPS = 2.220446049250313e-16
+
+
+def _cv_sql(name: str) -> str:
+    """cv with the subnormal-mean guard (see the comment at the call
+    site and CHANGES.md §7)."""
+    mean, std = f"`{name}::mean`", f"`{name}::std`"
+    noise = (
+        f"CAST(`{name}::count` AS DOUBLE) * {EPS!r}"
+        f" * greatest(abs(`{name}::min`), abs(`{name}::max`))"
+    )
+    return (
+        f"CASE WHEN abs({mean}) <= {noise} THEN NULL"
+        f" ELSE try_divide({std}, {mean}) END"
+    )
+
+
 def _entry_sql(column: str, statistic: str, num_expr: str, str_expr: str = "CAST(NULL AS STRING)") -> str:
     col_lit = column.replace("'", "\\'")
     return (
@@ -538,16 +579,83 @@ def _long_sql(name: str, ltype: str, has_mad: bool) -> list[str]:
             _entry_sql(name, "skewness", skew),
             _entry_sql(name, "sum", f"`{name}::sum`"),
             _entry_sql(name, "mad", mad),
-            # try_divide ≡ DuckDB's NULL-on-zero-divisor double division —
-            # keeps cv (mean=0) and the ratios (empty frame) oracle-equal
-            # instead of raising under ANSI mode.
-            _entry_sql(name, "cv", f"try_divide(`{name}::std`, `{name}::mean`)"),
+            # cv = std/mean is ill-defined when the mean is numerically
+            # zero: a cancellation-heavy column can sum to exactly 0.0
+            # under one row order (→ NULL via try_divide) and to a
+            # subnormal under another (→ ±Infinity) — found by the
+            # permutation property suite. Pin the semantics: cv is NULL
+            # whenever |mean| is below the column's summation noise
+            # floor, count · eps · max(|min|, |max|) — a threshold built
+            # only from permutation-invariant quantities. The identical
+            # guard lives in the DuckDB twin (oracle.py) so cross-engine
+            # sum-order differences cannot flap the describe hash.
+            # (CHANGES.md §7.)
+            _entry_sql(name, "cv", _cv_sql(name)),
             _entry_sql(name, "p_infinite", f"try_divide({n_inf}, {rows})"),
             _entry_sql(name, "n_infinite", n_inf),
             _entry_sql(name, "n_zeros", n_zero),
             _entry_sql(name, "p_zeros", f"try_divide({n_zero}, {rows})"),
         ]
     return e
+
+
+def _moment_anchors(df: DataFrame, num_cols) -> dict[str, float]:
+    """Per-column shift anchors for the one-pass centered-moment bundle
+    (approx mode), read from the parquet footer of ONE input file (first
+    row group's column statistics) — driver-side metadata only, no Spark
+    job, so the operator stays lazy.
+
+    An anchor only needs to be NEAR the data: ``Σ(x−a)^k`` is as stable
+    as an explicit two-pass for any sane ``a`` (the residual cancellation
+    scales with ``|mean − a| / spread``), so one row group's min/max
+    midpoint is plenty. A column is skipped (anchor 0.0 = plain power
+    sums — still fine unless mean ≫ spread) when the footer carries no
+    stats or when the parquet physical type category differs from the
+    DataFrame field type — evidence the column was transformed after the
+    scan (e.g. events.ts nanos → epoch seconds), where footer values
+    would be wildly wrong and the shift would HURT stability."""
+    import math
+    from urllib.parse import unquote, urlparse
+
+    out: dict[str, float] = {}
+    num_set = set(num_cols)
+    if not num_set:
+        return out
+    try:
+        import pyarrow.parquet as pq
+
+        files = df.inputFiles()
+        if not files:
+            return out
+        u = urlparse(files[0])
+        if u.scheme not in ("", "file"):
+            return out
+        spark_types = {f.name: f.dataType.typeName() for f in df.schema.fields}
+        integral = ("byte", "short", "integer", "long")
+        rg = pq.ParquetFile(unquote(u.path)).metadata.row_group(0)
+        for i in range(rg.num_columns):
+            cc = rg.column(i)
+            name = cc.path_in_schema
+            if name not in num_set:
+                continue
+            st = cc.statistics
+            if st is None or not st.has_min_max:
+                continue
+            sp = spark_types.get(name, "")
+            ok = (cc.physical_type in ("INT32", "INT64") and sp in integral) or (
+                cc.physical_type in ("FLOAT", "DOUBLE") and sp in ("float", "double")
+            )
+            if not ok:
+                continue
+            mn, mx = st.min, st.max
+            if not isinstance(mn, (int, float)) or not isinstance(mx, (int, float)):
+                continue
+            mid = (float(mn) + float(mx)) / 2.0
+            if math.isfinite(mid):
+                out[name] = mid
+    except Exception:  # pragma: no cover - advisory metadata probe
+        return {}
+    return out
 
 
 def source_bytes(df: DataFrame) -> int | None:
@@ -663,13 +771,14 @@ def describe_frame(
     df = ensure_parallelism(df.select(*dict.fromkeys(cols)))
     fields = {f.name: f for f in df.schema.fields}
     ltypes = {c: static_logical_type(fields[c]) for c in cols}
-
-    aggs = ["count(1) AS `::rows`"]
-    for c in cols:
-        aggs += _agg_sql(c, ltypes[c], exact)
-    stats = df.agg(*[F.expr(s) for s in aggs])
     num_cols = [c for c in cols if ltypes[c] == constants.TYPE_NUM]
     has_mad = bool(include_mad and num_cols)
+
+    anchors = _moment_anchors(df, num_cols) if not exact else {}
+    aggs = ["count(1) AS `::rows`"]
+    for c in cols:
+        aggs += _agg_sql(c, ltypes[c], exact, anchors.get(c))
+    stats = df.agg(*[F.expr(s) for s in aggs])
     if exact:
         # value histogram provides distinct/quantiles AND the central
         # moments (_g1/_g2, mad) — no second source pass in exact mode.
@@ -680,32 +789,45 @@ def describe_frame(
         if value_stats is not None:
             stats = stats.crossJoin(F.broadcast(value_stats))
     elif num_cols:
-        # Approx mode: a small means pass, then ONE second scan with the
-        # centered moments (and mad). Same try_divide-guarded formula as
-        # the histogram path and the DuckDB oracle — never throws on a
-        # constant column, unlike the skewness()/kurtosis() builtins.
-        means = df.agg(
-            *[F.expr(f"avg({_nv(c, ltypes[c])}) AS `{c}::m`") for c in num_cols]
-        )
-        exprs = []
+        # Approx mode: central moments from the shifted power sums of
+        # the MAIN bundle — pure 1-row arithmetic, no extra scan. The
+        # m2 > 0 guard yields NULL skew/kurt for constant (or all-null)
+        # columns instead of the ANSI DIVIDE_BY_ZERO the builtins throw,
+        # matching the exact path's try_divide semantics.
+        derived = []
         for c in num_cols:
-            nv, m = _nv(c, ltypes[c]), f"`{c}::m`"
-            for k in (2, 3, 4):
-                exprs.append(f"avg(pow({nv} - {m}, {k})) AS `{c}::_m{k}`")
-            if has_mad:
-                exprs.append(f"avg(abs({nv} - {m})) AS `{c}::mad`")
-        second = df.crossJoin(F.broadcast(means)).agg(
-            *[F.expr(e) for e in exprs]
-        )
-        derived = [
-            e
-            for c in num_cols
-            for e in (
-                f"try_divide(`{c}::_m3`, pow(`{c}::_m2`, 1.5)) AS `{c}::_g1`",
-                f"try_divide(`{c}::_m4`, pow(`{c}::_m2`, 2)) - 3 AS `{c}::_g2`",
+            s1, s2, s3, s4 = (f"`{c}::_s{k}`" for k in (1, 2, 3, 4))
+            m2 = f"({s2} - pow({s1}, 2))"
+            m3 = f"({s3} - 3 * {s1} * {s2} + 2 * pow({s1}, 3))"
+            m4 = (
+                f"({s4} - 4 * {s1} * {s3}"
+                f" + 6 * pow({s1}, 2) * {s2} - 3 * pow({s1}, 4))"
             )
-        ] + ([f"`{c}::mad`" for c in num_cols] if has_mad else [])
-        stats = stats.crossJoin(F.broadcast(second.selectExpr(*derived)))
+            derived += [
+                f"CASE WHEN {m2} > 0 THEN {m3} / pow({m2}, 1.5) END"
+                f" AS `{c}::_g1`",
+                f"CASE WHEN {m2} > 0 THEN {m4} / pow({m2}, 2) - 3 END"
+                f" AS `{c}::_g2`",
+            ]
+        stats = stats.selectExpr("*", *derived)
+        if has_mad:
+            # mad needs the finished mean first: one second scan joined
+            # to the bundle's means. Catalyst prunes the broadcast mean
+            # subtree to a narrow avg-only aggregate (NOT the full
+            # sketch bundle), and AQE query-stage reuse dedupes its
+            # shuffle at runtime — pinned in tests/test_plan_shape.py.
+            mad_row = df.crossJoin(
+                F.broadcast(stats.selectExpr(*[f"`{c}::mean`" for c in num_cols]))
+            ).agg(
+                *[
+                    F.expr(
+                        f"avg(abs({_nv(c, ltypes[c])} - `{c}::mean`))"
+                        f" AS `{c}::mad`"
+                    )
+                    for c in num_cols
+                ]
+            )
+            stats = stats.crossJoin(F.broadcast(mad_row))
 
     entries = []
     for c in cols:

@@ -63,10 +63,10 @@ TABLE_TYPES: dict[str, list[tuple[str, str]]] = {
 _QLABEL = dict(zip(constants.QUANTILE_LABELS, constants.QUANTILES))
 
 
-#: Per-column source-expression overrides for oracle parity. events.ts is
-#: nanosecond parquet: Spark reads raw nanos (nanosAsLong) and truncates
-#: to micros; DuckDB truncates to a micro TIMESTAMP at read — both sides
-#: profile (epoch micros)/1e6 seconds as a plain NUMERIC column.
+#: Per-column source-expression overrides for oracle parity. events.ts
+#: is parquet timestamp data: both engines profile it as epoch seconds
+#: at microsecond resolution — (epoch micros)/1e6 as a plain NUMERIC
+#: column, timezone-independent on the Spark side (sources/tables.py).
 COLUMN_EXPR: dict[tuple[str, str], str] = {
     ("events", "ts"): "(CAST(epoch_us(ts) AS DOUBLE) / 1e6)",
 }
@@ -175,7 +175,23 @@ def describe_sql(table: str, columns: list[str] | None = None) -> str:
             )
             row(col, "sum", fmt(f"{col}__sum"))
             row(col, "mad", fmt(f"{col}__mad"))
-            row(col, "cv", fmt(f"{col}__std / {col}__mean"))
+            # Subnormal-mean guard — the identical expression as the
+            # engine side (describe._cv_sql, CHANGES.md §7): cv is NULL
+            # whenever |mean| sits below the column's summation noise
+            # floor, so cross-engine sum-order differences can't flap
+            # the hash between NULL and ±huge.
+            noise = (
+                f"CAST({col}__count AS DOUBLE) * 2.220446049250313e-16"
+                f" * greatest(abs({col}__min), abs({col}__max))"
+            )
+            row(
+                col,
+                "cv",
+                fmt(
+                    f"CASE WHEN abs({col}__mean) <= {noise} THEN NULL"
+                    f" ELSE {col}__std / {col}__mean END"
+                ),
+            )
             row(col, "p_infinite", fmt(f"{col}__ninf / rows_"))
             row(col, "n_infinite", fmt(f"{col}__ninf"))
             row(col, "n_zeros", fmt(f"{col}__nzeros"))

@@ -1,11 +1,14 @@
 """Fixture-table reader shared by the driver contract, extensions and
 bench.
 
-events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-rejects; it is read as raw nanos (``nanosAsLong``) and profiled as epoch
-SECONDS (double) truncated to microseconds — the same double DuckDB
-produces from its micro-truncated read of the same file, keeping every
-events oracle bit-comparable.
+events.ts is a parquet timestamp column profiled as epoch SECONDS
+(double) at microsecond resolution — the same double DuckDB produces
+from ``epoch_us(ts)/1e6``, keeping every events oracle bit-comparable.
+The conversion is timezone-independent (``timestampdiff`` against the
+NTZ epoch), so a driver session with a non-UTC session timezone cannot
+shift the profile. Older Spark builds read TIMESTAMP(NANOS) parquet
+only as raw ``bigint`` nanos (``nanosAsLong``); that legacy shape is
+still handled for compatibility.
 """
 
 from __future__ import annotations
@@ -19,9 +22,23 @@ EVENTS_TS_SQL = "(CAST(epoch_us(ts) AS DOUBLE) / 1e6)"
 
 def read_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:  # removed in Spark 4.1+ (nanos now read as TIMESTAMP_NTZ)
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        return df.withColumn(
-            "ts", (F.expr("ts div 1000").cast("double") / F.lit(1e6))
-        )
+        dtype = dict(df.dtypes).get("ts")
+        if dtype == "bigint":  # legacy nanosAsLong read
+            ts = F.expr("ts div 1000").cast("double") / F.lit(1e6)
+        elif dtype == "timestamp_ntz":  # naive micros — diff vs NTZ epoch
+            ts = (
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                ).cast("double")
+                / F.lit(1e6)
+            )
+        else:  # instant (LTZ) micros — absolute offset from UTC epoch
+            ts = F.expr("unix_micros(ts)").cast("double") / F.lit(1e6)
+        return df.withColumn("ts", ts)
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")

