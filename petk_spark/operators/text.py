@@ -3,8 +3,11 @@ LLM-pipeline extensions): text profile, token counting, quality scoring,
 language identification, document fingerprinting.
 
 All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM
-whole-stage codegen); nothing here drops to Python. Every operator is a
-single scan with map-side partial aggregation where it aggregates.
+whole-stage codegen), except ``rolling_fingerprints``, which is an
+Arrow-batched pandas UDF — the HOF expression chain it replaces is
+CodegenFallback (interpreted per element, measured 3× slower for the
+same shape in dedup._shingles). Every operator is a single scan with
+map-side partial aggregation where it aggregates.
 
 Oracle notes: token/char counts are integers (bit-stable); ratios are
 formatted through the %.6e contract; fingerprints use md5 (identical
@@ -12,6 +15,10 @@ algorithm and hex encoding in Spark and DuckDB).
 """
 
 from __future__ import annotations
+
+# Module scope: the pandas_udf type-hint resolver evaluates annotations
+# in the function's global namespace (see rolling_fingerprints).
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -154,23 +161,43 @@ def rolling_fingerprints(text: Column, window: int = 8) -> Column:
     the engine-portable base hash (first 15 hex chars of md5, same as
     dedup.shingle_hash_expr's pre-mod value), so overlap detection built
     on these is oracle-checkable; documents shorter than ``window``
-    tokens contribute their whole token string as one fingerprint."""
+    tokens contribute their whole token string as one fingerprint.
 
-    def h(s: Column) -> Column:
-        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+    Arrow-batched pandas UDF. The previous pure-expression version
+    (sequence + transform + slice + concat_ws HOFs) computed the same
+    arrays, but higher-order functions are CodegenFallback — interpreted
+    per element — the identical pattern already measured 3× slower for
+    shingling (dedup._shingles) and replaced the same way. Tokenization
+    matches dedup._shingles / the DuckDB oracle CTE exactly: ``re.ASCII``
+    pins Python's ``\\s`` to Java/RE2's ASCII whitespace class, and the
+    per-shingle hash int(md5[:15], 16) is bit-identical to
+    ``conv(substring(md5(s), 1, 15), 16, 10)``."""
+    import hashlib
+    import re
 
-    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0)))
-    return (
-        F.when(text.isNull(), F.lit(None).cast("array<bigint>"))
-        .when(
-            F.size(toks) >= window,
-            F.transform(
-                idx, lambda i: h(F.concat_ws(" ", F.slice(toks, i + 1, window)))
-            ),
-        )
-        .otherwise(F.array(h(F.concat_ws(" ", toks))))
-    )
+    from pyspark.sql.types import ArrayType, LongType
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def u(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            toks = [w for w in ws.split(t.lower()) if w]
+            if len(toks) >= window:
+                return [
+                    h(" ".join(toks[i : i + window]))
+                    for i in range(len(toks) - window + 1)
+                ]
+            return [h(" ".join(toks))]
+
+        return texts.map(one)
+
+    return u(text)
 
 
 def fingerprint_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
