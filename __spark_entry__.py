@@ -35,19 +35,47 @@ def entry(spark: SparkSession) -> DataFrame:
 # describe / introduce
 # ---------------------------------------------------------------------------
 
-def _describe_query(table: str, columns=None):
-    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        df = _read(spark, sf_dir, table)
-        long = describe_frame(df, columns, exact=True, include_mad=True)
-        return long.filter(F.col("statistic") != "memory_usage").select(
+def _shape_describe(long: DataFrame) -> DataFrame:
+    """Shared oracle shaping for describe results: drop memory_usage
+    (excluded semantics, CHANGES.md §2), fmt values, and apply E3 — a
+    statistic undefined for its column is a DROPPED row, not a NULL row
+    (petk/exploration.py:164; the oracle twin has the same WHERE)."""
+    return (
+        long.filter(F.col("statistic") != "memory_usage")
+        .select(
             F.col("column").alias("col_name"),
             "statistic",
             F.when(F.col("statistic") == "content_type", F.col("value_str"))
             .otherwise(fmt_sci(F.col("value_num")))
             .alias("value"),
         )
+        .filter(F.col("value").isNotNull())
+    )
+
+
+def _describe_query(table: str, columns=None):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = _read(spark, sf_dir, table)
+        return _shape_describe(
+            describe_frame(df, columns, exact=True, include_mad=True)
+        )
 
     return q
+
+
+def _describe_empty_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 through the oracle contract: describe an ALL-NULL column via
+    the full user-facing Report path (lazy null canonicalization →
+    fused describe → per-column memoization → `_drop_all_null_rows`).
+    The all-null column's undefined statistics (min/max/quantiles/
+    moments/sum/mad/cv) must be ABSENT rows — petk/exploration.py:164 —
+    while its defined ones (content_type EMPTY, count 0, p_null 1,
+    n_zeros/n_infinite 0, ...) hash-match the DuckDB twin."""
+    df = _read(spark, sf_dir, "customer").withColumn(
+        "c_all_null", F.lit(None).cast("double")
+    )
+    report = Report(df, key="c_custkey")
+    return _shape_describe(report.describe(["c_custkey", "c_all_null"]))
 
 
 def _introduce_query(table: str):
@@ -174,6 +202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "describe_events": _describe_query("events"),
         "describe_documents": _describe_query("documents"),
         "describe_embeddings": _describe_query("embeddings"),
+        "describe_empty_col": _describe_empty_col,
         "introduce_lineitem": _introduce_query("lineitem"),
         "introduce_events": _introduce_query("events"),
         "validate_lineitem": _validate_lineitem,
@@ -194,6 +223,11 @@ def oracle_sql() -> dict[str, str]:
         "describe_events": oracle.describe_sql("events"),
         "describe_documents": oracle.describe_sql("documents"),
         "describe_embeddings": oracle.describe_sql("embeddings"),
+        "describe_empty_col": oracle.describe_sql(
+            "customer_allnull",
+            columns=["c_custkey", "c_all_null"],
+            source_sql=oracle.CUSTOMER_ALLNULL_SRC,
+        ),
         "introduce_lineitem": oracle.introduce_sql("lineitem"),
         "introduce_events": oracle.introduce_sql("events"),
         "validate_lineitem": _VALIDATE_LINEITEM_SQL,

@@ -59,7 +59,24 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     spark = build_spark(cpus)
-    registry = entrymod.queries()
+    registry = dict(entrymod.queries())
+
+    # Bench-only timing entry (NOT part of the driver contract): the
+    # pure single-scan sketch profile without the banded self-check
+    # harness that describe_lineitem_approx carries for correctness —
+    # this is the number the 100 TB approx path actually costs.
+    def _pure_approx(s, d):
+        from pyspark.sql import functions as BF
+
+        from petk_spark.operators.describe import describe_frame
+        from petk_spark.sources.tables import read_table
+
+        long = describe_frame(
+            read_table(s, d, "lineitem"), None, exact=False, include_mad=False
+        )
+        return long.filter(BF.col("statistic") != "memory_usage")
+
+    registry["describe_lineitem_approx_pure"] = _pure_approx
 
     # Warm the JVM once (codegen compiler, parquet reader, shuffle, Arrow
     # python-worker pool) so the alphabetically-first query doesn't absorb

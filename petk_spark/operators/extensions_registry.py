@@ -7,9 +7,13 @@ names. That includes the probabilistic ones: MinHash/SimHash/hyperplane
 LSH use engine-portable hash arithmetic (md5-derived base hashes +
 universal-hash permutations), so the oracle replays the identical
 candidate sets. Only operators whose result depends on a data-dependent
-driver sample (IVF k-means centroids), stubbed media decode, or an
-approx-by-design sketch are declared WITHOUT oracle SQL — the driver
-records rows-only checks for them, which is the honest contract.
+driver sample (IVF k-means centroids) or stubbed media decode are
+declared WITHOUT oracle SQL — the driver records rows-only checks for
+them, which is the honest contract. The approx-sketch describe is
+oracle-checked through a BANDED contract: exactly-computable stats are
+hash-compared for real, sketch stats are self-checked Spark-side
+against exact values in the same plan and pinned as 'ok' verdicts
+(_q_describe_approx / oracle.describe_approx_sql).
 
 Cross-engine determinism notes (load-bearing):
   * Jaccard similarities are integer ratios — bit-identical.
@@ -1000,6 +1004,12 @@ FROM ranked WHERE rank <= 10
 
 
 def _q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only by design (data-dependent k-means centroids), but NOT
+    unmeasured: tests/test_sinks_and_recall.py pins recall@10 vs the
+    exact cosine_topk on the embeddings fixture — 0.505 at (8 centroids,
+    2 probes), 0.735 at 4 probes, floors 0.40/0.65. The fixture's
+    embeddings are near-isotropic (IVF's worst case); clustered real
+    embeddings recall far higher at the same probe fraction."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.cosine_topk_ivf(
@@ -1008,21 +1018,110 @@ def _q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_describe_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M8 scale mode through the contract: approx_count_distinct +
-    percentile_approx (mergeable sketches, bounded executor memory — the
-    actual 100 TB path). Sketch outputs are estimator-specific, so this
-    is declared rows-only; the exact twin (describe_lineitem) carries the
-    value contract."""
-    from petk_spark.operators.describe import describe_frame
+    """M8 scale mode through the contract, now with a real correctness
+    signal: approx_count_distinct + percentile_approx (mergeable
+    sketches, bounded executor memory — the actual 100 TB path), with
+    every sketch-derived statistic SELF-CHECKED against exact values
+    computed in the same plan and emitted as a verdict the oracle pins:
+
+      * quantiles (and iqr): the sketch's own guarantee is rank error
+        ≤ 1/accuracy = 0.1%; the verdict is 'ok' iff the approx value
+        lies between the exact interpolated quantiles at p ± 0.002
+        (2× the guarantee, absorbing the (n-1) vs n rank convention and
+        interpolation slop). Exact `percentile` is fine HERE because
+        this validation harness runs at gate scale — the approx path
+        itself never calls it.
+      * distinct_count (and p_unique): HLL++ default rsd is 5%; verdict
+        band is ±20% (4σ) of the exact count. is_constant pins the
+        boolean; is_unique pins it except inside the HLL band of the
+        row count, where HLL physically cannot resolve uniqueness.
+
+    Every exactly-computable statistic (count, nulls, min/max, sum,
+    mean, std, variance, moments, mad, cv, zeros/infinite) is emitted
+    as a real %.6e value and hash-compared against DuckDB exactly like
+    exact-mode describe. Oracle twin: oracle.describe_approx_sql."""
+    from petk_spark import constants
+    from petk_spark.logical_types import static_logical_type
+    from petk_spark.operators.describe import _nv, describe_frame
 
     df = read_table(spark, sf_dir, "lineitem")
-    long = describe_frame(df, None, exact=False, include_mad=False)
-    return long.filter(F.col("statistic") != "memory_usage").select(
-        F.col("column").alias("col_name"),
-        "statistic",
-        F.when(F.col("statistic") == "content_type", F.col("value_str"))
-        .otherwise(fmt_sci(F.col("value_num")))
-        .alias("value"),
+    long = describe_frame(df, None, exact=False, include_mad=True)
+
+    skip = (constants.TYPE_GEO, constants.TYPE_UNSUPPORTED)
+    ranked = (constants.TYPE_DATE, constants.TYPE_NUM)
+    ltypes = {f.name: static_logical_type(f) for f in df.schema.fields}
+    epsq = 0.002
+    aggs = ["count(1) AS rows_"]
+    for c in df.columns:
+        lt = ltypes[c]
+        if lt in ranked:
+            nv = _nv(c, lt)
+            lo = ", ".join(repr(max(p - epsq, 0.0)) for p in constants.QUANTILES)
+            hi = ", ".join(repr(min(p + epsq, 1.0)) for p in constants.QUANTILES)
+            aggs += [
+                f"percentile({nv}, array({lo})) AS `{c}::blo`",
+                f"percentile({nv}, array({hi})) AS `{c}::bhi`",
+            ]
+        if lt not in skip:
+            aggs.append(f"count(DISTINCT `{c}`) AS `{c}::nd`")
+    val = df.agg(*[F.expr(a) for a in aggs])
+
+    entries = []
+
+    def band(col: str, stat: str, lo: str, hi: str) -> None:
+        esc = col.replace("'", "\\'")
+        entries.append(
+            f"named_struct('column', '{esc}', 'statistic', '{stat}',"
+            f" 'lo', CAST({lo} AS DOUBLE), 'hi', CAST({hi} AS DOUBLE))"
+        )
+
+    for c in df.columns:
+        lt = ltypes[c]
+        if lt not in skip:
+            nd = f"`{c}::nd`"
+            eq = f"CAST({nd} = 1 AS DOUBLE)"
+            uq = f"CAST({nd} = rows_ AS DOUBLE)"
+            in_hll_band = f"{nd} >= 0.8 * rows_"
+            band(c, "distinct_count", f"0.8 * {nd}", f"1.2 * {nd}")
+            band(c, "p_unique", f"0.8 * {nd} / rows_", f"1.2 * {nd} / rows_")
+            band(c, "is_constant", eq, eq)
+            band(c, "is_unique", f"IF({in_hll_band}, 0.0, {uq})",
+                 f"IF({in_hll_band}, 1.0, {uq})")
+        if lt in ranked:
+            for j, lbl in enumerate(constants.QUANTILE_LABELS):
+                band(c, lbl, f"`{c}::blo`[{j}]", f"`{c}::bhi`[{j}]")
+        if lt == constants.TYPE_NUM:
+            band(c, "iqr", f"`{c}::blo`[3] - `{c}::bhi`[1]",
+                 f"`{c}::bhi`[3] - `{c}::blo`[1]")
+
+    bands = val.select(
+        F.expr("explode(array(" + ", ".join(entries) + ")) AS e")
+    ).select("e.*")
+
+    return (
+        long.filter(F.col("statistic") != "memory_usage")
+        .join(F.broadcast(bands), ["column", "statistic"], "left")
+        .select(
+            F.col("column").alias("col_name"),
+            "statistic",
+            F.when(F.col("statistic") == "content_type", F.col("value_str"))
+            .when(F.col("lo").isNull(), fmt_sci(F.col("value_num")))
+            .when(
+                (F.col("value_num") >= F.col("lo"))
+                & (F.col("value_num") <= F.col("hi")),
+                F.lit("ok"),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("OUT_OF_BAND "),
+                    F.coalesce(fmt_sci(F.col("value_num")), F.lit("NULL")),
+                )
+            )
+            .alias("value"),
+        )
+        # E3 — undefined statistics are dropped rows (twin has the same
+        # WHERE value IS NOT NULL).
+        .filter(F.col("value").isNotNull())
     )
 
 
@@ -1157,20 +1256,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_validate_points": _q_geo_validate,
         "geo_introduce_points": _q_geo_introduce,
         "cosine_topk_lsh": _q_cosine_topk_lsh,
-        # rows-only (Spark-specific hashes, data-dependent centroids, or
-        # declared stubs — each documented at the operator):
+        "describe_lineitem_approx": _q_describe_approx,
+        # rows-only (data-dependent centroids or declared stubs — each
+        # documented at the operator):
         "near_dup_minhash_lsh": _q_minhash_lsh,
         "near_dup_simhash": _q_simhash,
         "cosine_topk_ivf": _q_cosine_topk_ivf,
         "image_features_stub": _q_image_features,
         "frame_sample_stub": _q_frame_sample,
-        "describe_lineitem_approx": _q_describe_approx,
         "geo_validate_sliver": _q_geo_sliver,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from petk_spark import oracle
+
     return {
+        "describe_lineitem_approx": oracle.describe_approx_sql("lineitem"),
         "dedup_exact_report": _SQL_DEDUP_EXACT,
         "dedup_first_by": _SQL_DEDUP_FIRST_BY,
         "validate_pattern": _SQL_VALIDATE_PATTERN,

@@ -58,7 +58,15 @@ TABLE_TYPES: dict[str, list[tuple[str, str]]] = {
         ("doc_id", N), ("text", S), ("lang", S), ("source", S), ("n_chars", N),
     ],
     "embeddings": [("vec_id", N), ("embedding", U), ("label", N)],
+    # Synthetic: customer with an appended all-null double column — the
+    # E3 oracle fixture (describe_empty_col in __spark_entry__).
+    "customer_allnull": [("c_custkey", N), ("c_all_null", N)],
 }
+
+#: FROM-source for the synthetic E3 fixture above.
+CUSTOMER_ALLNULL_SRC = (
+    "(SELECT customer.*, CAST(NULL AS DOUBLE) AS c_all_null FROM customer)"
+)
 
 _QLABEL = dict(zip(constants.QUANTILE_LABELS, constants.QUANTILES))
 
@@ -84,7 +92,38 @@ def _num_expr(table: str, col: str, ltype: str) -> str:
     return f"epoch({src})" if ltype == D else f"CAST({src} AS DOUBLE)"
 
 
-def describe_sql(table: str, columns: list[str] | None = None) -> str:
+#: Statistics that are sketch-derived in approx mode (HLL distinct and
+#: its derivations; rank-sketch quantiles and their derivation). In the
+#: banded approx contract the Spark side self-checks these against its
+#: own exact computation and emits an 'ok' verdict; the oracle pins the
+#: verdict (see describe_approx_sql / extensions_registry).
+SKETCH_STATS = frozenset(
+    {"distinct_count", "is_constant", "is_unique", "p_unique", "iqr"}
+    | set(constants.QUANTILE_LABELS)
+)
+
+
+def describe_approx_sql(table: str) -> str:
+    """Oracle twin for the BANDED approx describe: every statistic a
+    sketch cannot reproduce exactly is pinned to the verdict 'ok' (the
+    Spark query computes the verdict by checking its sketch output
+    against exact values in the same plan — rank bands for quantiles,
+    HLL error bands for distinct counts); every exactly-computable
+    statistic (count, min/max, sum, mean, moments, mad, cv, zeros/inf)
+    is hash-compared for real, exactly like exact-mode describe."""
+    return describe_sql(table, banded_sketch=True)
+
+
+def describe_sql(
+    table: str,
+    columns: list[str] | None = None,
+    banded_sketch: bool = False,
+    source_sql: str | None = None,
+) -> str:
+    """``source_sql`` substitutes the FROM source (e.g. a subquery
+    appending a synthetic column) while ``table`` still keys the
+    TABLE_TYPES entry describing the result's columns."""
+    from_src = source_sql or table
     cols = TABLE_TYPES[table]
     if columns is not None:
         cols = [c for c in cols if c[0] in columns]
@@ -117,7 +156,7 @@ def describe_sql(table: str, columns: list[str] | None = None) -> str:
             # skewness/kurtosis, which use naive power sums and lose
             # precision when mean >> std, e.g. epoch-second columns);
             # Spark's CentralMomentAgg is the stable streaming analogue.
-            mu = f"(SELECT avg({nv}) FROM {table})"
+            mu = f"(SELECT avg({nv}) FROM {from_src})"
             mad_exprs += [
                 f"avg(abs({nv} - {mu})) AS {col}__mad",
                 f"avg(pow({nv} - {mu}, 2)) AS {col}__m2",
@@ -128,6 +167,8 @@ def describe_sql(table: str, columns: list[str] | None = None) -> str:
     selects = []
 
     def row(col, stat, value_expr):
+        if banded_sketch and stat in SKETCH_STATS:
+            value_expr = "'ok'"
         selects.append(
             f"SELECT '{col}' AS col_name, '{stat}' AS statistic, {value_expr} AS value FROM agg"
         )
@@ -201,15 +242,21 @@ def describe_sql(table: str, columns: list[str] | None = None) -> str:
     # every UNION ALL branch below would re-run the full aggregate —
     # measured 725 s vs 0.75 s on lineitem at sf0.01.
     mad_cte = (
-        f", mads AS MATERIALIZED (SELECT {', '.join(mad_exprs)} FROM {table})"
+        f", mads AS MATERIALIZED (SELECT {', '.join(mad_exprs)} FROM {from_src})"
         if mad_exprs
         else ""
     )
     agg_src = "a, mads" if mad_exprs else "a"
+    # Outer filter = E3, the reference's all-null row drop
+    # (petk/exploration.py:164): a statistic undefined for the column
+    # (e.g. quantiles of an all-null column) is a DROPPED row, not a
+    # NULL-valued row — mirrored by the Spark queries' value-not-null
+    # filter.
     return (
-        f"WITH a AS MATERIALIZED (SELECT {', '.join(agg_exprs)} FROM {table})"
+        f"WITH a AS MATERIALIZED (SELECT {', '.join(agg_exprs)} FROM {from_src})"
         f"{mad_cte}, agg AS MATERIALIZED (SELECT * FROM {agg_src}) "
-        + " UNION ALL ".join(selects)
+        f"SELECT * FROM ({' UNION ALL '.join(selects)}) "
+        f"WHERE value IS NOT NULL"
     )
 
 
