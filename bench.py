@@ -113,6 +113,13 @@ def main() -> None:
                 ts = []
                 print(f"# bench error in {name}: {exc}", file=sys.stderr)
                 break
+            # Untimed: drop persisted blocks (describe histograms,
+            # validation memos) so the next sample measures the full
+            # standalone query, and 135 runs in one session don't
+            # accumulate dead cached blocks — the ContextCleaner's lazy
+            # reclamation let storage/GC pressure inflate the
+            # alphabetically-late queries by 2x in a pile-up run.
+            spark.catalog.clearCache()
         if ts:
             timings[name] = round(statistics.median(ts), 4)
             samples[name] = [round(t, 4) for t in ts]

@@ -256,6 +256,8 @@ def _exact_value_stats(
     ltypes,
     rank_strategy: str = "auto",
     mad_cols=(),
+    probs=None,
+    moments: bool = True,
 ) -> DataFrame | None:
     """Exact distinct counts + exact interpolated percentiles for every
     applicable column, as ONE 1-row DataFrame, from a single distributed
@@ -304,6 +306,7 @@ def _exact_value_stats(
     the double projection), so long/decimal values beyond 2^53 don't
     collapse (petk nunique counts exact values, petk/tools.py:28).
     """
+    probs = list(constants.QUANTILES) if probs is None else list(probs)
     dist_cols = [c for c in cols if ltypes[c] not in _DISTINCT_SKIP]
     q_cols = [
         c for c in cols if ltypes[c] in (constants.TYPE_DATE, constants.TYPE_NUM)
@@ -408,7 +411,7 @@ def _exact_value_stats(
         q_aggs = []
         for c in q_cols:
             i = idx[c]
-            for j, p in enumerate(constants.QUANTILES):
+            for j, p in enumerate(probs):
                 # A histogram row for value v covers 0-based ranks
                 # [cum-cnt, cum); pick the rows covering floor(h) / ceil(h).
                 for bound, fn in (("lo", "floor"), ("hi", "ceil")):
@@ -419,7 +422,7 @@ def _exact_value_stats(
                     )
         one = one.crossJoin(F.broadcast(ranked.agg(*[F.expr(a) for a in q_aggs])))
 
-    num_cols = [c for c in cols if ltypes[c] == constants.TYPE_NUM]
+    num_cols = [c for c in cols if ltypes[c] == constants.TYPE_NUM] if moments else []
     if num_cols:
         # mad AND the central moments behind skewness/kurtosis come from
         # the (persisted) histogram instead of extra source scans:
@@ -469,7 +472,7 @@ def _exact_value_stats(
     for c in q_cols:
         n = f"`{c}::_qn`"
         parts = []
-        for j, p in enumerate(constants.QUANTILES):
+        for j, p in enumerate(probs):
             h = f"({n} - 1) * CAST({p} AS DOUBLE)"
             lo, hi = f"`{c}::_qlo{j}`", f"`{c}::_qhi{j}`"
             # equal brackets short-circuit: the interpolation form would

@@ -1028,13 +1028,19 @@ def _q_describe_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ≤ 1/accuracy = 0.1%; the verdict is 'ok' iff the approx value
         lies between the exact interpolated quantiles at p ± 0.002
         (2× the guarantee, absorbing the (n-1) vs n rank convention and
-        interpolation slop). Exact `percentile` is fine HERE because
-        this validation harness runs at gate scale — the approx path
-        itself never calls it.
+        interpolation slop).
       * distinct_count (and p_unique): HLL++ default rsd is 5%; verdict
         band is ±20% (4σ) of the exact count. is_constant pins the
         boolean; is_unique pins it except inside the HLL band of the
         row count, where HLL physically cannot resolve uniqueness.
+
+    The exact reference values come from the engine's own distributed
+    value-histogram pass (`describe._exact_value_stats` with shifted
+    band probabilities) — NOT from `percentile`/`count(DISTINCT)`
+    builtins, whose EXPAND replication + single-reducer buffering made a
+    first cut of this validator 20× slower than the profile it checks.
+    The validator is one extra scan; the approx path under test remains
+    the single-scan plan.
 
     Every exactly-computable statistic (count, nulls, min/max, sum,
     mean, std, variance, moments, mad, cv, zeros/infinite) is emitted
@@ -1042,7 +1048,7 @@ def _q_describe_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-mode describe. Oracle twin: oracle.describe_approx_sql."""
     from petk_spark import constants
     from petk_spark.logical_types import static_logical_type
-    from petk_spark.operators.describe import _nv, describe_frame
+    from petk_spark.operators.describe import _exact_value_stats, describe_frame
 
     df = read_table(spark, sf_dir, "lineitem")
     long = describe_frame(df, None, exact=False, include_mad=True)
@@ -1051,20 +1057,15 @@ def _q_describe_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (constants.TYPE_DATE, constants.TYPE_NUM)
     ltypes = {f.name: static_logical_type(f) for f in df.schema.fields}
     epsq = 0.002
-    aggs = ["count(1) AS rows_"]
-    for c in df.columns:
-        lt = ltypes[c]
-        if lt in ranked:
-            nv = _nv(c, lt)
-            lo = ", ".join(repr(max(p - epsq, 0.0)) for p in constants.QUANTILES)
-            hi = ", ".join(repr(min(p + epsq, 1.0)) for p in constants.QUANTILES)
-            aggs += [
-                f"percentile({nv}, array({lo})) AS `{c}::blo`",
-                f"percentile({nv}, array({hi})) AS `{c}::bhi`",
-            ]
-        if lt not in skip:
-            aggs.append(f"count(DISTINCT `{c}`) AS `{c}::nd`")
-    val = df.agg(*[F.expr(a) for a in aggs])
+    nq = len(constants.QUANTILES)
+    band_probs = [max(p - epsq, 0.0) for p in constants.QUANTILES] + [
+        min(p + epsq, 1.0) for p in constants.QUANTILES
+    ]
+    # Exact reference values via the scalable histogram pass; quantiles
+    # array = [5 lower band bounds] ++ [5 upper band bounds].
+    val = _exact_value_stats(
+        df, list(df.columns), ltypes, probs=band_probs, moments=False
+    ).crossJoin(F.broadcast(df.agg(F.expr("count(1) AS rows_"))))
 
     entries = []
 
@@ -1078,7 +1079,7 @@ def _q_describe_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in df.columns:
         lt = ltypes[c]
         if lt not in skip:
-            nd = f"`{c}::nd`"
+            nd = f"`{c}::distinct_count`"
             eq = f"CAST({nd} = 1 AS DOUBLE)"
             uq = f"CAST({nd} = rows_ AS DOUBLE)"
             in_hll_band = f"{nd} >= 0.8 * rows_"
@@ -1088,11 +1089,12 @@ def _q_describe_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             band(c, "is_unique", f"IF({in_hll_band}, 0.0, {uq})",
                  f"IF({in_hll_band}, 1.0, {uq})")
         if lt in ranked:
+            q = f"`{c}::quantiles`"
             for j, lbl in enumerate(constants.QUANTILE_LABELS):
-                band(c, lbl, f"`{c}::blo`[{j}]", f"`{c}::bhi`[{j}]")
+                band(c, lbl, f"{q}[{j}]", f"{q}[{j + nq}]")
         if lt == constants.TYPE_NUM:
-            band(c, "iqr", f"`{c}::blo`[3] - `{c}::bhi`[1]",
-                 f"`{c}::bhi`[3] - `{c}::blo`[1]")
+            q = f"`{c}::quantiles`"
+            band(c, "iqr", f"{q}[3] - {q}[{1 + nq}]", f"{q}[{3 + nq}] - {q}[1]")
 
     bands = val.select(
         F.expr("explode(array(" + ", ".join(entries) + ")) AS e")

@@ -142,3 +142,23 @@ def test_grouped_profile_single_shuffle(spark):
     prof = grouped_profile(events, "p_brand", "p_retailsize"
                            if "p_retailsize" in events.columns else "p_size")
     assert exchange_count(prof) == 1
+
+
+def test_topn_queries_use_bounded_take_ordered(spark):
+    # frequent_values / token_histogram end in orderBy().limit(n):
+    # Spark must plan a TakeOrderedAndProject (each task keeps only its
+    # local top-n, the driver merges n·tasks rows) — NOT a global sort,
+    # which would shuffle every group row at 100 TB.
+    from petk_spark.operators.grouped import frequent_values
+    from petk_spark.operators.text import token_histogram
+    from petk_spark.plans.inspect import executed_plan
+
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for plan_df in (
+        frequent_values(part, "p_brand", top_n=10),
+        token_histogram(docs, "text", top_n=20),
+    ):
+        plan = executed_plan(plan_df)
+        assert "TakeOrderedAndProject" in plan, plan[:800]
+        assert "Sort " not in plan, "global sort leaked into a top-n plan"
