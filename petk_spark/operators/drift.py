@@ -38,6 +38,70 @@ def _bundle(df: DataFrame, columns, suffix: str) -> DataFrame:
     return df.agg(*[F.expr(a) for a in aggs])
 
 
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column: ``(bin, p_a, p_b, psi_term)`` plus a total row (bin = -1).
+
+    PSI = Σ (p_a − p_b)·ln(p_a / p_b) over fixed-width bins spanning
+    snapshot A's [min, max] (the standard monitoring convention:
+    baseline defines the grid; B values outside clamp to the edge
+    bins). ``eps`` floors empty-bin proportions so the log stays
+    finite — the same floor both sides, engine-portable.
+
+    Scale: one agg on A for the grid (min/max — could come from footer
+    stats), then one ``floor((x−lo)/w)``-keyed count per side: two
+    scans, one tiny shuffle each (≤ n_bins groups), broadcast join of
+    two ≤ n_bins-row frames. No windows, no Python."""
+    v = f"CAST(`{column}` AS DOUBLE)"
+    grid = df_a.agg(
+        F.expr(f"min({v}) AS lo"), F.expr(f"max({v}) AS hi")
+    )
+
+    def binned(df: DataFrame, side: str) -> DataFrame:
+        b = (
+            df.crossJoin(F.broadcast(grid))
+            .selectExpr(
+                f"least(greatest(CAST(floor(({v} - lo) / "
+                f"(CASE WHEN hi > lo THEN (hi - lo) / {n_bins} ELSE 1.0 END)"
+                f") AS INT), 0), {n_bins - 1}) AS bin"
+            )
+            .where("bin IS NOT NULL")
+        )
+        return b.groupBy("bin").agg(F.count(F.lit(1)).alias(f"n_{side}"))
+
+    a, b = binned(df_a, "a"), binned(df_b, "b")
+    bins = df_a.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    joined = (
+        bins.join(F.broadcast(a), "bin", "left")
+        .join(F.broadcast(b), "bin", "left")
+        .selectExpr(
+            "bin",
+            "CAST(coalesce(n_a, 0) AS DOUBLE) AS n_a",
+            "CAST(coalesce(n_b, 0) AS DOUBLE) AS n_b",
+        )
+    )
+    terms = joined.selectExpr(
+        "bin",
+        f"greatest(n_a / sum(n_a) OVER (), {eps!r}) AS p_a",
+        f"greatest(n_b / sum(n_b) OVER (), {eps!r}) AS p_b",
+    ).selectExpr(
+        "bin", "p_a", "p_b", "(p_a - p_b) * ln(p_a / p_b) AS psi_term"
+    )
+    total = terms.groupBy().agg(
+        F.expr("-1 AS bin"),
+        F.expr("CAST(NULL AS DOUBLE) AS p_a"),
+        F.expr("CAST(NULL AS DOUBLE) AS p_b"),
+        F.expr("sum(psi_term) AS psi_term"),
+    ).select("bin", "p_a", "p_b", "psi_term")
+    return terms.unionByName(total)
+
+
 def profile_drift(
     df_a: DataFrame, df_b: DataFrame, columns: list[str]
 ) -> DataFrame:

@@ -158,6 +158,71 @@ FROM x GROUP BY 1
 """
 
 
+def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI over the same deterministic snapshot pair as profile_drift:
+    full orders (baseline grid) vs the high-price-skewed half — a
+    distribution shift the six profile stats under-report but the
+    binned PSI flags."""
+    from petk_spark.operators.drift import psi_drift
+
+    full = read_table(spark, sf_dir, "orders")
+    shifted = full.filter(
+        (F.col("o_orderkey") % 2 == 0) | (F.col("o_totalprice") > 150000)
+    )
+    out = psi_drift(full, shifted, "o_totalprice", n_bins=10)
+    return out.select(
+        "bin",
+        fmt_sci(F.col("p_a")).alias("p_a"),
+        fmt_sci(F.col("p_b")).alias("p_b"),
+        fmt_sci(F.col("psi_term")).alias("psi_term"),
+    )
+
+
+_SQL_PSI_DRIFT = f"""
+WITH grid AS (
+  SELECT min(CAST(o_totalprice AS DOUBLE)) AS lo,
+         max(CAST(o_totalprice AS DOUBLE)) AS hi
+  FROM orders
+),
+w AS (SELECT lo, hi, CASE WHEN hi > lo THEN (hi - lo) / 10 ELSE 1.0 END AS bw FROM grid),
+binned_a AS (
+  SELECT least(greatest(CAST(floor((CAST(o_totalprice AS DOUBLE) - lo) / bw) AS INT), 0), 9) AS bin,
+         count(*) AS n_a
+  FROM orders, w WHERE o_totalprice IS NOT NULL GROUP BY 1
+),
+binned_b AS (
+  SELECT least(greatest(CAST(floor((CAST(o_totalprice AS DOUBLE) - lo) / bw) AS INT), 0), 9) AS bin,
+         count(*) AS n_b
+  FROM orders, w
+  WHERE o_totalprice IS NOT NULL
+    AND (o_orderkey % 2 = 0 OR o_totalprice > 150000)
+  GROUP BY 1
+),
+bins AS (SELECT unnest(range(10))::INT AS bin),
+joined AS (
+  SELECT bins.bin,
+         CAST(coalesce(n_a, 0) AS DOUBLE) AS n_a,
+         CAST(coalesce(n_b, 0) AS DOUBLE) AS n_b
+  FROM bins LEFT JOIN binned_a ON bins.bin = binned_a.bin
+            LEFT JOIN binned_b ON bins.bin = binned_b.bin
+),
+terms AS (
+  SELECT bin,
+         greatest(n_a / sum(n_a) OVER (), 1e-06) AS p_a,
+         greatest(n_b / sum(n_b) OVER (), 1e-06) AS p_b
+  FROM joined
+),
+scored AS (
+  SELECT bin, p_a, p_b, (p_a - p_b) * ln(p_a / p_b) AS psi_term FROM terms
+)
+SELECT bin, {dfmt('p_a')} AS p_a, {dfmt('p_b')} AS p_b,
+       {dfmt('psi_term')} AS psi_term
+FROM scored
+UNION ALL
+SELECT -1, NULL, NULL, {dfmt('sum(psi_term)')} FROM scored
+"""
+
+
 def _q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F17 drift monitor over a deterministic snapshot pair: full orders
     vs the even-orderkey half (a stand-in for yesterday/today)."""
@@ -427,9 +492,163 @@ SELECT id_a, id_b, {dfmt('j')} AS jaccard FROM scored WHERE j >= 0.1
 """
 
 
+def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the jaccard near-dup pair graph: the
+    production dedup primitive — (doc_id, cluster_id) with cluster_id =
+    min id of the transitive near-dup closure; singletons map to
+    themselves. Distributed min-label propagation (operators/
+    components.py); the oracle replays the fixpoint with a recursive
+    CTE — both engines converge to the same unique answer, so this is
+    hash-checked despite the iterative algorithm."""
+    from petk_spark.operators.components import near_dup_clusters
+
+    df = read_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_near_dup(df, "doc_id", "text", n=3, threshold=0.1)
+    out = near_dup_clusters(df, pairs, "doc_id")
+    return out.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def _q_dedup_near_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-near-dup-cluster — the linear-output dedup a
+    pipeline actually ships (the pair list is quadratic in cluster
+    size). Returns the kept doc ids."""
+    from petk_spark.operators.components import dedup_near_keep_first
+
+    df = read_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_near_dup(df, "doc_id", "text", n=3, threshold=0.1)
+    return dedup_near_keep_first(df, pairs, "doc_id").select("doc_id")
+
+
+#: Recursive min-label closure over the jaccard pair graph. UNION (not
+#: UNION ALL) dedupes (id, lbl) states so the recursion terminates.
+_SQL_NEAR_DUP_CLUSTERS = f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+cpairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+    FROM sh a JOIN sh b USING (shingle)
+    WHERE a.id < b.id GROUP BY 1, 2
+  ) p
+  JOIN sizes sa ON p.id_a = sa.id
+  JOIN sizes sb ON p.id_b = sb.id
+  WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.1
+),
+cedges AS (
+  SELECT id_a AS u, id_b AS v FROM cpairs
+  UNION ALL SELECT id_b, id_a FROM cpairs
+),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, r.lbl FROM reach r JOIN cedges e ON e.v = r.id
+)
+SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1
+"""
+
+_SQL_DEDUP_NEAR_KEEP_FIRST = f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+cpairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+    FROM sh a JOIN sh b USING (shingle)
+    WHERE a.id < b.id GROUP BY 1, 2
+  ) p
+  JOIN sizes sa ON p.id_a = sa.id
+  JOIN sizes sb ON p.id_b = sb.id
+  WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.1
+),
+cedges AS (
+  SELECT id_a AS u, id_b AS v FROM cpairs
+  UNION ALL SELECT id_b, id_a FROM cpairs
+),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, r.lbl FROM reach r JOIN cedges e ON e.v = r.id
+)
+SELECT id AS doc_id FROM reach GROUP BY id HAVING id = min(lbl)
+"""
+
+
+def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions over events (30-min gap): one row per
+    (user, session) with count/start/end/duration. One shuffle on
+    user_id; boundaries + indices are pure window expressions
+    (operators/sessions.py)."""
+    from petk_spark.operators.sessions import session_profile
+
+    df = read_table(spark, sf_dir, "events")
+    out = session_profile(df, "user_id", "ts", gap_seconds=1800.0)
+    return out.select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        fmt_sci(F.col("session_start")).alias("session_start"),
+        fmt_sci(F.col("session_end")).alias("session_end"),
+        fmt_sci(F.col("duration_sec")).alias("duration_sec"),
+    )
+
+
+_SQL_SESSIONIZE = f"""
+WITH ev AS (
+  SELECT user_id, {EVENTS_TS_SQL} AS tsec FROM events
+),
+flagged AS (
+  SELECT user_id, tsec,
+         CASE WHEN tsec - lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec)
+                   > 1800.0 THEN 1 ELSE 0 END AS gap_open
+  FROM ev
+),
+sessioned AS (
+  SELECT user_id, tsec,
+         1 + sum(gap_open) OVER (
+           PARTITION BY user_id ORDER BY tsec
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       {dfmt('min(tsec)')} AS session_start,
+       {dfmt('max(tsec)')} AS session_end,
+       {dfmt('max(tsec) - min(tsec)')} AS duration_sec
+FROM sessioned GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # token histogram / quality / language id / text profile
 # ---------------------------------------------------------------------------
+
+def _q_top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_table(spark, sf_dir, "documents")
+    out = text.top_terms_tfidf(df, "doc_id", "text", k=3)
+    return out.select(
+        F.col("id").alias("doc_id"), "term", "tf", "df_docs",
+        fmt_sci(F.col("tfidf")).alias("tfidf"), "rank",
+    )
+
+
+_SQL_TOP_TERMS_TFIDF = f"""
+WITH {_TOKS_CTE},
+long AS (SELECT doc_id AS id, unnest(tk) AS term FROM toks),
+tf AS (SELECT id, term, count(*) AS tf FROM long GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY 1),
+n AS (SELECT count(doc_id) AS n_docs FROM documents),
+ranked AS (
+  SELECT tf.id, tf.term, tf.tf, dfreq.df_docs,
+         row_number() OVER (
+           PARTITION BY tf.id
+           ORDER BY tf.tf DESC, dfreq.df_docs ASC, tf.term ASC) AS rank
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT id AS doc_id, term, tf, df_docs,
+       {dfmt('tf * ln(CAST(n_docs AS DOUBLE) / df_docs)')} AS tfidf,
+       rank
+FROM ranked, n WHERE rank <= 3
+"""
+
 
 def _q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = read_table(spark, sf_dir, "documents")
@@ -1243,6 +1462,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_field_profile": _q_json_field_profile,
         "fingerprint_documents": _q_fingerprint,
         "near_dup_jaccard": _q_jaccard,
+        "near_dup_clusters": _q_near_dup_clusters,
+        "dedup_near_keep_first": _q_dedup_near_keep_first,
+        "sessionize_events": _q_sessionize_events,
+        "top_terms_tfidf": _q_top_terms_tfidf,
+        "psi_drift": _q_psi_drift,
         "token_histogram": _q_token_histogram,
         "text_quality": _q_quality,
         "language_id": _q_language_id,
@@ -1288,6 +1512,11 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk_lsh": _lsh_sql(),
         "fingerprint_documents": _SQL_FINGERPRINT,
         "near_dup_jaccard": _SQL_JACCARD,
+        "near_dup_clusters": _SQL_NEAR_DUP_CLUSTERS,
+        "dedup_near_keep_first": _SQL_DEDUP_NEAR_KEEP_FIRST,
+        "sessionize_events": _SQL_SESSIONIZE,
+        "top_terms_tfidf": _SQL_TOP_TERMS_TFIDF,
+        "psi_drift": _SQL_PSI_DRIFT,
         "near_dup_minhash_lsh": _minhash_lsh_sql(),
         "near_dup_simhash": _SQL_SIMHASH,
         "token_histogram": _SQL_TOKEN_HISTOGRAM,

@@ -234,6 +234,50 @@ def text_profile(
     return df.agg(*aggs)
 
 
+def top_terms_tfidf(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k distinguishing terms per document with their tf-idf score:
+    ``(id, term, tf, df_docs, tfidf, rank)``.
+
+    Plan: explode tokens → per-(doc, term) counts (tf) → per-term
+    document frequency from the SAME frame (df) → broadcast the term→df
+    map back (vocabulary ≪ corpus) → per-doc top-k window (bounded by
+    one document's distinct terms — thousands, not corpus-scale).
+
+    Cross-engine determinism (load-bearing): the RANKING is the integer
+    lexicographic order (tf desc, df asc, term asc) — the tf-idf order
+    for fixed tf, and fully reproducible. Ranking by the float
+    ``tf·ln(N/df)`` itself would let a last-ulp ``ln`` difference
+    between engines flip near-equal ranks; the float score is attached
+    as a VALUE (absorbed by the %.6e contract) but never compared."""
+    toks = F.explode(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    ).alias("term")
+    long = df.select(F.col(id_col).alias("id"), toks)
+    tf = long.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = df.select(F.count(F.col(id_col)).alias("n_docs"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(
+        F.col("tf").desc(), F.col("df_docs").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * F.log(F.col("n_docs").cast("double") / F.col("df_docs")),
+        )
+        .select("id", "term", "tf", "df_docs", "tfidf", "rank")
+    )
+
+
 def token_histogram(df: DataFrame, text_col: str, top_n: int = 20) -> DataFrame:
     """Top-n token frequencies (count desc, token asc — deterministic)."""
     toks = F.explode(

@@ -1,0 +1,47 @@
+"""connected_components correctness beyond the clique-shaped near-dup
+graphs the oracle query covers: chains force multi-round label
+propagation, singletons must self-label, and the keep-first filter must
+keep exactly one representative per component."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from petk_spark.operators.components import (
+    connected_components,
+    dedup_near_keep_first,
+)
+
+
+def _cc(spark, n_nodes, edge_list):
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "id long")
+    edges = spark.createDataFrame(edge_list, "id_a long, id_b long")
+    rows = connected_components(nodes, edges).collect()
+    return {r.id: r.cluster_id for r in rows}
+
+def test_chain_propagates_to_global_min(spark):
+    # 0-1-2-...-9 in REVERSE edge order plus an isolated chain 20-21:
+    # diameter 9 forces ~5+ propagation rounds (min label moves one hop
+    # per round from each side).
+    chain = [(i, i + 1) for i in range(9)][::-1] + [(20, 21)]
+    got = _cc(spark, 10, chain + [])
+    assert all(got[i] == 0 for i in range(10))
+
+
+def test_singletons_and_two_components(spark):
+    got = _cc(spark, 7, [(1, 2), (2, 3), (5, 6)])
+    assert got[0] == 0 and got[4] == 4          # singletons self-label
+    assert got[1] == got[2] == got[3] == 1      # component min
+    assert got[5] == got[6] == 5
+
+
+def test_keep_first_keeps_one_per_component(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (6, 7)], "id_a long, id_b long"
+    )
+    kept = {r.doc_id for r in dedup_near_keep_first(df, pairs, "doc_id").collect()}
+    # components: {0,3,5} -> keep 0; {6,7} -> keep 6; singletons 1,2,4 kept
+    assert kept == {0, 1, 2, 4, 6}
