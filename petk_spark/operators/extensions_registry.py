@@ -223,6 +223,100 @@ SELECT -1, NULL, NULL, {dfmt('sum(psi_term)')} FROM scored
 """
 
 
+def _q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join each event to the SAME user's latest 'purchase' event
+    at or before it (timestamps genuinely interleave per user, so the
+    carry-forward logic — including the inclusive same-instant match
+    and the greatest-ord tie-break — is fully exercised). LEFT OUTER:
+    events before the user's first purchase keep NULLs."""
+    from petk_spark.operators.asof import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("p_value"),
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        right_cols=["p_event_id", "p_ts", "p_value"],
+        right_ord="p_event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        fmt_sci(F.col("ts")).alias("ts"),
+        "p_event_id",
+        fmt_sci(F.col("p_ts")).alias("p_ts"),
+        fmt_sci(F.col("p_value")).alias("p_value"),
+    )
+
+
+#: The oracle replays the identical union + carry-forward window — NOT
+#: DuckDB's ASOF JOIN keyword, whose equal-timestamp tie-break among
+#: duplicate right rows is unspecified; this SQL pins the same
+#: (t, side, ord) order the Spark plan uses. Per-column IGNORE NULLS
+#: carries are equivalent to the Spark side's atomic struct carry
+#: because purchase rows have no NULL fields (verified; a fixture with
+#: NULL right-payload fields would need struct_pack carry here).
+_SQL_ASOF_JOIN = f"""
+WITH ev AS (
+  SELECT event_id, user_id, {EVENTS_TS_SQL} AS tsec, event_type, value
+  FROM events
+),
+tagged AS (
+  SELECT user_id AS k, tsec AS t, 1 AS side, NULL::DOUBLE AS ord,
+         event_id, NULL::BIGINT AS p_event_id, NULL::DOUBLE AS p_ts,
+         NULL::DOUBLE AS p_value
+  FROM ev
+  UNION ALL
+  SELECT user_id, tsec, 0, event_id::DOUBLE,
+         NULL, event_id, tsec, value
+  FROM ev WHERE event_type = 'purchase'
+),
+carried AS (
+  SELECT *,
+         last_value(p_event_id IGNORE NULLS) OVER w AS m_event_id,
+         last_value(p_ts IGNORE NULLS) OVER w AS m_ts,
+         last_value(p_value IGNORE NULLS) OVER w AS m_value
+  FROM tagged
+  WINDOW w AS (PARTITION BY k ORDER BY t ASC, side ASC, ord ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, k AS user_id, {dfmt('t')} AS ts,
+       m_event_id AS p_event_id, {dfmt('m_ts')} AS p_ts,
+       {dfmt('m_value')} AS p_value
+FROM carried WHERE side = 1
+"""
+
+
+def _q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein ≤ 3 pairs over part.p_name's distinct vocabulary,
+    prefix-blocked (operators/fuzzy.py)."""
+    from petk_spark.operators.fuzzy import fuzzy_pairs
+
+    df = read_table(spark, sf_dir, "part")
+    return fuzzy_pairs(df, "p_name", max_dist=3, block_chars=1)
+
+
+_SQL_FUZZY_PAIRS = """
+WITH v AS (
+  SELECT DISTINCT lower(trim(p_name)) AS term FROM part
+  WHERE p_name IS NOT NULL AND lower(trim(p_name)) <> ''
+)
+SELECT a.term AS term_a, b.term AS term_b,
+       levenshtein(a.term, b.term) AS dist
+FROM v a JOIN v b
+  ON substr(a.term, 1, 1) = substr(b.term, 1, 1) AND a.term < b.term
+WHERE levenshtein(a.term, b.term) <= 3
+"""
+
+
 def _q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F17 drift monitor over a deterministic snapshot pair: full orders
     vs the even-orderkey half (a stand-in for yesterday/today)."""
@@ -1467,6 +1561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize_events,
         "top_terms_tfidf": _q_top_terms_tfidf,
         "psi_drift": _q_psi_drift,
+        "asof_join_events": _q_asof_join_events,
+        "fuzzy_pairs_part": _q_fuzzy_pairs,
         "token_histogram": _q_token_histogram,
         "text_quality": _q_quality,
         "language_id": _q_language_id,
@@ -1517,6 +1613,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": _SQL_SESSIONIZE,
         "top_terms_tfidf": _SQL_TOP_TERMS_TFIDF,
         "psi_drift": _SQL_PSI_DRIFT,
+        "asof_join_events": _SQL_ASOF_JOIN,
+        "fuzzy_pairs_part": _SQL_FUZZY_PAIRS,
         "near_dup_minhash_lsh": _minhash_lsh_sql(),
         "near_dup_simhash": _SQL_SIMHASH,
         "token_histogram": _SQL_TOKEN_HISTOGRAM,
