@@ -89,6 +89,47 @@ def streaming_dedup_exact(
     return sdf.dropDuplicates(subset)
 
 
+def streaming_sessions(
+    sdf: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of the batch gap-based sessionization (SURVEY
+    F19): Spark's native ``session_window`` merges a user's events
+    whose inter-arrival gap stays under ``gap``; the state store holds
+    one open session per active user, closed and emitted once the
+    watermark passes the session end — bounded state, mergeable.
+
+    ``ts_col`` must be (castable to) a timestamp. Works identically on
+    a batch frame (no watermark), which is how the parity test compares
+    it against ``operators/sessions.sessionize``. Boundary note: an
+    inter-arrival gap of EXACTLY ``gap`` closes the session here
+    (session windows are half-open ``[t, t+gap)``) but not in the batch
+    lag-compare (strict ``>``) — indistinguishable on continuous
+    timestamps."""
+    t = F.col(ts_col).cast("timestamp")
+    base = sdf.withColumn("__ts", t)
+    wm = base.withWatermark("__ts", watermark) if sdf.isStreaming else base
+    out = wm.groupBy(
+        F.col(user_col).alias("user_id"),
+        F.session_window(F.col("__ts"), gap).alias("sw"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("__ts").alias("first_event"),
+        F.max("__ts").alias("last_event"),
+    )
+    return out.select(
+        "user_id",
+        F.col("sw.start").alias("session_open"),
+        F.col("sw.end").alias("session_close"),
+        "n_events",
+        "first_event",
+        "last_event",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: running per-key profile (Welford)
 # ---------------------------------------------------------------------------

@@ -171,3 +171,75 @@ def test_running_profile_welford(spark, stream_dir):
             var = row["m2"] / (row["count"] - 1)
             assert abs(var - vals.var(ddof=1)) < 1e-9
         assert row["min"] == vals.min() and row["max"] == vals.max()
+
+
+@pytest.mark.slow
+def test_streaming_sessions_match_batch_sessionize(spark, tmp_path):
+    """session_window streaming sessions == the batch lag-compare
+    sessionization: same (user, session) membership and counts.
+    Session-window aggregation supports only APPEND output — a session
+    row is emitted once the watermark passes its close — so the stream
+    is driven one file per trigger with a far-future flush event whose
+    watermark update closes every real session (the flush session
+    itself never closes and is excluded)."""
+    import shutil
+
+    from petk_spark.operators.sessions import session_profile
+    from petk_spark.streaming.profile import streaming_sessions
+
+    d = str(tmp_path / "sess_stream")
+    batches = [
+        [
+            (1, "click", "2024-01-01 00:05:00", 1.0),
+            (2, "click", "2024-01-01 00:15:00", 3.0),
+            (3, "view", "2024-01-01 00:20:00", 10.0),
+            (4, "view", "2024-01-01 00:21:00", 10.0),
+        ],
+        [
+            (5, "click", "2024-01-01 01:05:00", 5.0),
+            (6, "view", "2024-01-01 01:10:00", -7.0),
+            (7, "click", "2024-01-01 00:25:00", 100.0),  # late, in wm
+        ],
+        [(99, "flush", "2024-01-02 00:00:00", 0.0)],
+    ]
+    for rows in batches:
+        df = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.coalesce(1).write.mode("append").parquet(d)
+    try:
+        sdf = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        out = streaming_sessions(
+            sdf, "event_type", "ts", gap="15 minutes", watermark="10 minutes"
+        )
+        rows = _run_stream(spark, out, "append").collect()
+        got = sorted(
+            (r.user_id, int(r.n_events))
+            for r in rows
+            if r.user_id != "flush"
+        )
+
+        batch = spark.read.schema(SCHEMA).parquet(d).withColumn(
+            "tsec", F.col("ts").cast("double")
+        )
+        want = sorted(
+            (r.user_id, int(r.n_events))
+            for r in session_profile(
+                batch.filter("event_type <> 'flush'"),
+                "event_type",
+                "tsec",
+                gap_seconds=900.0,
+            ).collect()
+        )
+        assert got == want
+        # clicks: 00:05/00:15/00:25 chain + lone 01:05; views: 00:20+00:21
+        # pair + lone 01:10
+        assert got == [
+            ("click", 1), ("click", 3), ("view", 1), ("view", 2)
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
