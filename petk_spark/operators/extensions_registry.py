@@ -295,6 +295,39 @@ FROM carried WHERE side = 1
 """
 
 
+def _q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of l_extendedprice: quantile-bin edges, each
+    bucket ~equal mass (operators/grouped.py:equidepth_histogram)."""
+    from petk_spark.operators.grouped import equidepth_histogram
+
+    df = read_table(spark, sf_dir, "lineitem")
+    out = equidepth_histogram(df, "l_extendedprice", n_buckets=10)
+    return out.select(
+        "bucket",
+        fmt_sci(F.col("edge_lo")).alias("edge_lo"),
+        fmt_sci(F.col("edge_hi")).alias("edge_hi"),
+        "n",
+    )
+
+
+_SQL_EQUIDEPTH = f"""
+WITH edges AS (
+  SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE),
+           [{", ".join(repr(i / 10) for i in range(11))}]) AS e
+  FROM lineitem
+),
+binned AS (
+  SELECT 1 + len(list_filter(e[2:10],
+           x -> CAST(l_extendedprice AS DOUBLE) > x)) AS bucket
+  FROM lineitem, edges WHERE l_extendedprice IS NOT NULL
+),
+counts AS (SELECT bucket, count(*) AS n FROM binned GROUP BY 1)
+SELECT bucket, {dfmt('e[bucket]')} AS edge_lo,
+       {dfmt('e[bucket + 1]')} AS edge_hi, n
+FROM counts, edges
+"""
+
+
 def _q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Levenshtein ≤ 3 pairs over part.p_name's distinct vocabulary,
     prefix-blocked (operators/fuzzy.py)."""
@@ -1563,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": _q_psi_drift,
         "asof_join_events": _q_asof_join_events,
         "fuzzy_pairs_part": _q_fuzzy_pairs,
+        "equidepth_histogram": _q_equidepth_histogram,
         "token_histogram": _q_token_histogram,
         "text_quality": _q_quality,
         "language_id": _q_language_id,
@@ -1615,6 +1649,7 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift": _SQL_PSI_DRIFT,
         "asof_join_events": _SQL_ASOF_JOIN,
         "fuzzy_pairs_part": _SQL_FUZZY_PAIRS,
+        "equidepth_histogram": _SQL_EQUIDEPTH,
         "near_dup_minhash_lsh": _minhash_lsh_sql(),
         "near_dup_simhash": _SQL_SIMHASH,
         "token_histogram": _SQL_TOKEN_HISTOGRAM,

@@ -134,6 +134,57 @@ def frequent_values(df: DataFrame, col: str, top_n: int = 10) -> DataFrame:
     )
 
 
+def equidepth_histogram(
+    df: DataFrame, col: str, n_buckets: int = 10
+) -> DataFrame:
+    """Equi-depth (quantile-bin) histogram: bucket edges are the exact
+    interpolated quantiles at i/n_buckets, so each bucket holds ~equal
+    mass regardless of the distribution's shape — the histogram that
+    stays readable on heavy-tailed columns where equi-width piles 99%
+    of rows into one bar.
+
+    Output: (bucket, edge_lo, edge_hi, n) with bucket 1..n_buckets;
+    values equal to an interior edge count DOWN (bucket = smallest i
+    with value ≤ edge_i), and every row lands in a bucket (edges span
+    min..max by construction).
+
+    Plan: one edges aggregation + one bucket-count aggregation — the
+    edges row is broadcast, the count shuffle carries ≤ n_buckets
+    groups. The edge pass uses exact ``percentile`` (single-reducer
+    buffering): fine for the gate and for post-aggregation frames; at
+    100 TB swap the edge pass for ``percentile_approx`` or the describe
+    histogram machinery — the bucket-count pass is unchanged."""
+    c = F.col(col).cast("double")
+    probs = ", ".join(repr(i / n_buckets) for i in range(n_buckets + 1))
+    edges = df.agg(
+        F.expr(f"percentile(CAST(`{col}` AS DOUBLE), array({probs})) AS __edges")
+    )
+    # bucket = 1 + #edges strictly below the value, over interior edges
+    bucket = F.lit(1) + F.aggregate(
+        F.slice(F.col("__edges"), 2, n_buckets - 1),
+        F.lit(0),
+        lambda acc, e: acc + F.when(c > e, 1).otherwise(0),
+    )
+    counts = (
+        df.filter(c.isNotNull())
+        .crossJoin(F.broadcast(edges))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(edges))
+        .select(
+            "bucket",
+            F.element_at("__edges", F.col("bucket").cast("int")).alias("edge_lo"),
+            F.element_at("__edges", (F.col("bucket") + 1).cast("int")).alias(
+                "edge_hi"
+            ),
+            "n",
+        )
+        .orderBy("bucket")
+    )
+
+
 def histogram(
     df: DataFrame, col: str, lo: float, hi: float, n_buckets: int = 10
 ) -> DataFrame:

@@ -59,3 +59,67 @@ def test_plan_has_no_join_node(spark):
     plan = executed_plan(out)
     assert "Join" not in plan, "as-of must be union+window, not a join"
     assert exchange_count(out) == 1  # one hash shuffle on the key
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lrows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20)), min_size=1, max_size=15
+    ),
+    rrows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20)), min_size=0, max_size=15
+    ),
+)
+def test_asof_matches_pandas_merge_asof(spark, lrows, rrows):
+    """Adversarial anchor: asof_join must agree with pandas
+    merge_asof(by=key, direction='backward', allow_exact_matches=True)
+    — the de-facto reference semantics — on random small frames,
+    including duplicate timestamps on both sides. pandas breaks
+    equal-time right ties by taking the LAST input row; feeding it
+    right rows sorted by (t, rid) makes that the greatest-rid rule the
+    operator pins."""
+    import pandas as pd
+
+    left = spark.createDataFrame(
+        [(k, float(t), i) for i, (k, t) in enumerate(lrows)],
+        "k long, t double, lid long",
+    )
+    right = spark.createDataFrame(
+        [(k, float(t), 1000 + i) for i, (k, t) in enumerate(rrows)],
+        "k long, rt double, rid long",
+    )
+    out = asof_join(
+        left, right, key="k", left_ts="t", right_ts="rt",
+        right_cols=["rid"], right_ord="rid",
+    )
+    got = {r.lid: r.rid for r in out.collect()}
+
+    lp = pd.DataFrame(
+        [(k, float(t), i) for i, (k, t) in enumerate(lrows)],
+        columns=["k", "t", "lid"],
+    ).sort_values("t", kind="stable")
+    rp = (
+        pd.DataFrame(
+            [(k, float(t), 1000 + i) for i, (k, t) in enumerate(rrows)],
+            columns=["k", "t", "rid"],
+        )
+        .astype({"k": "int64", "t": "float64", "rid": "int64"})
+        .sort_values(["t", "rid"], kind="stable")
+    )
+    merged = pd.merge_asof(
+        lp, rp, on="t", by="k", direction="backward", allow_exact_matches=True
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in merged.itertuples()
+    }
+    assert got == want
