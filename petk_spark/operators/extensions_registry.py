@@ -842,6 +842,49 @@ FROM sig
 """
 
 
+def _q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling: each document kept with
+    probability = its quality_score (operators/sampling.py:
+    weighted_sample over text.quality_score). Both the weight and the
+    keyed uniform are engine-portable expressions, so the kept set is
+    replayed exactly by the oracle."""
+    from petk_spark.operators.sampling import weighted_sample
+
+    df = read_table(spark, sf_dir, "documents")
+    kept = weighted_sample(
+        df, ["doc_id"], text.quality_score(F.col("text")), salt="mix1"
+    )
+    return kept.select("doc_id")
+
+
+_SQL_QUALITY_WEIGHTED = f"""
+WITH {_TOKS_CTE},
+sig AS (
+  SELECT doc_id, length(text) AS n_chars, len(tk) AS n_tokens,
+    CASE WHEN length(text) > 0 THEN
+      len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE / length(text) END AS punct_ratio,
+    CASE WHEN len(tk) > 0 THEN
+      len(list_filter(tk, t -> list_contains({_duck_list(text.STOPWORDS)}, t)))::DOUBLE / len(tk) END AS stopword_ratio,
+    CASE WHEN len(tk) > 0 THEN
+      list_sum(list_transform(tk, t -> length(t)))::DOUBLE / len(tk) END AS mean_word_len
+  FROM toks
+),
+scored AS (
+  SELECT doc_id,
+    (least(n_tokens::DOUBLE / 20.0, 1.0)
+     + greatest(0.0, 1.0 - punct_ratio * 4)
+     + least(stopword_ratio * 5, 1.0)
+     + CASE WHEN mean_word_len >= 2 AND mean_word_len <= 12 THEN 1.0 ELSE 0.0 END
+    ) / 4 AS q,
+    ('0x' || substr(md5('mix1' || ':' || coalesce(doc_id::VARCHAR, '')), 1, 13))::BIGINT
+      / 4503599627370496.0 AS u
+  FROM sig
+)
+SELECT doc_id FROM scored
+WHERE u < least(greatest(q, 0.0), 1.0)
+"""
+
+
 def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = read_table(spark, sf_dir, "documents")
     return text.language_id_frame(df, "doc_id", "text")
@@ -1597,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": _q_asof_join_events,
         "fuzzy_pairs_part": _q_fuzzy_pairs,
         "equidepth_histogram": _q_equidepth_histogram,
+        "quality_weighted_sample": _q_quality_weighted_sample,
         "token_histogram": _q_token_histogram,
         "text_quality": _q_quality,
         "language_id": _q_language_id,
@@ -1650,6 +1694,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_events": _SQL_ASOF_JOIN,
         "fuzzy_pairs_part": _SQL_FUZZY_PAIRS,
         "equidepth_histogram": _SQL_EQUIDEPTH,
+        "quality_weighted_sample": _SQL_QUALITY_WEIGHTED,
         "near_dup_minhash_lsh": _minhash_lsh_sql(),
         "near_dup_simhash": _SQL_SIMHASH,
         "token_histogram": _SQL_TOKEN_HISTOGRAM,

@@ -51,6 +51,32 @@ def deterministic_sample(
     return df.filter(sample_key(key_cols, salt) < F.lit(rate_threshold(rate)))
 
 
+def uniform_from_key(key_cols, salt: str = "") -> Column:
+    """Deterministic uniform double in [0, 1) from the row key: the
+    first 13 hex chars of the keyed md5 (52 bits — exactly a double's
+    mantissa, so the division is lossless) over 2^52. Identical
+    arithmetic exists in DuckDB (('0x' || substr(md5, 1, 13))::BIGINT),
+    so comparisons against it are engine-portable bit-for-bit."""
+    return F.conv(
+        F.substring(sample_key(key_cols, salt), 1, 13), 16, 10
+    ).cast("double") / F.lit(float(1 << 52))
+
+
+def weighted_sample(
+    df: DataFrame, key_cols: list[str], weight: Column, salt: str = ""
+) -> DataFrame:
+    """Per-row-probability Bernoulli sample: keep each row with
+    probability equal to its own ``weight`` expression (clamped to
+    [0, 1]) — e.g. quality-weighted corpus sampling where high-quality
+    documents are kept preferentially but low-quality ones still
+    contribute mass. Deterministic in (salt, key) like every sampler
+    here: re-runs, engines, and partitionings agree row-for-row; adding
+    data never flips an existing row's fate. Map-side filter, no
+    shuffle, no state."""
+    w = F.least(F.greatest(weight.cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.filter(uniform_from_key(key_cols, salt) < w)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,
