@@ -144,6 +144,32 @@ def test_grouped_profile_single_shuffle(spark):
     assert exchange_count(prof) == 1
 
 
+def test_sessionize_profile_is_single_shuffle(spark):
+    # The session window partitions by the user key; the per-session
+    # rollup's grouping (user, session_seq) is co-located by that same
+    # hash partitioning (hash(user) ⊆ the grouping keys), so Catalyst
+    # must NOT insert a second exchange for the aggregate.
+    from petk_spark.operators.grouped import grouped_profile  # noqa: F401
+    from petk_spark.operators.sessions import session_profile
+
+    events = spark.read.parquet(f"{SF}/orders.parquet")
+    prof = session_profile(events, "o_custkey", "o_orderkey", gap_seconds=5.0)
+    assert exchange_count(prof) == 1
+
+
+def test_weighted_sample_is_scan_local(spark):
+    # The keyed-uniform filter must compose into the scan stage: no
+    # exchange, no extra scan — pure map-side selection.
+    from pyspark.sql import functions as F
+
+    from petk_spark.operators.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = weighted_sample(docs, ["doc_id"], F.col("n_chars") / 1000.0)
+    assert exchange_count(out) == 0
+    assert scan_count(out) == 1
+
+
 def test_topn_queries_use_bounded_take_ordered(spark):
     # frequent_values / token_histogram end in orderBy().limit(n):
     # Spark must plan a TakeOrderedAndProject (each task keeps only its
