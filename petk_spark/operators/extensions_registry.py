@@ -885,6 +885,84 @@ WHERE u < least(greatest(q, 0.0), 1.0)
 """
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token training windows, stride 48
+    (operators/chunking.py). chunk_text is fingerprinted (md5) for the
+    hash row so the oracle compares full content without shipping
+    megabytes of text through the comparator."""
+    from petk_spark.operators.chunking import chunk_documents
+
+    df = read_table(spark, sf_dir, "documents")
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=64, stride=48)
+    return out.select(
+        F.col("id").alias("doc_id"), "chunk_id", "n_tokens",
+        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
+    )
+
+
+_SQL_CHUNK_DOCUMENTS = f"""
+WITH {_TOKS_CTE},
+base AS (
+  SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0
+),
+slist AS (
+  SELECT doc_id, tk, n,
+         list_concat(
+           range(0, greatest(n - 64, 0) + 1, 48),
+           CASE WHEN greatest(n - 64, 0) % 48 <> 0
+                THEN [greatest(n - 64, 0)] ELSE [] END
+         ) AS starts
+  FROM base
+),
+starts AS (
+  SELECT doc_id, tk, n,
+         unnest(starts) AS start,
+         generate_subscripts(starts, 1) - 1 AS chunk_id
+  FROM slist
+)
+SELECT doc_id, chunk_id,
+       least(64, n - start) AS n_tokens,
+       md5(array_to_string(tk[start + 1 : start + 64], ' ')) AS chunk_md5
+FROM starts
+"""
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing of whole documents (256-token packs — sized
+    to the fixture's short documents so pack boundaries are genuinely
+    exercised — over 64 deterministic buckets): the batch layout step
+    before tokenizer sharding (operators/chunking.py:pack_sequences)."""
+    from petk_spark.operators.chunking import pack_sequences
+    from petk_spark.operators.text import whitespace_token_count
+
+    df = read_table(spark, sf_dir, "documents")
+    out = pack_sequences(
+        df, "doc_id", whitespace_token_count(F.col("text")),
+        target_tokens=256, n_buckets=64,
+    )
+    return out.select(F.col("id").alias("doc_id"), "n_tokens", "bucket", "pack_id")
+
+
+_SQL_PACK_SEQUENCES = f"""
+WITH {_TOKS_CTE},
+base AS (
+  SELECT doc_id, len(tk) AS n_tokens,
+         ((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT) % 64)::INT
+           AS bucket
+  FROM toks
+),
+packed AS (
+  SELECT doc_id, n_tokens, bucket,
+         CAST(floor(coalesce(sum(n_tokens) OVER (
+           PARTITION BY bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / 256.0) AS BIGINT) AS pack_id
+  FROM base
+)
+SELECT doc_id, n_tokens, bucket, pack_id FROM packed
+"""
+
+
 def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = read_table(spark, sf_dir, "documents")
     return text.language_id_frame(df, "doc_id", "text")
@@ -1641,6 +1719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs_part": _q_fuzzy_pairs,
         "equidepth_histogram": _q_equidepth_histogram,
         "quality_weighted_sample": _q_quality_weighted_sample,
+        "chunk_documents": _q_chunk_documents,
+        "pack_sequences": _q_pack_sequences,
         "token_histogram": _q_token_histogram,
         "text_quality": _q_quality,
         "language_id": _q_language_id,
@@ -1695,6 +1775,8 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_pairs_part": _SQL_FUZZY_PAIRS,
         "equidepth_histogram": _SQL_EQUIDEPTH,
         "quality_weighted_sample": _SQL_QUALITY_WEIGHTED,
+        "chunk_documents": _SQL_CHUNK_DOCUMENTS,
+        "pack_sequences": _SQL_PACK_SEQUENCES,
         "near_dup_minhash_lsh": _minhash_lsh_sql(),
         "near_dup_simhash": _SQL_SIMHASH,
         "token_histogram": _SQL_TOKEN_HISTOGRAM,
