@@ -423,7 +423,8 @@ def _exact_value_stats(
         one = one.crossJoin(F.broadcast(ranked.agg(*[F.expr(a) for a in q_aggs])))
 
     num_cols = [c for c in cols if ltypes[c] == constants.TYPE_NUM] if moments else []
-    if num_cols:
+    mom_set = list(dict.fromkeys(num_cols + [c for c in cols if c in mad_cols]))
+    if mom_set:
         # mad AND the central moments behind skewness/kurtosis come from
         # the (persisted) histogram instead of extra source scans:
         # mean = Σ cnt·v / n, then m_k = Σ cnt·(v − mean)^k / n over
@@ -434,17 +435,20 @@ def _exact_value_stats(
         # oracle contract absorbs exactly as it absorbs cross-engine
         # order differences. try_divide: an all-null or constant column
         # yields NULL moments instead of ANSI DIVIDE_BY_ZERO (the Spark
-        # builtin aggregates throw on m2 = 0).
-        m_idx = [idx[c] for c in num_cols]
+        # builtin aggregates throw on m2 = 0). With moments=False the
+        # branch still serves mad_cols alone (the banded approx
+        # validator rides its mad on this histogram).
+        m_idx = [idx[c] for c in mom_set]
         mom_aggs = []
-        for c in num_cols:
+        for c in mom_set:
             i = idx[c]
-            for k in (2, 3, 4):
-                mom_aggs.append(
-                    f"try_divide("
-                    f"sum(IF(cid = {i}, cnt * pow(vnum - wsum / ntot, {k}), NULL)),"
-                    f" max(IF(cid = {i}, ntot, NULL))) AS `{c}::_m{k}`"
-                )
+            if c in num_cols:
+                for k in (2, 3, 4):
+                    mom_aggs.append(
+                        f"try_divide("
+                        f"sum(IF(cid = {i}, cnt * pow(vnum - wsum / ntot, {k}), NULL)),"
+                        f" max(IF(cid = {i}, ntot, NULL))) AS `{c}::_m{k}`"
+                    )
             if c in mad_cols:
                 mom_aggs.append(
                     f"try_divide("
@@ -463,11 +467,11 @@ def _exact_value_stats(
                 f"try_divide(`{c}::_m3`, pow(`{c}::_m2`, 1.5)) AS `{c}::_g1`",
                 f"try_divide(`{c}::_m4`, pow(`{c}::_m2`, 2)) - 3 AS `{c}::_g2`",
             )
-        ] + [f"`{c}::mad`" for c in num_cols if c in mad_cols]
+        ] + [f"`{c}::mad`" for c in mom_set if c in mad_cols]
         one = one.crossJoin(F.broadcast(mom_row.selectExpr(*derived)))
 
     final = [f"`{c}::distinct_count`" for c in dist_cols]
-    final += [f"`{c}::mad`" for c in num_cols if c in mad_cols]
+    final += [f"`{c}::mad`" for c in mom_set if c in mad_cols]
     final += [e for c in num_cols for e in (f"`{c}::_g1`", f"`{c}::_g2`")]
     for c in q_cols:
         n = f"`{c}::_qn`"

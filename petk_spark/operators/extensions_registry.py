@@ -1506,8 +1506,10 @@ def _q_describe_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     band probabilities) — NOT from `percentile`/`count(DISTINCT)`
     builtins, whose EXPAND replication + single-reducer buffering made a
     first cut of this validator 20× slower than the profile it checks.
-    The validator is one extra scan; the approx path under test remains
-    the single-scan plan.
+    The validator is one extra scan, and it also supplies the exact
+    ``mad`` rows (Σ cnt·|v−mean|/n over the same histogram), so the
+    whole query is TWO scans: the single-scan approx bundle under test
+    plus the validator.
 
     Every exactly-computable statistic (count, nulls, min/max, sum,
     mean, std, variance, moments, mad, cv, zeros/infinite) is emitted
@@ -1518,20 +1520,25 @@ def _q_describe_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from petk_spark.operators.describe import _exact_value_stats, describe_frame
 
     df = read_table(spark, sf_dir, "lineitem")
-    long = describe_frame(df, None, exact=False, include_mad=True)
+    long = describe_frame(df, None, exact=False, include_mad=False)
 
     skip = (constants.TYPE_GEO, constants.TYPE_UNSUPPORTED)
     ranked = (constants.TYPE_DATE, constants.TYPE_NUM)
     ltypes = {f.name: static_logical_type(f) for f in df.schema.fields}
+    num_cols = [c for c in df.columns if ltypes[c] == constants.TYPE_NUM]
     epsq = 0.002
     nq = len(constants.QUANTILES)
     band_probs = [max(p - epsq, 0.0) for p in constants.QUANTILES] + [
         min(p + epsq, 1.0) for p in constants.QUANTILES
     ]
     # Exact reference values via the scalable histogram pass; quantiles
-    # array = [5 lower band bounds] ++ [5 upper band bounds].
+    # array = [5 lower band bounds] ++ [5 upper band bounds]. mad_cols:
+    # the histogram also yields the exact mad (it needs the mean first,
+    # which the 1-scan approx bundle can't supply without a second
+    # pass — so mad rides the validator scan for free).
     val = _exact_value_stats(
-        df, list(df.columns), ltypes, probs=band_probs, moments=False
+        df, list(df.columns), ltypes, probs=band_probs, moments=False,
+        mad_cols=num_cols,
     ).crossJoin(F.broadcast(df.agg(F.expr("count(1) AS rows_"))))
 
     entries = []
@@ -1563,6 +1570,15 @@ def _q_describe_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             q = f"`{c}::quantiles`"
             band(c, "iqr", f"{q}[3] - {q}[{1 + nq}]", f"{q}[{3 + nq}] - {q}[1]")
 
+    # mad rides the validator histogram as a degenerate band (lo = hi =
+    # the exact value) and is emitted as a VALUE by the special case in
+    # the join below — the approx bundle under test stays single-scan,
+    # and `val` has exactly one consumer so its subtree isn't
+    # duplicated in the plan. (_long_sql emits NULL mad rows with
+    # include_mad=False; the join overrides them.)
+    for c in num_cols:
+        band(c, "mad", f"`{c}::mad`", f"`{c}::mad`")
+
     bands = val.select(
         F.expr("explode(array(" + ", ".join(entries) + ")) AS e")
     ).select("e.*")
@@ -1574,6 +1590,7 @@ def _q_describe_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("column").alias("col_name"),
             "statistic",
             F.when(F.col("statistic") == "content_type", F.col("value_str"))
+            .when(F.col("statistic") == "mad", fmt_sci(F.col("lo")))
             .when(F.col("lo").isNull(), fmt_sci(F.col("value_num")))
             .when(
                 (F.col("value_num") >= F.col("lo"))
