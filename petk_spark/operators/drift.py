@@ -38,6 +38,41 @@ def _bundle(df: DataFrame, columns, suffix: str) -> DataFrame:
     return df.agg(*[F.expr(a) for a in aggs])
 
 
+def completeness_over_time(
+    df: DataFrame,
+    ts_col: str,
+    columns: list[str],
+    bucket_seconds: float = 3600.0,
+) -> DataFrame:
+    """Missingness monitoring: per time bucket and column, row count,
+    null count and null rate — the time-resolved view of describe's
+    ``p_null`` that catches an upstream feed silently going dark for an
+    hour (a global null rate dilutes such an outage into noise).
+
+    Long output ``(bucket_start, col_name, n_rows, n_null, p_null)``.
+    Plan: ONE scan, one hash shuffle on ≤ (windows × columns) group
+    keys — the per-column fan-out is an inline explode of constant-size
+    structs, not a join. ``ts_col`` is epoch seconds; bucketing is
+    ``floor(ts / bucket)`` so both engines bin identically."""
+    b = F.floor(F.col(ts_col).cast("double") / F.lit(float(bucket_seconds)))
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(c).isNull().cast("long").alias("is_null"),
+        )
+        for c in columns
+    ]
+    long = df.select(
+        (b * F.lit(float(bucket_seconds))).alias("bucket_start"),
+        F.explode(F.array(*structs)).alias("e"),
+    ).select("bucket_start", "e.*")
+    return long.groupBy("bucket_start", "col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("is_null").alias("n_null"),
+        F.try_divide(F.sum("is_null"), F.count(F.lit(1))).alias("p_null"),
+    )
+
+
 def psi_drift(
     df_a: DataFrame,
     df_b: DataFrame,

@@ -158,6 +158,39 @@ FROM x GROUP BY 1
 """
 
 
+def _q_completeness_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly null-rate monitor over events.value and events.props
+    (operators/drift.py:completeness_over_time)."""
+    from petk_spark.operators.drift import completeness_over_time
+
+    df = read_table(spark, sf_dir, "events")
+    out = completeness_over_time(df, "ts", ["value", "props"], 3600.0)
+    return out.select(
+        fmt_sci(F.col("bucket_start")).alias("bucket_start"),
+        "col_name", "n_rows", "n_null",
+        fmt_sci(F.col("p_null")).alias("p_null"),
+    )
+
+
+_SQL_COMPLETENESS = f"""
+WITH ev AS (
+  SELECT floor({EVENTS_TS_SQL} / 3600.0) * 3600.0 AS bucket_start,
+         value, props
+  FROM events
+),
+long AS (
+  SELECT bucket_start, 'value' AS col_name,
+         (value IS NULL)::BIGINT AS is_null FROM ev
+  UNION ALL
+  SELECT bucket_start, 'props', (props IS NULL)::BIGINT FROM ev
+)
+SELECT {dfmt('bucket_start')} AS bucket_start, col_name,
+       count(*) AS n_rows, sum(is_null) AS n_null,
+       {dfmt('sum(is_null) / CAST(count(*) AS DOUBLE)')} AS p_null
+FROM long GROUP BY bucket_start, col_name
+"""
+
+
 def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI over the same deterministic snapshot pair as profile_drift:
     full orders (baseline grid) vs the high-price-skewed half — a
@@ -1738,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_weighted_sample": _q_quality_weighted_sample,
         "chunk_documents": _q_chunk_documents,
         "pack_sequences": _q_pack_sequences,
+        "completeness_over_time": _q_completeness_over_time,
         "token_histogram": _q_token_histogram,
         "text_quality": _q_quality,
         "language_id": _q_language_id,
@@ -1794,6 +1828,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_weighted_sample": _SQL_QUALITY_WEIGHTED,
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
         "pack_sequences": _SQL_PACK_SEQUENCES,
+        "completeness_over_time": _SQL_COMPLETENESS,
         "near_dup_minhash_lsh": _minhash_lsh_sql(),
         "near_dup_simhash": _SQL_SIMHASH,
         "token_histogram": _SQL_TOKEN_HISTOGRAM,

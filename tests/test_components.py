@@ -45,3 +45,29 @@ def test_keep_first_keeps_one_per_component(spark):
     kept = {r.doc_id for r in dedup_near_keep_first(df, pairs, "doc_id").collect()}
     # components: {0,3,5} -> keep 0; {6,7} -> keep 6; singletons 1,2,4 kept
     assert kept == {0, 1, 2, 4, 6}
+
+
+def test_sessionize_is_input_order_invariant(spark):
+    """Session assignment is a pure function of (user, ts) — input
+    order and partitioning must not change any (user, session, count)
+    rollup row."""
+    from petk_spark.operators.sessions import session_profile
+
+    rows = [
+        (u, float(t))
+        for u in range(5)
+        for t in [0, 10, 2000, 2010, 2020, 9000, 9005 + u]
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts double")
+    a = sorted(map(tuple, session_profile(df, "user_id", "ts", 60.0).collect()))
+    b = sorted(
+        map(
+            tuple,
+            session_profile(
+                df.orderBy(F.col("ts").desc()).repartition(7), "user_id", "ts", 60.0
+            ).collect(),
+        )
+    )
+    assert a == b
+    # gap 60 over [0,10 | 2000..2020 | 9000,9005+u] = 3 sessions per user
+    assert {r[1] for r in a} == {1, 2, 3}
