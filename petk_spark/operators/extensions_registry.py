@@ -29,6 +29,10 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+# Module scope: the pandas_udf type-hint resolver evaluates annotations
+# in the defining function's global namespace (see _q_wav_metadata).
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1644,6 +1648,52 @@ def _q_describe_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_wav_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal metadata decode, round-trip checked: per doc, a
+    genuine PCM WAV container is synthesized with doc_id-derived
+    parameters (multimodal.synth_wav), then the Arrow-batched RIFF
+    parser (multimodal.wav_metadata_frame) recovers the fields FROM THE
+    BYTES. The oracle recomputes the expected fields from the same
+    doc_id arithmetic — so a parser (or synthesizer) bug breaks the
+    hash. Unlike the image/video stubs, nothing here is faked: the
+    bytes are a valid WAV and the parse is a real chunk walk."""
+    from petk_spark.operators.multimodal import synth_wav, wav_metadata_frame
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def make_wav(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda i: synth_wav(
+                sample_rate=8000 * (1 + int(i) % 3),
+                n_channels=1 + int(i) % 2,
+                bits_per_sample=16 if int(i) % 4 < 2 else 8,
+                n_frames=400 + int(i) % 97,
+            )
+        )
+
+    df = read_table(spark, sf_dir, "documents").select(
+        "doc_id", make_wav(F.col("doc_id")).alias("payload")
+    )
+    out = wav_metadata_frame(df, "doc_id", "payload")
+    return out.select(
+        F.col("id").alias("doc_id"), "valid", "sample_rate",
+        "n_channels", "bits_per_sample", "n_frames", "duration_ms",
+    )
+
+
+_SQL_WAV_METADATA = """
+SELECT doc_id,
+       true AS valid,
+       (8000 * (1 + doc_id % 3))::INT AS sample_rate,
+       (1 + doc_id % 2)::INT AS n_channels,
+       (CASE WHEN doc_id % 4 < 2 THEN 16 ELSE 8 END)::INT AS bits_per_sample,
+       (400 + doc_id % 97)::BIGINT AS n_frames,
+       ((400 + doc_id % 97) * 1000 // (8000 * (1 + doc_id % 3)))::BIGINT
+         AS duration_ms
+FROM documents
+"""
+
+
 def _q_geo_sliver(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5 sliver rule over synthetic triangles: every 13th order gets a
     degenerate near-zero-area triangle (a sliver under a 1000 m^2 UTM-17N
@@ -1772,6 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "pack_sequences": _q_pack_sequences,
         "completeness_over_time": _q_completeness_over_time,
+        "wav_metadata": _q_wav_metadata,
         "token_histogram": _q_token_histogram,
         "text_quality": _q_quality,
         "language_id": _q_language_id,
@@ -1829,6 +1880,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "completeness_over_time": _SQL_COMPLETENESS,
+        "wav_metadata": _SQL_WAV_METADATA,
         "near_dup_minhash_lsh": _minhash_lsh_sql(),
         "near_dup_simhash": _SQL_SIMHASH,
         "token_histogram": _SQL_TOKEN_HISTOGRAM,

@@ -10,6 +10,10 @@ libraries are not available in this environment) behind
 Operators:
   * ``binary_metadata_frame`` — size, magic-byte sniffing, md5 — all
     built-in JVM expressions (oracle-checkable).
+  * ``wav_metadata_frame`` — REAL decode: stdlib ``struct`` parse of
+    genuine RIFF/WAVE container bytes (rate/channels/bits/frames/
+    duration) — no media library required, nothing stubbed; corrupt
+    blobs yield valid=false rows instead of failing the scan.
   * ``decode_image_features`` — mapInPandas plumbing for per-item decode
     → fixed-width feature rows; batch-shape and schema are real, the
     pixel decode is the stub seam.
@@ -63,6 +67,104 @@ def binary_metadata_frame(
         F.length(p).cast("long").alias("n_bytes"),
         sniff_media_type(p).alias("media_type"),
         F.md5(p).alias("digest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL metadata decode: WAV (RIFF) headers — stdlib-only, no media libs
+# ---------------------------------------------------------------------------
+
+WAV_METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("valid", T.BooleanType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def synth_wav(
+    sample_rate: int, n_channels: int, bits_per_sample: int, n_frames: int
+) -> bytes:
+    """Minimal valid PCM WAV (RIFF/WAVE + fmt + data) with silent
+    samples — the deterministic fixture generator for the parser's
+    round-trip checks (real media files aren't available here; the
+    BYTES are nevertheless a fully valid WAV container)."""
+    import struct
+
+    block_align = n_channels * bits_per_sample // 8
+    data_size = n_frames * block_align
+    byte_rate = sample_rate * block_align
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, n_channels, sample_rate, byte_rate,
+        block_align, bits_per_sample,
+    )
+    data = struct.pack("<4sI", b"data", data_size) + b"\x00" * data_size
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+    return riff + fmt + data
+
+
+def parse_wav_header(payload: bytes | None):
+    """(valid, sample_rate, n_channels, bits, n_frames, duration_ms)
+    from real RIFF bytes: chunk-walk to 'fmt ' and 'data' — the actual
+    container format, parsed with ``struct`` alone. Malformed input →
+    (False, None, ...) rather than an exception (a 100 TB scan must not
+    die on one corrupt blob)."""
+    import struct
+
+    try:
+        if payload is None or len(payload) < 12:
+            return (False, None, None, None, None, None)
+        if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return (False, None, None, None, None, None)
+        pos, fmt_info, data_size = 12, None, None
+        while pos + 8 <= len(payload):
+            cid, csize = struct.unpack_from("<4sI", payload, pos)
+            if cid == b"fmt " and csize >= 16:
+                fmt_info = struct.unpack_from("<HHIIHH", payload, pos + 8)
+            elif cid == b"data":
+                data_size = csize
+            pos += 8 + csize + (csize % 2)  # RIFF chunks are word-aligned
+        if fmt_info is None or data_size is None:
+            return (False, None, None, None, None, None)
+        _fmt, channels, rate, _brate, block_align, bits = fmt_info
+        if block_align == 0 or rate == 0:
+            return (False, None, None, None, None, None)
+        frames = data_size // block_align
+        return (True, rate, channels, bits, frames, frames * 1000 // rate)
+    except Exception:
+        return (False, None, None, None, None, None)
+
+
+def wav_metadata_frame(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """Arrow-batched REAL WAV metadata decode over a binary column —
+    unlike the image/video feature extractors below, nothing here is
+    stubbed: the parser reads genuine RIFF container bytes. Row-local
+    (mapInPandas, bounded batches, no shuffle)."""
+    id_name, payload_name = id_col, payload_col
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (rid, *parse_wav_header(payload))
+                for rid, payload in zip(pdf[id_name], pdf[payload_name])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "valid", "sample_rate", "n_channels",
+                    "bits_per_sample", "n_frames", "duration_ms",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=WAV_METADATA_SCHEMA
     )
 
 
