@@ -365,6 +365,35 @@ FROM counts, edges
 """
 
 
+def _q_validate_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`unique` rule over orders.o_custkey (customers with multiple
+    orders are 'violations' — a dense, meaningful duplicate set):
+    row-level duplicate flagging with occurrence counts
+    (operators/validate.py:rule_unique)."""
+    from petk_spark.operators.validate import validate_frame
+
+    df = read_table(spark, sf_dir, "orders")
+    out = validate_frame(df, {"o_custkey": {"unique": True}}, "o_orderkey")
+    return out.select(
+        F.col("column").alias("col_name"), "row_key",
+        F.col("function").alias("rule_name"), "notes",
+    )
+
+
+_SQL_VALIDATE_UNIQUE = """
+WITH counted AS (
+  SELECT o_orderkey, o_custkey,
+         count(*) OVER (PARTITION BY o_custkey) AS dup_n
+  FROM orders WHERE o_custkey IS NOT NULL
+)
+SELECT 'o_custkey' AS col_name,
+       o_orderkey::VARCHAR AS row_key,
+       'unique' AS rule_name,
+       'Value occurs ' || dup_n::VARCHAR || ' times' AS notes
+FROM counted WHERE dup_n > 1
+"""
+
+
 def _q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Levenshtein ≤ 3 pairs over part.p_name's distinct vocabulary,
     prefix-blocked (operators/fuzzy.py)."""
@@ -1823,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "completeness_over_time": _q_completeness_over_time,
         "wav_metadata": _q_wav_metadata,
+        "validate_unique": _q_validate_unique,
         "token_histogram": _q_token_histogram,
         "text_quality": _q_quality,
         "language_id": _q_language_id,
@@ -1881,6 +1911,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "completeness_over_time": _SQL_COMPLETENESS,
         "wav_metadata": _SQL_WAV_METADATA,
+        "validate_unique": _SQL_VALIDATE_UNIQUE,
         "near_dup_minhash_lsh": _minhash_lsh_sql(),
         "near_dup_simhash": _SQL_SIMHASH,
         "token_histogram": _SQL_TOKEN_HISTOGRAM,

@@ -112,12 +112,48 @@ def rule_pattern(df: DataFrame, column: str, key, pattern) -> DataFrame:
     )
 
 
+def rule_unique(df: DataFrame, column: str, key, params) -> DataFrame:
+    """Beyond-reference rule (SURVEY §2.F): flag every row whose value
+    occurs more than once in the column — the row-level complement of
+    describe's ``is_unique`` boolean (which only says THAT duplicates
+    exist, not WHERE). NULLs pass (presence is the null conventions'
+    job); the message carries the duplicate count so triage can sort by
+    severity. ``params`` accepts True / {} / [] — the rule takes no
+    parameters.
+
+    Scale shape: one count window hash-partitioned by the VALUE —
+    groups are bounded by per-value multiplicity, and violations flow
+    out without a driver round-trip, like every other rule. A column
+    that is one giant duplicate concentrates its group on one reducer;
+    that column is catastrophically non-unique and the right tool is
+    describe's distinct_count, which is why the hazard is accepted."""
+    from pyspark.sql import Window
+
+    c = F.col(column)
+    w = Window.partitionBy(c)
+    return (
+        df.filter(c.isNotNull())
+        .withColumn("__dup_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("__dup_n") > 1)
+        .select(
+            F.lit(column).alias("column"),
+            row_key_expr(key).alias("row_key"),
+            F.lit("unique").alias("function"),
+            F.concat(
+                F.lit("Value occurs "), F.col("__dup_n").cast("string"),
+                F.lit(" times"),
+            ).alias("notes"),
+        )
+    )
+
+
 #: Explicit rule registry replacing the reference's reflective dispatch
 #: (petk/exploration.py:88-91). Geometry rules register on geo import.
 RULE_REGISTRY = {
     "range": rule_range,
     "accepted": rule_accepted,
     "pattern": rule_pattern,
+    "unique": rule_unique,
 }
 
 
