@@ -787,6 +787,7 @@ def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SESSIONIZE = f"""
 WITH ev AS (
   SELECT user_id, {EVENTS_TS_SQL} AS tsec FROM events
+  WHERE ts IS NOT NULL
 ),
 flagged AS (
   SELECT user_id, tsec,

@@ -150,15 +150,22 @@ def equidepth_histogram(
 
     Plan: one edges aggregation + one bucket-count aggregation — the
     edges row is broadcast, the count shuffle carries ≤ n_buckets
-    groups. The edge pass uses exact ``percentile`` (single-reducer
-    buffering): fine for the gate and for post-aggregation frames; at
-    100 TB swap the edge pass for ``percentile_approx`` or the describe
-    histogram machinery — the bucket-count pass is unchanged."""
+    groups. The edge pass reuses describe's distributed value-histogram
+    rank machinery (``_exact_value_stats``): exact interpolated
+    quantiles with NO single-reducer buffering — the same float64
+    interpolation expression as ``percentile``/``quantile_cont``, so
+    the oracle hash is unchanged while the plan survives an unbounded
+    column (the earlier ``percentile(col, array(...))`` edge pass
+    buffered every value on one reducer — the pattern describe.py's
+    docstring names a 100 TB non-starter)."""
+    from petk_spark import constants
+    from petk_spark.operators.describe import _exact_value_stats
+
     c = F.col(col).cast("double")
-    probs = ", ".join(repr(i / n_buckets) for i in range(n_buckets + 1))
-    edges = df.agg(
-        F.expr(f"percentile(CAST(`{col}` AS DOUBLE), array({probs})) AS __edges")
-    )
+    probs = [i / n_buckets for i in range(n_buckets + 1)]
+    edges = _exact_value_stats(
+        df, [col], {col: constants.TYPE_NUM}, probs=probs, moments=False
+    ).selectExpr(f"`{col}::quantiles` AS __edges")
     # bucket = 1 + #edges strictly below the value, over interior edges
     bucket = F.lit(1) + F.aggregate(
         F.slice(F.col("__edges"), 2, n_buckets - 1),

@@ -14,7 +14,11 @@ events concentrates on one reducer — pre-split such bots upstream
 
 Determinism: ties in the per-user ordering don't affect session
 assignment (equal timestamps have gap 0, which never opens a session),
-so the rollup is engine-portable and oracle-hashable.
+so the rollup is engine-portable and oracle-hashable. Rows with a NULL
+timestamp are dropped up front: an unstamped event cannot be placed in
+a session, and engines disagree on where NULLs sort in a window
+(Spark ASC = NULLS FIRST, DuckDB ASC = NULLS LAST), so keeping them
+would make session assignment engine-dependent.
 """
 
 from __future__ import annotations
@@ -30,7 +34,8 @@ def sessionize(
     gap_seconds: float = 1800.0,
 ) -> DataFrame:
     """Source rows + ``session_seq`` (1-based per user). ``ts_col`` is
-    epoch seconds (numeric)."""
+    epoch seconds (numeric); NULL-ts rows are dropped (see module doc)."""
+    df = df.filter(F.col(ts_col).isNotNull())
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap_open = (
         (F.col(ts_col) - F.lag(ts_col).over(w)) > F.lit(float(gap_seconds))
