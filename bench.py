@@ -127,20 +127,32 @@ def main() -> None:
             timings[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "protocol": "per-query median of n back-to-back runs, shared warm session",
-                "n": runs,
-                "samples": samples,
-            }
-        )
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "protocol": "per-query median of n back-to-back runs, shared warm session",
+        "n": runs,
+        "samples": samples,
+    }
+    # The driver captures stdout's tail, which truncated BENCH_r03.json
+    # ("parsed": null) and lost the describe-family numbers from the
+    # record — persist the full object to a file as well, atomically.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json"),
     )
+    try:
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+            f.write("\n")
+        os.replace(tmp, out_path)
+    except OSError as exc:  # pragma: no cover - bench robustness
+        print(f"# bench result file not written: {exc}", file=sys.stderr)
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -46,6 +46,28 @@ def asof_join(
 
     from pyspark.sql import types as T
 
+    # Guard rails (cheap, schema-only): the tie-break column is cast to
+    # double for the union'd __ord slot, so a non-numeric/non-temporal
+    # right_ord would silently become NULL and void the documented
+    # greatest-ord determinism — reject it instead. Likewise a right
+    # payload column that shadows a left column would produce duplicate
+    # output names.
+    ord_type = right.schema[right_ord].dataType
+    if not isinstance(
+        ord_type, (T.NumericType, T.TimestampType, T.TimestampNTZType)
+    ):
+        raise TypeError(
+            f"right_ord {right_ord!r} must be numeric or timestamp for the "
+            f"deterministic tie-break; got {ord_type.simpleString()} — "
+            "project a numeric ordering column first"
+        )
+    clash = sorted(set(right_cols) & set(lcols))
+    if clash:
+        raise ValueError(
+            f"right_cols collide with left columns: {clash}; alias the "
+            "right payload before the join"
+        )
+
     # Truly-NULL structs (not structs of null fields — last(ignorenulls)
     # must skip the other side's placeholder entirely).
     null_r = F.lit(None).cast(

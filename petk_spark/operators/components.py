@@ -52,7 +52,13 @@ def connected_components(
     ``nodes``: one row per node id (singletons allowed — they become
     their own cluster). ``edges``: undirected pair list (each pair once
     is enough; both directions are derived internally).
+
+    Raises if the loop exhausts ``max_iterations`` before the labels
+    reach a fixpoint (graph diameter > max_iterations): returning
+    partially-propagated labels would be a silently wrong closure.
     """
+    if nodes.isStreaming or edges.isStreaming:
+        raise ValueError("connected_components requires batch frames")
     labels = nodes.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(id_col).cast("long").alias("lbl"),
@@ -65,9 +71,9 @@ def connected_components(
             F.col(src_col).cast("long").alias("v"),
         )
     )
-    if not nodes.isStreaming:
-        both = both.localCheckpoint(eager=False)
+    both = both.localCheckpoint(eager=False)
 
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             both.join(labels.withColumnRenamed("id", "v"), "v")
@@ -84,13 +90,17 @@ def connected_components(
                 F.col("lbl"),
             )
         )
-        if nodes.isStreaming:
-            raise ValueError("connected_components requires batch frames")
         updated = updated.localCheckpoint(eager=True)
         changed = updated.filter(F.col("new_lbl") != F.col("lbl")).limit(1).count()
         labels = updated.select("id", F.col("new_lbl").alias("lbl"))
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations (graph diameter exceeds the round budget) — raise "
+            "max_iterations or switch to a large-star/small-star variant"
+        )
     return labels.select("id", F.col("lbl").alias("cluster_id"))
 
 

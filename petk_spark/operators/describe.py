@@ -620,7 +620,10 @@ def _moment_anchors(df: DataFrame, num_cols) -> dict[str, float]:
     stats or when the parquet physical type category differs from the
     DataFrame field type — evidence the column was transformed after the
     scan (e.g. events.ts nanos → epoch seconds), where footer values
-    would be wildly wrong and the shift would HURT stability."""
+    would be wildly wrong and the shift would HURT stability; skipped
+    columns get a first-row anchor in describe_frame instead (one
+    limit(1) job — the only case where approx describe isn't fully
+    lazy before the main aggregation)."""
     import math
     from urllib.parse import unquote, urlparse
 
@@ -782,6 +785,33 @@ def describe_frame(
     has_mad = bool(include_mad and num_cols)
 
     anchors = _moment_anchors(df, num_cols) if not exact else {}
+    missing_anchor = [c for c in num_cols if c not in anchors] if not exact else []
+    if missing_anchor:
+        # Footer anchors unavailable (non-local source, multi-file
+        # mismatch, or a transformed column like events.ts where footer
+        # stats would be wrong): anchor on the FIRST ROW's values — one
+        # tiny limit(1) job over only the affected columns. Any
+        # near-data anchor keeps the one-pass shifted moments as stable
+        # as a two-pass; the previous 0.0 fallback (plain power sums)
+        # loses approx skew/kurt precision whenever mean >> spread
+        # (e.g. epoch-seconds columns), enough to flap the %.6e hash.
+        import math as _math
+
+        try:
+            first = (
+                df.select(
+                    *[F.col(c).cast("double").alias(c) for c in missing_anchor]
+                )
+                .limit(1)
+                .collect()
+            )
+            if first:
+                for c in missing_anchor:
+                    v = first[0][c]
+                    if v is not None and _math.isfinite(v):
+                        anchors[c] = float(v)
+        except Exception:  # pragma: no cover - advisory anchor probe
+            pass
     aggs = ["count(1) AS `::rows`"]
     for c in cols:
         aggs += _agg_sql(c, ltypes[c], exact, anchors.get(c))

@@ -297,10 +297,12 @@ def _q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: The oracle replays the identical union + carry-forward window — NOT
 #: DuckDB's ASOF JOIN keyword, whose equal-timestamp tie-break among
 #: duplicate right rows is unspecified; this SQL pins the same
-#: (t, side, ord) order the Spark plan uses. Per-column IGNORE NULLS
-#: carries are equivalent to the Spark side's atomic struct carry
-#: because purchase rows have no NULL fields (verified; a fixture with
-#: NULL right-payload fields would need struct_pack carry here).
+#: (t, side, ord) order the Spark plan uses. The right payload is
+#: carried as ONE packed struct (last_value IGNORE NULLS over the whole
+#: struct), matching the Spark plan's atomic carry: per-column carries
+#: would stitch fields from DIFFERENT right rows whenever a right
+#: payload field is NULL (e.g. a purchase with NULL value), and
+#: driver-regenerated testdata does not guarantee that never happens.
 _SQL_ASOF_JOIN = f"""
 WITH ev AS (
   SELECT event_id, user_id, {EVENTS_TS_SQL} AS tsec, event_type, value
@@ -308,26 +310,24 @@ WITH ev AS (
 ),
 tagged AS (
   SELECT user_id AS k, tsec AS t, 1 AS side, NULL::DOUBLE AS ord,
-         event_id, NULL::BIGINT AS p_event_id, NULL::DOUBLE AS p_ts,
-         NULL::DOUBLE AS p_value
+         event_id,
+         NULL::STRUCT(p_event_id BIGINT, p_ts DOUBLE, p_value DOUBLE) AS pay
   FROM ev
   UNION ALL
   SELECT user_id, tsec, 0, event_id::DOUBLE,
-         NULL, event_id, tsec, value
+         NULL,
+         struct_pack(p_event_id := event_id, p_ts := tsec, p_value := value)
   FROM ev WHERE event_type = 'purchase'
 ),
 carried AS (
-  SELECT *,
-         last_value(p_event_id IGNORE NULLS) OVER w AS m_event_id,
-         last_value(p_ts IGNORE NULLS) OVER w AS m_ts,
-         last_value(p_value IGNORE NULLS) OVER w AS m_value
+  SELECT *, last_value(pay IGNORE NULLS) OVER w AS m
   FROM tagged
   WINDOW w AS (PARTITION BY k ORDER BY t ASC, side ASC, ord ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT event_id, k AS user_id, {dfmt('t')} AS ts,
-       m_event_id AS p_event_id, {dfmt('m_ts')} AS p_ts,
-       {dfmt('m_value')} AS p_value
+       m.p_event_id AS p_event_id, {dfmt('m.p_ts')} AS p_ts,
+       {dfmt('m.p_value')} AS p_value
 FROM carried WHERE side = 1
 """
 

@@ -169,9 +169,13 @@ def rolling_fingerprints(text: Column, window: int = 8) -> Column:
     per element — the identical pattern already measured 3× slower for
     shingling (dedup._shingles) and replaced the same way. Tokenization
     matches dedup._shingles / the DuckDB oracle CTE exactly: ``re.ASCII``
-    pins Python's ``\\s`` to Java/RE2's ASCII whitespace class, and the
+    pins Python's ``\\s`` to Java/RE2's ASCII whitespace class, the
     per-shingle hash int(md5[:15], 16) is bit-identical to
-    ``conv(substring(md5(s), 1, 15), 16, 10)``."""
+    ``conv(substring(md5(s), 1, 15), 16, 10)``, and lowercasing happens
+    JVM-SIDE (``F.lower``) before the UDF so every tokenizer in the repo
+    shares one case mapping — Python's ``str.lower`` disagrees with
+    JVM/DuckDB ``lower()`` on Unicode edge cases ('İ', 'ß'), which an
+    ASCII fixture would mask."""
     import hashlib
     import re
 
@@ -187,7 +191,7 @@ def rolling_fingerprints(text: Column, window: int = 8) -> Column:
         def one(t):
             if t is None:
                 return None
-            toks = [w for w in ws.split(t.lower()) if w]
+            toks = [w for w in ws.split(t) if w]
             if len(toks) >= window:
                 return [
                     h(" ".join(toks[i : i + window]))
@@ -197,7 +201,7 @@ def rolling_fingerprints(text: Column, window: int = 8) -> Column:
 
         return texts.map(one)
 
-    return u(text)
+    return u(F.lower(text))
 
 
 def fingerprint_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
