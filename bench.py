@@ -45,6 +45,12 @@ def build_spark(cpus: str) -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # ~160 collects share this session; broadcast/shuffle blocks are
+        # only reclaimed by the ContextCleaner AFTER a driver GC, and the
+        # default periodicGC interval (30 min) never fires within a bench
+        # run — accumulated blocks inflated late queries ~2x in the r3
+        # record (validate family; adjudicated round 4).
+        .config("spark.cleaner.periodicGC.interval", "45s")
         .getOrCreate()
     )
 
@@ -120,6 +126,14 @@ def main() -> None:
             # reclamation let storage/GC pressure inflate the
             # alphabetically-late queries by 2x in a pile-up run.
             spark.catalog.clearCache()
+        # Untimed: force a driver GC so the ContextCleaner reclaims this
+        # query's dead broadcast/shuffle blocks NOW, not minutes later —
+        # clearCache alone leaves broadcasts behind, and their pile-up
+        # (not engine code) was the r3 validate-family "regression".
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # pragma: no cover - bench robustness
+            pass
         if ts:
             timings[name] = round(statistics.median(ts), 4)
             samples[name] = [round(t, 4) for t in ts]
