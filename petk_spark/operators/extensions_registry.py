@@ -30,7 +30,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 # Module scope: the pandas_udf type-hint resolver evaluates annotations
-# in the defining function's global namespace (see _q_wav_metadata).
+# in the defining function's global namespace (see _q_media_metadata).
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1678,16 +1678,26 @@ def _q_describe_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_wav_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL multimodal metadata decode, round-trip checked: per doc, a
-    genuine PCM WAV container is synthesized with doc_id-derived
-    parameters (multimodal.synth_wav), then the Arrow-batched RIFF
-    parser (multimodal.wav_metadata_frame) recovers the fields FROM THE
-    BYTES. The oracle recomputes the expected fields from the same
-    doc_id arithmetic — so a parser (or synthesizer) bug breaks the
-    hash. Unlike the image/video stubs, nothing here is faked: the
-    bytes are a valid WAV and the parse is a real chunk walk."""
-    from petk_spark.operators.multimodal import synth_wav, wav_metadata_frame
+def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal metadata decode, round-trip checked, TWO formats:
+    per doc, (a) a genuine PCM WAV container and (b) a genuine PNG image
+    are synthesized with doc_id-derived parameters (multimodal.synth_wav
+    / synth_png), then the Arrow-batched parsers (wav_metadata_frame's
+    RIFF chunk walk; png_features_frame's CRC-checked inflate + full
+    5-filter scanline unfiltering) recover the fields FROM THE BYTES.
+    The oracle recomputes the expected fields from the same doc_id
+    arithmetic — the PNG mean_luma has the closed form base+(h-1)/2
+    because row r is the constant sample base+r — so a parser (or
+    synthesizer) bug on either format breaks the hash. Nothing here is
+    faked: the bytes are a valid WAV / PNG and the decodes are real.
+    (Reference F8/multimodal surface; supersedes r3's wav_metadata by
+    adding the PNG half.)"""
+    from petk_spark.operators.multimodal import (
+        png_features_frame,
+        synth_png,
+        synth_wav,
+        wav_metadata_frame,
+    )
     from pyspark.sql.types import BinaryType
 
     @F.pandas_udf(BinaryType())
@@ -1701,25 +1711,71 @@ def _q_wav_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    df = read_table(spark, sf_dir, "documents").select(
-        "doc_id", make_wav(F.col("doc_id")).alias("payload")
+    @F.pandas_udf(BinaryType())
+    def make_png(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda i: synth_png(
+                width=16 + int(i) % 32,
+                height=16 + int(i) % 24,
+                base=int(i) % 200,
+                color_type=0 if int(i) % 2 == 0 else 2,
+            )
+        )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    inull = F.lit(None).cast("int")
+    wav = wav_metadata_frame(
+        docs.select("doc_id", make_wav(F.col("doc_id")).alias("payload")),
+        "doc_id", "payload",
+    ).select(
+        F.col("id").alias("doc_id"), F.lit("wav").alias("kind"), "valid",
+        "sample_rate", "n_channels", "bits_per_sample", "n_frames",
+        "duration_ms",
+        inull.alias("width"), inull.alias("height"), inull.alias("bit_depth"),
+        F.lit(None).cast("double").alias("mean_luma"),
     )
-    out = wav_metadata_frame(df, "doc_id", "payload")
-    return out.select(
-        F.col("id").alias("doc_id"), "valid", "sample_rate",
-        "n_channels", "bits_per_sample", "n_frames", "duration_ms",
+    png = png_features_frame(
+        docs.select("doc_id", make_png(F.col("doc_id")).alias("payload")),
+        "doc_id", "payload",
+    ).select(
+        F.col("id").alias("doc_id"), F.lit("png").alias("kind"), "valid",
+        inull.alias("sample_rate"), "n_channels",
+        inull.alias("bits_per_sample"),
+        F.lit(None).cast("long").alias("n_frames"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        "width", "height", "bit_depth", "mean_luma",
     )
+    return wav.unionByName(png)
 
 
-_SQL_WAV_METADATA = """
+_SQL_MEDIA_METADATA = """
 SELECT doc_id,
+       'wav' AS kind,
        true AS valid,
        (8000 * (1 + doc_id % 3))::INT AS sample_rate,
        (1 + doc_id % 2)::INT AS n_channels,
        (CASE WHEN doc_id % 4 < 2 THEN 16 ELSE 8 END)::INT AS bits_per_sample,
        (400 + doc_id % 97)::BIGINT AS n_frames,
        ((400 + doc_id % 97) * 1000 // (8000 * (1 + doc_id % 3)))::BIGINT
-         AS duration_ms
+         AS duration_ms,
+       NULL::INT AS width,
+       NULL::INT AS height,
+       NULL::INT AS bit_depth,
+       NULL::DOUBLE AS mean_luma
+FROM documents
+UNION ALL
+SELECT doc_id,
+       'png' AS kind,
+       true AS valid,
+       NULL::INT AS sample_rate,
+       (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END)::INT AS n_channels,
+       NULL::INT AS bits_per_sample,
+       NULL::BIGINT AS n_frames,
+       NULL::BIGINT AS duration_ms,
+       (16 + doc_id % 32)::INT AS width,
+       (16 + doc_id % 24)::INT AS height,
+       8::INT AS bit_depth,
+       ((doc_id % 200) + (16 + doc_id % 24 - 1) / 2.0)::DOUBLE AS mean_luma
 FROM documents
 """
 
@@ -1807,11 +1863,28 @@ FROM area WHERE a < 1000.0
 
 
 def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode over synthesized payloads (the decode_image_
+    features stub seam remains only for non-PNG formats). The same
+    decoder is hash-checked against the closed-form oracle inside
+    media_metadata; this tail entry exercises the standalone
+    png_features_frame API surface."""
+    from petk_spark.operators.multimodal import png_features_frame, synth_png
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def make_png(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda i: synth_png(
+                width=16 + int(i) % 32,
+                height=16 + int(i) % 24,
+                base=int(i) % 200,
+                color_type=0 if int(i) % 2 == 0 else 2,
+            )
+        )
+
     df = read_table(spark, sf_dir, "documents")
-    payload = df.select(
-        F.col("doc_id"), F.encode(F.col("text"), "UTF-8").alias("payload")
-    )
-    return multimodal.decode_image_features(payload, "doc_id", "payload")
+    payload = df.select("doc_id", make_png(F.col("doc_id")).alias("payload"))
+    return png_features_frame(payload, "doc_id", "payload")
 
 
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1953,7 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "pack_sequences": _q_pack_sequences,
         "completeness_over_time": _q_completeness_over_time,
-        "wav_metadata": _q_wav_metadata,
+        "media_metadata": _q_media_metadata,
         "validate_unique": _q_validate_unique,
         "token_histogram": _q_token_histogram,
         "text_quality_lang": _q_text_quality_lang,
@@ -1967,7 +2040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rows-only (data-dependent centroids or declared stubs —
         # each documented at the operator); MUST stay last:
         "cosine_topk_ivf": _q_cosine_topk_ivf,
-        "image_features_stub": _q_image_features,
+        "image_features": _q_image_features,
         "frame_sample_stub": _q_frame_sample,
     }
 
@@ -2006,7 +2079,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "completeness_over_time": _SQL_COMPLETENESS,
-        "wav_metadata": _SQL_WAV_METADATA,
+        "media_metadata": _SQL_MEDIA_METADATA,
         "validate_unique": _SQL_VALIDATE_UNIQUE,
         "near_dup_minhash_lsh": _minhash_lsh_sql(),
         "near_dup_simhash": _SQL_SIMHASH,

@@ -169,6 +169,191 @@ def wav_metadata_frame(
 
 
 # ---------------------------------------------------------------------------
+# REAL image decode: PNG — stdlib-only (zlib inflate + all 5 scanline
+# unfilters), same pattern as the WAV parser above. No media library.
+# ---------------------------------------------------------------------------
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+PNG_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("valid", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("bit_depth", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def synth_png(width: int, height: int, base: int, color_type: int) -> bytes:
+    """Minimal but fully valid 8-bit PNG (grayscale color_type=0 or RGB
+    color_type=2): row ``r`` is the constant sample ``base + r``, and each
+    scanline is encoded with filter type ``r % 5`` — so decoding exercises
+    every unfilter path (None/Sub/Up/Average/Paeth), not just the trivial
+    one. Deterministic fixture generator; the bytes are a real PNG any
+    viewer opens."""
+    import struct
+    import zlib
+
+    bpp = 1 if color_type == 0 else 3
+    stride = width * bpp
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        row = bytes([(base + r) & 0xFF]) * stride
+        ftype = r % 5
+        filt = bytearray(stride)
+        for i in range(stride):
+            x = row[i]
+            a = row[i - bpp] if i >= bpp else 0  # left
+            b = prev[i]  # up
+            c = prev[i - bpp] if i >= bpp else 0  # up-left
+            if ftype == 0:
+                filt[i] = x
+            elif ftype == 1:
+                filt[i] = (x - a) & 0xFF
+            elif ftype == 2:
+                filt[i] = (x - b) & 0xFF
+            elif ftype == 3:
+                filt[i] = (x - (a + b) // 2) & 0xFF
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[i] = (x - pred) & 0xFF
+        raw.append(ftype)
+        raw += filt
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def parse_png(payload: bytes | None):
+    """(valid, width, height, n_channels, bit_depth, mean_luma) decoded
+    from real PNG bytes: chunk walk with CRC verification, zlib inflate
+    of the concatenated IDAT stream, and full scanline unfiltering
+    (all 5 filter types). Supports the non-palette 8-bit color types
+    (gray=0, RGB=2, gray+alpha=4, RGBA=6); anything else — or any
+    corruption — yields (False, None, ...) instead of an exception."""
+    import struct
+    import zlib
+
+    bad = (False, None, None, None, None, None)
+    try:
+        if payload is None or len(payload) < 8 or payload[:8] != PNG_SIGNATURE:
+            return bad
+        pos, ihdr, idat = 8, None, bytearray()
+        while pos + 12 <= len(payload):
+            (clen,) = struct.unpack_from(">I", payload, pos)
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + clen]
+            if len(data) != clen:
+                return bad
+            (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
+            if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                return bad
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+            pos += 12 + clen
+        if ihdr is None or not idat:
+            return bad
+        width, height, depth, color_type, _comp, _filt, interlace = ihdr
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+        if channels is None or depth != 8 or interlace != 0 or width == 0:
+            return bad
+        raw = zlib.decompress(bytes(idat))
+        bpp = channels
+        stride = width * bpp
+        if len(raw) != height * (stride + 1):
+            return bad
+        total = 0
+        prev = bytes(stride)
+        for r in range(height):
+            off = r * (stride + 1)
+            ftype = raw[off]
+            line = bytearray(raw[off + 1 : off + 1 + stride])
+            if ftype == 1:
+                for i in range(bpp, stride):
+                    line[i] = (line[i] + line[i - bpp]) & 0xFF
+            elif ftype == 2:
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ftype == 3:
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+            elif ftype == 4:
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    line[i] = (
+                        line[i]
+                        + (a if (pa <= pb and pa <= pc) else (b if pb <= pc else c))
+                    ) & 0xFF
+            elif ftype != 0:
+                return bad
+            total += sum(line)
+            prev = bytes(line)
+        mean = float(total) / (height * stride)
+        return (True, width, height, channels, depth, mean)
+    except Exception:
+        return bad
+
+
+def png_features_frame(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Arrow-batched REAL PNG feature decode over a binary column — the
+    pixel decode is a genuine inflate + unfilter, not the stub below.
+    Row-local (mapInPandas, bounded batches, no shuffle); corrupt blobs
+    yield valid=false rows instead of failing the scan."""
+    id_name, payload_name = id_col, payload_col
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (rid, *parse_png(payload))
+                for rid, payload in zip(pdf[id_name], pdf[payload_name])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "valid", "width", "height",
+                    "n_channels", "bit_depth", "mean_luma",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=PNG_FEATURES_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
 # Decode plumbing (Arrow-batched; decode stubbed)
 # ---------------------------------------------------------------------------
 

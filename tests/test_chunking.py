@@ -86,3 +86,39 @@ def test_wav_parser_roundtrip_and_corruption(spark):
             for r in wav_metadata_frame(df, "id", "payload").collect()}
     assert rows[1] == (True, 8000, 80)
     assert rows[2][0] is False and rows[3][0] is False
+
+
+def test_png_decoder_roundtrip_and_corruption(spark):
+    """The PNG decoder (CRC-checked chunk walk + inflate + all-5-filter
+    unfiltering) recovers exactly the synthesis parameters from real PNG
+    bytes, and never throws on corrupt input."""
+    from petk_spark.operators.multimodal import (
+        parse_png,
+        png_features_frame,
+        synth_png,
+    )
+
+    for w, h, base, ct in [(16, 16, 0, 0), (47, 39, 199, 2), (20, 5, 100, 0)]:
+        blob = synth_png(w, h, base, ct)
+        nc = 1 if ct == 0 else 3
+        # constant-per-row gradient => closed-form exact mean
+        assert parse_png(blob) == (True, w, h, nc, 8, base + (h - 1) / 2.0)
+    good = synth_png(24, 24, 50, 2)
+    for bad in [None, b"", b"\x89PNG", good[:40], good[:100], b"\x00" * 64]:
+        assert parse_png(bad)[0] is False
+    # bytes missing from the trailing IEND chunk leave the pixel data
+    # intact: like the WAV header convention above, the decode succeeds
+    assert parse_png(good[:-5])[0] is True
+    # single flipped byte anywhere in a chunk => CRC mismatch => invalid
+    flipped = bytearray(good)
+    flipped[45] ^= 0xFF
+    assert parse_png(bytes(flipped))[0] is False
+
+    df = spark.createDataFrame(
+        [(1, synth_png(32, 20, 7, 0)), (2, b"corrupt"), (3, None)],
+        "id long, payload binary",
+    )
+    rows = {r.id: (r.valid, r.width, r.height, r.n_channels, r.mean_luma)
+            for r in png_features_frame(df, "id", "payload").collect()}
+    assert rows[1] == (True, 32, 20, 1, 7 + 19 / 2.0)
+    assert rows[2][0] is False and rows[3][0] is False
