@@ -243,3 +243,63 @@ def test_streaming_sessions_match_batch_sessionize(spark, tmp_path):
         ]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_rate_source_soak_state_stays_bounded(spark):
+    """Soak evidence for SCALE.md §Streaming: under a sustained rate
+    source, the windowed-profile state store must hold only the windows
+    inside the watermark horizon (one compact row per window×group) —
+    NOT grow with total rows ingested. We drive ~15 s of wall-clock
+    micro-batches (thousands of rows), then assert from the query's own
+    progress metrics that (a) watermark eviction actually fired
+    (numRowsRemoved > 0 cumulatively) and (b) final state rows are
+    bounded by windows-in-horizon × groups, far below the unbounded
+    alternative (total windows seen × groups)."""
+    import time
+    import uuid
+
+    n_groups = 8
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .load()
+        .withColumn("grp", (F.col("value") % n_groups).cast("string"))
+    )
+    out = streaming_profile(
+        src, "timestamp", "value",
+        window="1 second", watermark="2 seconds", group_cols=["grp"],
+    )
+    name = "soak" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 15
+        removed_total, state_rows_series = 0, []
+        while time.time() < deadline:
+            time.sleep(1.0)
+            p = q.lastProgress
+            if p and p.get("stateOperators"):
+                op = p["stateOperators"][0]
+                removed_total += op.get("numRowsRemoved", 0)
+                state_rows_series.append(op.get("numRowsTotal", 0))
+    finally:
+        q.stop()
+
+    assert state_rows_series, "no progress with state metrics observed"
+    # (a) eviction fired: finalized windows left the store
+    assert removed_total > 0, "watermark never evicted state"
+    # (b) bounded: horizon is watermark(2s) + window(1s) + trigger slack;
+    # allow 8 live windows/group — far under the ~15+ windows the soak
+    # produced in total (unbounded growth would show ≥ 15 × n_groups).
+    bound = 8 * n_groups
+    assert max(state_rows_series[3:]) <= bound, (
+        f"state grew past horizon bound: {state_rows_series}"
+    )
+    # emitted results exist and are per-window×group compact rows
+    emitted = spark.table(name)
+    assert emitted.count() > 0
