@@ -1679,21 +1679,26 @@ def _q_describe_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL multimodal metadata decode, round-trip checked, TWO formats:
-    per doc, (a) a genuine PCM WAV container and (b) a genuine PNG image
-    are synthesized with doc_id-derived parameters (multimodal.synth_wav
-    / synth_png), then the Arrow-batched parsers (wav_metadata_frame's
+    """REAL multimodal metadata decode, round-trip checked, THREE
+    formats: per doc, (a) a genuine PCM WAV container, (b) a genuine PNG
+    image, and (c) a genuine AVI video container are synthesized with
+    doc_id-derived parameters (multimodal.synth_wav / synth_png /
+    synth_avi), then the Arrow-batched parsers (wav_metadata_frame's
     RIFF chunk walk; png_features_frame's CRC-checked inflate + full
-    5-filter scanline unfiltering) recover the fields FROM THE BYTES.
-    The oracle recomputes the expected fields from the same doc_id
-    arithmetic — the PNG mean_luma has the closed form base+(h-1)/2
-    because row r is the constant sample base+r — so a parser (or
-    synthesizer) bug on either format breaks the hash. Nothing here is
-    faked: the bytes are a valid WAV / PNG and the decodes are real.
-    (Reference F8/multimodal surface; supersedes r3's wav_metadata by
-    adding the PNG half.)"""
+    5-filter scanline unfiltering; frame_sample's movi-LIST frame walk)
+    recover the fields FROM THE BYTES. The oracle recomputes the
+    expected fields from the same doc_id arithmetic — the PNG mean_luma
+    has the closed form base+(h-1)/2 because row r is the constant
+    sample base+r; the AVI frame digests are md5 of the deterministic
+    ASCII frame payloads, recomputed by DuckDB's md5(printf(...)) — so
+    a parser (or synthesizer) bug on any format breaks the hash.
+    Nothing here is faked: the bytes are valid WAV / PNG / AVI and the
+    decodes are real. (Reference F8/multimodal surface; supersedes r3's
+    wav_metadata by adding the PNG and AVI thirds.)"""
     from petk_spark.operators.multimodal import (
+        frame_sample,
         png_features_frame,
+        synth_avi,
         synth_png,
         synth_wav,
         wav_metadata_frame,
@@ -1722,8 +1727,22 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    @F.pandas_udf(BinaryType())
+    def make_avi(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda i: synth_avi(
+                [
+                    f"frame-{j:04d}-doc-{int(i)}".encode()
+                    for j in range(4 + int(i) % 9)
+                ]
+            )
+        )
+
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
     inull = F.lit(None).cast("int")
+    lnull = F.lit(None).cast("long")
+    dnull = F.lit(None).cast("double")
+    snull = F.lit(None).cast("string")
     wav = wav_metadata_frame(
         docs.select("doc_id", make_wav(F.col("doc_id")).alias("payload")),
         "doc_id", "payload",
@@ -1732,7 +1751,8 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_rate", "n_channels", "bits_per_sample", "n_frames",
         "duration_ms",
         inull.alias("width"), inull.alias("height"), inull.alias("bit_depth"),
-        F.lit(None).cast("double").alias("mean_luma"),
+        dnull.alias("mean_luma"),
+        inull.alias("frame_index"), snull.alias("frame_digest"),
     )
     png = png_features_frame(
         docs.select("doc_id", make_png(F.col("doc_id")).alias("payload")),
@@ -1741,11 +1761,24 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"), F.lit("png").alias("kind"), "valid",
         inull.alias("sample_rate"), "n_channels",
         inull.alias("bits_per_sample"),
-        F.lit(None).cast("long").alias("n_frames"),
-        F.lit(None).cast("long").alias("duration_ms"),
+        lnull.alias("n_frames"), lnull.alias("duration_ms"),
         "width", "height", "bit_depth", "mean_luma",
+        inull.alias("frame_index"), snull.alias("frame_digest"),
     )
-    return wav.unionByName(png)
+    avi = frame_sample(
+        docs.select("doc_id", make_avi(F.col("doc_id")).alias("payload")),
+        "doc_id", "payload", every_n=2, max_frames=4,
+    ).select(
+        F.col("id").alias("doc_id"), F.lit("avi").alias("kind"),
+        F.lit(True).alias("valid"),
+        inull.alias("sample_rate"), inull.alias("n_channels"),
+        inull.alias("bits_per_sample"),
+        lnull.alias("n_frames"), lnull.alias("duration_ms"),
+        inull.alias("width"), inull.alias("height"), inull.alias("bit_depth"),
+        dnull.alias("mean_luma"),
+        "frame_index", "frame_digest",
+    )
+    return wav.unionByName(png).unionByName(avi)
 
 
 _SQL_MEDIA_METADATA = """
@@ -1761,7 +1794,9 @@ SELECT doc_id,
        NULL::INT AS width,
        NULL::INT AS height,
        NULL::INT AS bit_depth,
-       NULL::DOUBLE AS mean_luma
+       NULL::DOUBLE AS mean_luma,
+       NULL::INT AS frame_index,
+       NULL::VARCHAR AS frame_digest
 FROM documents
 UNION ALL
 SELECT doc_id,
@@ -1775,8 +1810,22 @@ SELECT doc_id,
        (16 + doc_id % 32)::INT AS width,
        (16 + doc_id % 24)::INT AS height,
        8::INT AS bit_depth,
-       ((doc_id % 200) + (16 + doc_id % 24 - 1) / 2.0)::DOUBLE AS mean_luma
+       ((doc_id % 200) + (16 + doc_id % 24 - 1) / 2.0)::DOUBLE AS mean_luma,
+       NULL::INT AS frame_index,
+       NULL::VARCHAR AS frame_digest
 FROM documents
+UNION ALL
+-- every_n=2, max_frames=4 => sampled frame indices {0,2,4,6} ∩ [0, n)
+SELECT d.doc_id,
+       'avi' AS kind,
+       true AS valid,
+       NULL::INT, NULL::INT, NULL::INT, NULL::BIGINT, NULL::BIGINT,
+       NULL::INT, NULL::INT, NULL::INT, NULL::DOUBLE,
+       g.g::INT AS frame_index,
+       md5(printf('frame-%04d-doc-%d', g.g, d.doc_id)) AS frame_digest
+FROM documents d
+JOIN generate_series(0, 6, 2) AS g(g)
+  ON g.g < 4 + d.doc_id % 9
 """
 
 
@@ -1888,11 +1937,26 @@ def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AVI container frame sampling (the movi-LIST walk is also
+    hash-checked against the md5 oracle inside media_metadata; this
+    tail entry exercises the standalone frame_sample API surface)."""
+    from petk_spark.operators.multimodal import frame_sample, synth_avi
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def make_avi(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda i: synth_avi(
+                [
+                    f"frame-{j:04d}-doc-{int(i)}".encode()
+                    for j in range(4 + int(i) % 9)
+                ]
+            )
+        )
+
     df = read_table(spark, sf_dir, "documents")
-    payload = df.select(
-        F.col("doc_id"), F.encode(F.col("text"), "UTF-8").alias("payload")
-    )
-    return multimodal.frame_sample(payload, "doc_id", "payload", every_n=32, max_frames=4)
+    payload = df.select("doc_id", make_avi(F.col("doc_id")).alias("payload"))
+    return frame_sample(payload, "doc_id", "payload", every_n=2, max_frames=4)
 
 
 # ---------------------------------------------------------------------------
@@ -2041,7 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # each documented at the operator); MUST stay last:
         "cosine_topk_ivf": _q_cosine_topk_ivf,
         "image_features": _q_image_features,
-        "frame_sample_stub": _q_frame_sample,
+        "frame_sample": _q_frame_sample,
     }
 
 

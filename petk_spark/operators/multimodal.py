@@ -14,10 +14,15 @@ Operators:
     genuine RIFF/WAVE container bytes (rate/channels/bits/frames/
     duration) — no media library required, nothing stubbed; corrupt
     blobs yield valid=false rows instead of failing the scan.
-  * ``decode_image_features`` — mapInPandas plumbing for per-item decode
-    → fixed-width feature rows; batch-shape and schema are real, the
-    pixel decode is the stub seam.
-  * ``frame_sample`` — video frame sampling plumbing (stub decode).
+  * ``png_features_frame`` — REAL decode: CRC-checked chunk walk, zlib
+    IDAT inflate, full 5-filter scanline unfiltering — width/height/
+    channels/bit-depth/mean from the actual pixel bytes.
+  * ``frame_sample`` — REAL AVI (RIFF) container frame sampling: walks
+    the 'movi' LIST and digests the actual frame chunk bytes; only the
+    per-frame PIXEL decode (a codec) remains out of scope here.
+  * ``decode_image_features`` — generic mapInPandas plumbing for
+    per-item decode → fixed-width feature rows; batch-shape and schema
+    are real, the non-PNG pixel decode is the remaining stub seam.
 """
 
 from __future__ import annotations
@@ -432,6 +437,92 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 )
 
 
+# ---------------------------------------------------------------------------
+# REAL video container parse: AVI (RIFF) frame extraction — stdlib-only,
+# reusing the RIFF chunk-walk discipline of the WAV parser above. The
+# frames' PIXELS are not decoded (that needs a codec library); the
+# container walk — locating the 'movi' LIST and iterating '00dc'/'00db'
+# frame chunks — is the real production plumbing for frame sampling.
+# ---------------------------------------------------------------------------
+
+
+def synth_avi(frame_payloads: list[bytes], width: int = 64, height: int = 48) -> bytes:
+    """Minimal valid AVI container (RIFF 'AVI ' + hdrl LIST with avih
+    and a vids strl + movi LIST of '00dc' frame chunks). Deterministic
+    fixture generator; the bytes follow the actual RIFF/AVI layout."""
+    import struct
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return struct.pack("<4sI", cid, len(data)) + data + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return struct.pack("<4sI4s", b"LIST", 4 + len(body), ltype) + body
+
+    n = len(frame_payloads)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        33333, 0, 0, 0x10, n, 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    # fccType handler flags priority language initialFrames scale rate
+    # start length suggestedBufferSize quality sampleSize rcFrame(4×h)
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"\x00\x00\x00\x00", 0, 0, 0, 0, 1, 30, 0, n, 0,
+        0xFFFFFFFF, 0, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, width * height * 3,
+        0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in frame_payloads))
+    body = b"AVI " + hdrl + movi
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def parse_avi_frames(payload: bytes | None):
+    """Yield (frame_index, frame_bytes) from real AVI container bytes:
+    RIFF walk to the 'movi' LIST, then iterate its '00dc'/'00db' (and
+    stream-1 '01dc'/'01db') frame chunks in order. Malformed input →
+    empty iterator, never an exception."""
+    import struct
+
+    try:
+        if payload is None or len(payload) < 12:
+            return
+        if payload[0:4] != b"RIFF" or payload[8:12] != b"AVI ":
+            return
+        # top-level chunk walk to find LIST/movi
+        pos = 12
+        movi = None
+        while pos + 8 <= len(payload):
+            cid, csize = struct.unpack_from("<4sI", payload, pos)
+            data_start = pos + 8
+            if cid == b"LIST" and payload[data_start : data_start + 4] == b"movi":
+                movi = (data_start + 4, data_start + csize)
+                break
+            pos = data_start + csize + (csize % 2)
+        if movi is None:
+            return
+        fpos, fend = movi
+        idx = 0
+        while fpos + 8 <= min(fend, len(payload)):
+            cid, csize = struct.unpack_from("<4sI", payload, fpos)
+            data = payload[fpos + 8 : fpos + 8 + csize]
+            if len(data) != csize:
+                return
+            if cid[2:4] in (b"dc", b"db"):
+                yield idx, data
+                idx += 1
+            fpos += 8 + csize + (csize % 2)
+    except Exception:
+        return
+
+
 def frame_sample(
     df: DataFrame,
     id_col: str,
@@ -439,26 +530,35 @@ def frame_sample(
     every_n: int = 10,
     max_frames: int = 8,
 ) -> DataFrame:
-    """Video frame-sampling plumbing: one row out per sampled frame.
-
-    Decode is stubbed — frames are deterministic digests of payload
-    slices — but the fan-out shape (1 row in → ≤ max_frames rows out via
-    mapInPandas) is the real production plumbing.
-    """
+    """REAL video frame sampling at the container level: walk each AVI
+    (RIFF) payload's 'movi' LIST, take every ``every_n``-th frame chunk
+    up to ``max_frames``, and emit (id, frame_index, frame_digest) where
+    the digest is md5 of the ACTUAL frame bytes from the container.
+    Pixel decode of a sampled frame is the one remaining codec seam
+    (no codec library in this environment); the fan-out shape (1 row in
+    → ≤ max_frames rows out via mapInPandas, bounded batches, no
+    shuffle) and the container parse are the real production plumbing.
+    Non-AVI or corrupt payloads contribute no rows — a 100 TB scan must
+    not die on one bad blob."""
     import hashlib
 
     id_name, payload_name = id_col, payload_col
+    step = max(every_n, 1)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for rid, payload in zip(pdf[id_name], pdf[payload_name]):
-                if payload is None:
-                    continue
-                n = min(max_frames, max(len(payload) // max(every_n, 1), 1))
-                for i in range(n):
-                    sl = payload[i * every_n : (i + 1) * every_n]
-                    out.append((rid, i, hashlib.md5(bytes(sl)).hexdigest()))
+                taken = 0
+                for idx, frame in parse_avi_frames(payload):
+                    if idx % step:
+                        continue
+                    out.append(
+                        (rid, idx, hashlib.md5(bytes(frame)).hexdigest())
+                    )
+                    taken += 1
+                    if taken >= max_frames:
+                        break
             yield pd.DataFrame(
                 out, columns=["id", "frame_index", "frame_digest"]
             )

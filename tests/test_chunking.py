@@ -122,3 +122,37 @@ def test_png_decoder_roundtrip_and_corruption(spark):
             for r in png_features_frame(df, "id", "payload").collect()}
     assert rows[1] == (True, 32, 20, 1, 7 + 19 / 2.0)
     assert rows[2][0] is False and rows[3][0] is False
+
+
+def test_avi_frame_sampler_roundtrip_and_corruption(spark):
+    """The AVI container walk yields exactly the synthesized frame
+    chunks in order, sampling respects every_n/max_frames, and corrupt
+    payloads contribute no rows instead of throwing."""
+    import hashlib
+
+    from petk_spark.operators.multimodal import (
+        frame_sample,
+        parse_avi_frames,
+        synth_avi,
+    )
+
+    frames = [f"f{j}-payload".encode() for j in range(7)]
+    blob = synth_avi(frames)
+    got = list(parse_avi_frames(blob))
+    assert [fb for _, fb in got] == frames
+    for bad in [None, b"", b"RIFF", b"RIFFxxxxWAVE", blob[:30], b"\x00" * 64]:
+        assert list(parse_avi_frames(bad)) == []
+
+    df = spark.createDataFrame(
+        [(1, blob), (2, b"corrupt"), (3, None)],
+        "id long, payload binary",
+    )
+    rows = sorted(
+        (r.id, r.frame_index, r.frame_digest)
+        for r in frame_sample(df, "id", "payload", every_n=3, max_frames=2).collect()
+    )
+    # doc 1: indices 0 and 3 (every 3rd, capped at 2); docs 2/3: nothing
+    assert rows == [
+        (1, 0, hashlib.md5(frames[0]).hexdigest()),
+        (1, 3, hashlib.md5(frames[3]).hexdigest()),
+    ]
