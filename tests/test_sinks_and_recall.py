@@ -116,3 +116,49 @@ def test_ivf_recall_floor(spark):
     assert r2 >= 0.40, f"recall@10(8,2) = {r2:.3f} below pinned floor"
     assert r2 > 0.30, f"recall@10(8,2) = {r2:.3f} no better than random probing"
     assert r4 >= max(0.65, r2 + 0.1), f"more probes didn't help: {r2:.3f} -> {r4:.3f}"
+
+
+def test_write_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Co-location proof for the bucketed sink: two tables bucketed the
+    same way on the join key sort-merge-join with ZERO shuffle exchanges
+    — the plan evidence behind SCALE.md's 'one write amortizes N
+    shuffles of the fact side' claim. (Broadcast disabled so the join
+    can't cheat; bucket scans still shuffle-exchange nothing.)"""
+    from petk_spark.plans.inspect import exchange_count, executed_plan
+    from petk_spark.sources.sinks import write_bucketed
+
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v")
+    )
+    meta = spark.range(0, 1000, 3).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).alias("m")
+    )
+    conf = spark.conf
+    saved = conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(
+            docs, "bk_docs", ["doc_id"], n_buckets=8,
+            sort_cols=["doc_id"], path=str(tmp_path / "bk_docs"),
+        )
+        write_bucketed(
+            meta, "bk_meta", ["doc_id"], n_buckets=8,
+            sort_cols=["doc_id"], path=str(tmp_path / "bk_meta"),
+        )
+        joined = spark.table("bk_docs").join(spark.table("bk_meta"), "doc_id")
+        assert joined.count() == 334
+        assert exchange_count(joined) == 0, executed_plan(joined)
+        # control: the same join over plain parquet shuffles both sides
+        docs.write.mode("overwrite").parquet(str(tmp_path / "plain_docs"))
+        meta.write.mode("overwrite").parquet(str(tmp_path / "plain_meta"))
+        plain = spark.read.parquet(str(tmp_path / "plain_docs")).join(
+            spark.read.parquet(str(tmp_path / "plain_meta")), "doc_id"
+        )
+        assert exchange_count(plain) >= 2
+    finally:
+        if saved is None:
+            conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP TABLE IF EXISTS bk_docs")
+        spark.sql("DROP TABLE IF EXISTS bk_meta")
