@@ -103,3 +103,87 @@ def test_twin_holds_on_perturbed_fixture(spark, perturbed_dir, name):
         assert ok, f"{name} diverged on perturbed fixture: {detail}"
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# events-table twins — the actual victims of past regeneration drift
+# ---------------------------------------------------------------------------
+
+EVENT_QUERIES = [
+    "sessionize_events",
+    "completeness_over_time",
+    "asof_join_events",
+]
+
+
+@pytest.fixture(scope="module")
+def perturbed_events_dir(tmp_path_factory):
+    """sf0.001 with an adversarial events table: shuffled order, a
+    purchase with NULL value (exercises the as-of struct carry), NULL
+    props, same-instant same-user ties, exact hour-boundary timestamps,
+    a new single-event user, and .999999 microsecond edges."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("perturbed_events")
+    for t in TABLES:
+        if t == "events":
+            continue
+        shutil.copy(f"{SRC}/{t}.parquet", d / f"{t}.parquet")
+    base = pq.read_table(f"{SRC}/events.parquet").to_pandas()
+    T = dt.datetime(2024, 3, 1, 12, 0, 0)
+    us = dt.timedelta(microseconds=1)
+    extra = pd.DataFrame(
+        [
+            # purchase with NULL value for an EXISTING active user
+            (900001, T, 13, "purchase", None, '{"k": 1}'),
+            # same instant, same user, non-purchase — inclusive match +
+            # tie-break at equal timestamps
+            (900002, T, 13, "click", 5.0, None),
+            # second purchase at the SAME instant, same user — ord
+            # tie-break between right rows
+            (900003, T, 13, "purchase", 7.5, '{"k": 2}'),
+            # exact hour boundary (completeness bucket edge)
+            (900004, dt.datetime(2024, 3, 1, 13, 0, 0), 13, "view", 1.0, None),
+            # microsecond .999999 edge just under the boundary
+            (900005, dt.datetime(2024, 3, 1, 12, 59, 59, 999999), 13, "view", 2.0, '{"k": 3}'),
+            # brand-new user with a single event (degenerate session)
+            (900006, T + 12345678 * us, 777777, "signup", 0.5, '{"k": 4}'),
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    both = pd.concat([base, extra], ignore_index=True)
+    both = both.iloc[
+        sorted(range(len(both)), key=lambda i: (i * 2654435761) % 1000003)
+    ].reset_index(drop=True)
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(both, schema=schema, preserve_index=False),
+        str(d / "events.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_events_twin_holds_on_perturbed_fixture(spark, perturbed_events_dir, name):
+    q = entrymod.queries()
+    osql = entrymod.oracle_sql()
+    con = duck_connection(perturbed_events_dir)
+    try:
+        ok, detail = compare(q[name](spark, perturbed_events_dir), con, osql[name])
+        assert ok, f"{name} diverged on perturbed events: {detail}"
+    finally:
+        con.close()
