@@ -151,8 +151,13 @@ def _q_json_field_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_JSON_FIELD_PROFILE = f"""
 WITH x AS (
+  -- json_valid guard: Spark's get_json_object yields NULL on malformed
+  -- JSON; DuckDB's json_extract_string THROWS — mirror the NULL.
   SELECT event_type AS "group",
-         TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS v
+         TRY_CAST(
+           CASE WHEN props IS NOT NULL AND json_valid(props)
+                THEN json_extract_string(props, '$.k') END
+           AS DOUBLE) AS v
   FROM events
 )
 SELECT "group", count(*) AS n, count(v) AS n_present,

@@ -19,8 +19,14 @@ from pyspark.sql import functions as F
 
 def json_numeric_field(json_col: str, field: str):
     """``$.field`` of a JSON string column as a double (null when the
-    field is absent, non-numeric, or the JSON is malformed)."""
-    return F.get_json_object(F.col(json_col), f"$.{field}").cast("double")
+    field is absent, non-numeric, or the JSON is malformed).
+
+    ``try_cast``, not ``cast``: under Spark 4's default ANSI mode a
+    plain cast THROWS on a non-numeric field value (e.g.
+    ``{"k": "high"}``) — one such row in 100 TB of telemetry would kill
+    the whole scan instead of profiling as absent. The DuckDB twin uses
+    TRY_CAST for the same reason."""
+    return F.get_json_object(F.col(json_col), f"$.{field}").try_cast("double")
 
 
 def json_field_profile(

@@ -113,6 +113,9 @@ EVENT_QUERIES = [
     "sessionize_events",
     "completeness_over_time",
     "asof_join_events",
+    "json_field_profile",
+    "grouped_windowed_profile",
+    "describe_events",
 ]
 
 
@@ -152,6 +155,15 @@ def perturbed_events_dir(tmp_path_factory):
             (900005, dt.datetime(2024, 3, 1, 12, 59, 59, 999999), 13, "view", 2.0, '{"k": 3}'),
             # brand-new user with a single event (degenerate session)
             (900006, T + 12345678 * us, 777777, "signup", 0.5, '{"k": 4}'),
+            # JSON edges: malformed, non-numeric field, absent field,
+            # NULL props, scientific-notation number — the first two
+            # caught a real ANSI-cast crash and a DuckDB-throws
+            # divergence when introduced (round 4)
+            (900007, T, 14, "click", 1.0, "{bad json"),
+            (900008, T, 15, "click", 1.0, '{"k": "notnum"}'),
+            (900009, T, 16, "click", 1.0, '{"other": 3}'),
+            (900010, T, 17, "click", 1.0, None),
+            (900011, T, 18, "click", 1.0, '{"k": 2.5e3}'),
         ],
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
     )
