@@ -199,3 +199,64 @@ def test_events_twin_holds_on_perturbed_fixture(spark, perturbed_events_dir, nam
         assert ok, f"{name} diverged on perturbed events: {detail}"
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# lineitem numeric edges — the describe/validate twin family
+# ---------------------------------------------------------------------------
+
+LINEITEM_QUERIES = [
+    "describe_lineitem",
+    "describe_lineitem_approx",
+    "validate_lineitem",
+    "equidepth_histogram",
+    "correlation_lineitem",
+]
+
+
+@pytest.fixture(scope="module")
+def perturbed_lineitem_dir(tmp_path_factory):
+    """sf0.001 with numeric-edge lineitem rows: NaN (must canonicalize
+    to NULL identically on both engines), negative zero, a subnormal
+    (5e-324), an exact 0.0, and negative prices. Catastrophic
+    cancellation pairs (±1e150) are deliberately NOT planted: float
+    summation is order-dependent on ANY distributed engine, DuckDB's
+    stddev errors outright at overflow range, and CHANGES.md §7
+    documents the noise-floor contract that covers the cv statistic —
+    a fixture built to flip summation order tests IEEE-754, not this
+    engine."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("perturbed_lineitem")
+    for t in TABLES:
+        if t == "lineitem":
+            continue
+        shutil.copy(f"{SRC}/{t}.parquet", d / f"{t}.parquet")
+    tbl = pq.read_table(f"{SRC}/lineitem.parquet")
+    base = tbl.to_pandas()
+    ex = base.iloc[:4].copy()
+    ex["l_orderkey"] = [99000001, 99000002, 99000003, 99000004]
+    ex["l_extendedprice"] = [123456.789, -98765.4321, 5e-324, 0.0]
+    ex["l_quantity"] = [float("nan"), -0.0, 123.456, 7.0]
+    both = pd.concat([base, ex], ignore_index=True)
+    import pyarrow as pa
+
+    pq.write_table(
+        pa.Table.from_pandas(both, schema=tbl.schema, preserve_index=False),
+        str(d / "lineitem.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", LINEITEM_QUERIES)
+def test_lineitem_twin_holds_on_numeric_edges(spark, perturbed_lineitem_dir, name):
+    q = entrymod.queries()
+    osql = entrymod.oracle_sql()
+    con = duck_connection(perturbed_lineitem_dir)
+    try:
+        ok, detail = compare(q[name](spark, perturbed_lineitem_dir), con, osql[name])
+        assert ok, f"{name} diverged on numeric-edge lineitem: {detail}"
+    finally:
+        con.close()
