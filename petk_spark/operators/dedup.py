@@ -510,7 +510,14 @@ def simhash_near_dup(
 def cosine_expr(a: Column, b: Column) -> Column:
     """Cosine similarity of two float-array columns in double arithmetic,
     left-to-right summation (matches DuckDB's list_* reducers for oracle
-    stability; formatted through the %.6e contract regardless)."""
+    stability; formatted through the %.6e contract regardless).
+
+    ``try_divide``, not ``/``: a zero-norm (all-zero) vector makes the
+    denominator 0, and under Spark 4's default ANSI mode a plain divide
+    THROWS — one degenerate embedding in 100 TB would kill the scan.
+    Cosine of a zero vector is undefined → NULL (the oracle twins mirror
+    this with NULLIF on the denominator); NULL-cosine rows rank last /
+    never clear a similarity threshold."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -522,7 +529,7 @@ def cosine_expr(a: Column, b: Column) -> Column:
     nb = F.sqrt(
         F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
     )
-    return dot / (na * nb)
+    return F.try_divide(dot, na * nb)
 
 
 def embedding_near_dup(
@@ -576,7 +583,19 @@ def embedding_near_dup(
     if probed > max_broadcast_rows:
         return embedding_near_dup_lsh(df, id_col, vec_col, threshold)
 
+    # NULL embeddings pair with nothing (their cosine is undefined —
+    # the same NULL the expression path yields); vectors whose length
+    # disagrees with the corpus dimension are likewise excluded instead
+    # of crashing the ragged numpy stack — one malformed row in 100 TB
+    # must not kill the job.
+    df = df.filter(F.col(vec_col).isNotNull())
     rows = df.select(id_col, vec_col).collect()
+    if not rows:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    dim = len(rows[0][1])
+    rows = [r for r in rows if len(r[1]) == dim]
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     X = np.array([r[1] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(X, axis=1, keepdims=True)
@@ -592,6 +611,14 @@ def embedding_near_dup(
         for pdf in batches:
             if pdf.empty:
                 continue
+            keep = [
+                i
+                for i, v in enumerate(pdf[vec_col])
+                if v is not None and len(v) == all_u.shape[1]
+            ]
+            if not keep:
+                continue
+            pdf = pdf.iloc[keep]
             bx = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             bn = np.linalg.norm(bx, axis=1, keepdims=True)
             bn[bn == 0] = 1.0

@@ -85,8 +85,13 @@ def _norm_sql(a: str) -> str:
 
 
 def _cosine_sql(q: str, c: str) -> str:
-    """cosine_expr(qv, cv) twin: dot / (sqrt(Σq²) * sqrt(Σc²))."""
-    return f"({_dot_sql(q, c)} / ({_norm_sql(q)} * {_norm_sql(c)}))"
+    """cosine_expr(qv, cv) twin: dot / (sqrt(Σq²) * sqrt(Σc²)).
+    NULLIF mirrors the Spark side's try_divide — a zero-norm vector's
+    cosine is NULL on both engines, not a DIVIDE_BY_ZERO error (Spark)
+    or NaN (DuckDB)."""
+    return (
+        f"({_dot_sql(q, c)} / NULLIF({_norm_sql(q)} * {_norm_sql(c)}, 0.0))"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -260,3 +260,70 @@ def test_lineitem_twin_holds_on_numeric_edges(spark, perturbed_lineitem_dir, nam
         assert ok, f"{name} diverged on numeric-edge lineitem: {detail}"
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# embeddings edges — the similarity/ANN twin family
+# ---------------------------------------------------------------------------
+
+EMBEDDING_QUERIES = [
+    "embedding_profile",
+    "cosine_topk",
+    "embedding_near_dup",
+    "cosine_topk_lsh",
+]
+
+
+@pytest.fixture(scope="module")
+def perturbed_embeddings_dir(tmp_path_factory):
+    """sf0.001 with adversarial embeddings: an all-zero vector (cosine
+    0/0 — caught a real ANSI divide-by-zero crash when introduced,
+    round 4), a NULL embedding (caught a ragged numpy-stack crash), a
+    tiny-norm vector, and a wrong-dimension vector (excluded on both
+    engines: numpy dim filter / DuckDB out-of-bounds list access →
+    NULL cosine)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("perturbed_embeddings")
+    for t in TABLES:
+        if t == "embeddings":
+            continue
+        shutil.copy(f"{SRC}/{t}.parquet", d / f"{t}.parquet")
+    tbl = pq.read_table(f"{SRC}/embeddings.parquet")
+    base = tbl.to_pandas()
+    dim = len(base["embedding"].iloc[0])
+    extra = pd.DataFrame(
+        {
+            "vec_id": [8800001, 8800002, 8800003, 8800004, 8800005],
+            "embedding": [
+                np.zeros(dim, dtype=np.float32),
+                None,
+                np.full(dim, 1e-30, dtype=np.float32),
+                np.arange(dim, dtype=np.float32) - dim / 2,
+                np.ones(3, dtype=np.float32),
+            ],
+            "label": [1, 2, None, 3, 4],
+        }
+    )
+    both = pd.concat([base, extra], ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(both, schema=tbl.schema, preserve_index=False),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", EMBEDDING_QUERIES)
+def test_embedding_twin_holds_on_edges(spark, perturbed_embeddings_dir, name):
+    q = entrymod.queries()
+    osql = entrymod.oracle_sql()
+    con = duck_connection(perturbed_embeddings_dir)
+    try:
+        ok, detail = compare(q[name](spark, perturbed_embeddings_dir), con, osql[name])
+        assert ok, f"{name} diverged on edge embeddings: {detail}"
+    finally:
+        con.close()
