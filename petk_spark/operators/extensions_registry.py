@@ -199,7 +199,7 @@ long AS (
   SELECT bucket_start, 'props', (props IS NULL)::BIGINT FROM ev
 )
 SELECT {dfmt('bucket_start')} AS bucket_start, col_name,
-       count(*) AS n_rows, sum(is_null) AS n_null,
+       count(*) AS n_rows, CAST(sum(is_null) AS BIGINT) AS n_null,
        {dfmt('sum(is_null) / CAST(count(*) AS DOUBLE)')} AS p_null
 FROM long GROUP BY bucket_start, col_name
 """
@@ -807,9 +807,9 @@ flagged AS (
 ),
 sessioned AS (
   SELECT user_id, tsec,
-         1 + sum(gap_open) OVER (
+         CAST(1 + sum(gap_open) OVER (
            PARTITION BY user_id ORDER BY tsec
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq,
