@@ -298,7 +298,10 @@ def _q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         fmt_sci(F.col("ts")).alias("ts"),
-        "p_event_id",
+        # String-cast: a NULLABLE int column survives any driver fetch
+        # path (collect → None / pandas → NaN-as-float64) only as a
+        # string; both engines render BIGINT→VARCHAR identically.
+        F.col("p_event_id").cast("string").alias("p_event_id"),
         fmt_sci(F.col("p_ts")).alias("p_ts"),
         fmt_sci(F.col("p_value")).alias("p_value"),
     )
@@ -336,7 +339,7 @@ carried AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT event_id, k AS user_id, {dfmt('t')} AS ts,
-       m.p_event_id AS p_event_id, {dfmt('m.p_ts')} AS p_ts,
+       CAST(m.p_event_id AS VARCHAR) AS p_event_id, {dfmt('m.p_ts')} AS p_ts,
        {dfmt('m.p_value')} AS p_value
 FROM carried WHERE side = 1
 """
@@ -1749,31 +1752,35 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    inull = F.lit(None).cast("int")
-    lnull = F.lit(None).cast("long")
-    dnull = F.lit(None).cast("double")
+    # Every numeric field here is NULL for two of the three kinds, and a
+    # nullable numeric column is fetch-path-dependent in the driver's
+    # hash (collect → None vs pandas → float64 NaN). String-cast the
+    # ints and fmt_sci the double so both engines render identically
+    # under ANY fetch path; NULL stays None either way.
     snull = F.lit(None).cast("string")
+    s = lambda c: F.col(c).cast("string").alias(c)  # noqa: E731
     wav = wav_metadata_frame(
         docs.select("doc_id", make_wav(F.col("doc_id")).alias("payload")),
         "doc_id", "payload",
     ).select(
         F.col("id").alias("doc_id"), F.lit("wav").alias("kind"), "valid",
-        "sample_rate", "n_channels", "bits_per_sample", "n_frames",
-        "duration_ms",
-        inull.alias("width"), inull.alias("height"), inull.alias("bit_depth"),
-        dnull.alias("mean_luma"),
-        inull.alias("frame_index"), snull.alias("frame_digest"),
+        s("sample_rate"), s("n_channels"), s("bits_per_sample"),
+        s("n_frames"), s("duration_ms"),
+        snull.alias("width"), snull.alias("height"), snull.alias("bit_depth"),
+        snull.alias("mean_luma"),
+        snull.alias("frame_index"), snull.alias("frame_digest"),
     )
     png = png_features_frame(
         docs.select("doc_id", make_png(F.col("doc_id")).alias("payload")),
         "doc_id", "payload",
     ).select(
         F.col("id").alias("doc_id"), F.lit("png").alias("kind"), "valid",
-        inull.alias("sample_rate"), "n_channels",
-        inull.alias("bits_per_sample"),
-        lnull.alias("n_frames"), lnull.alias("duration_ms"),
-        "width", "height", "bit_depth", "mean_luma",
-        inull.alias("frame_index"), snull.alias("frame_digest"),
+        snull.alias("sample_rate"), s("n_channels"),
+        snull.alias("bits_per_sample"),
+        snull.alias("n_frames"), snull.alias("duration_ms"),
+        s("width"), s("height"), s("bit_depth"),
+        fmt_sci(F.col("mean_luma")).alias("mean_luma"),
+        snull.alias("frame_index"), snull.alias("frame_digest"),
     )
     avi = frame_sample(
         docs.select("doc_id", make_avi(F.col("doc_id")).alias("payload")),
@@ -1781,57 +1788,59 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("id").alias("doc_id"), F.lit("avi").alias("kind"),
         F.lit(True).alias("valid"),
-        inull.alias("sample_rate"), inull.alias("n_channels"),
-        inull.alias("bits_per_sample"),
-        lnull.alias("n_frames"), lnull.alias("duration_ms"),
-        inull.alias("width"), inull.alias("height"), inull.alias("bit_depth"),
-        dnull.alias("mean_luma"),
-        "frame_index", "frame_digest",
+        snull.alias("sample_rate"), snull.alias("n_channels"),
+        snull.alias("bits_per_sample"),
+        snull.alias("n_frames"), snull.alias("duration_ms"),
+        snull.alias("width"), snull.alias("height"), snull.alias("bit_depth"),
+        snull.alias("mean_luma"),
+        s("frame_index"), "frame_digest",
     )
     return wav.unionByName(png).unionByName(avi)
 
 
-_SQL_MEDIA_METADATA = """
+_SQL_MEDIA_METADATA = f"""
 SELECT doc_id,
        'wav' AS kind,
        true AS valid,
-       (8000 * (1 + doc_id % 3))::INT AS sample_rate,
-       (1 + doc_id % 2)::INT AS n_channels,
-       (CASE WHEN doc_id % 4 < 2 THEN 16 ELSE 8 END)::INT AS bits_per_sample,
-       (400 + doc_id % 97)::BIGINT AS n_frames,
-       ((400 + doc_id % 97) * 1000 // (8000 * (1 + doc_id % 3)))::BIGINT
+       (8000 * (1 + doc_id % 3))::VARCHAR AS sample_rate,
+       (1 + doc_id % 2)::VARCHAR AS n_channels,
+       (CASE WHEN doc_id % 4 < 2 THEN 16 ELSE 8 END)::VARCHAR
+         AS bits_per_sample,
+       (400 + doc_id % 97)::VARCHAR AS n_frames,
+       ((400 + doc_id % 97) * 1000 // (8000 * (1 + doc_id % 3)))::VARCHAR
          AS duration_ms,
-       NULL::INT AS width,
-       NULL::INT AS height,
-       NULL::INT AS bit_depth,
-       NULL::DOUBLE AS mean_luma,
-       NULL::INT AS frame_index,
+       NULL::VARCHAR AS width,
+       NULL::VARCHAR AS height,
+       NULL::VARCHAR AS bit_depth,
+       NULL::VARCHAR AS mean_luma,
+       NULL::VARCHAR AS frame_index,
        NULL::VARCHAR AS frame_digest
 FROM documents
 UNION ALL
 SELECT doc_id,
        'png' AS kind,
        true AS valid,
-       NULL::INT AS sample_rate,
-       (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END)::INT AS n_channels,
-       NULL::INT AS bits_per_sample,
-       NULL::BIGINT AS n_frames,
-       NULL::BIGINT AS duration_ms,
-       (16 + doc_id % 32)::INT AS width,
-       (16 + doc_id % 24)::INT AS height,
-       8::INT AS bit_depth,
-       ((doc_id % 200) + (16 + doc_id % 24 - 1) / 2.0)::DOUBLE AS mean_luma,
-       NULL::INT AS frame_index,
+       NULL::VARCHAR AS sample_rate,
+       (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END)::VARCHAR AS n_channels,
+       NULL::VARCHAR AS bits_per_sample,
+       NULL::VARCHAR AS n_frames,
+       NULL::VARCHAR AS duration_ms,
+       (16 + doc_id % 32)::VARCHAR AS width,
+       (16 + doc_id % 24)::VARCHAR AS height,
+       '8' AS bit_depth,
+       {dfmt('(doc_id % 200) + (16 + doc_id % 24 - 1) / 2.0')} AS mean_luma,
+       NULL::VARCHAR AS frame_index,
        NULL::VARCHAR AS frame_digest
 FROM documents
 UNION ALL
--- every_n=2, max_frames=4 => sampled frame indices {0,2,4,6} ∩ [0, n)
+-- every_n=2, max_frames=4 => sampled frame indices {{0,2,4,6}} ∩ [0, n)
 SELECT d.doc_id,
        'avi' AS kind,
        true AS valid,
-       NULL::INT, NULL::INT, NULL::INT, NULL::BIGINT, NULL::BIGINT,
-       NULL::INT, NULL::INT, NULL::INT, NULL::DOUBLE,
-       g.g::INT AS frame_index,
+       NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR,
+       NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR,
+       NULL::VARCHAR,
+       g.g::VARCHAR AS frame_index,
        md5(printf('frame-%04d-doc-%d', g.g, d.doc_id)) AS frame_digest
 FROM documents d
 JOIN generate_series(0, 6, 2) AS g(g)

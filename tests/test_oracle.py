@@ -11,6 +11,7 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
+from tests.driver_replica import strict_compare
 from tests.oracle_harness import compare, duck_connection
 
 SF_DIR = os.environ.get("PETK_TEST_SF_DIR", "/root/testdata/sf0.001")
@@ -38,5 +39,19 @@ def test_query_matches_oracle(spark, duck, name):
     if name not in _ORACLE:
         assert sdf.count() >= 0  # rows-only check, like the driver
         return
-    ok, detail = compare(sdf, duck, _ORACLE[name])
+    # Strict = the driver's own formatting model (toPandas vs fetchdf,
+    # %.6e floats / str otherwise), so TYPE divergences that format
+    # differently (HUGEINT→float64, int-vs-float) fail here exactly as
+    # they would in CORRECTNESS_r{N}. The lenient value-level compare
+    # runs only to enrich the failure message (values wrong vs format
+    # drift only).
+    ok, detail = strict_compare(sdf, duck, _ORACLE[name])
+    if not ok:
+        lenient_ok, lenient_detail = compare(
+            _QUERIES[name](spark, SF_DIR), duck, _ORACLE[name]
+        )
+        detail += (
+            " [values equal, FORMAT/TYPE drift only]" if lenient_ok
+            else f" [values differ too: {lenient_detail}]"
+        )
     assert ok, f"{name}: {detail}"
