@@ -22,7 +22,8 @@ import shutil
 import pytest
 
 import __spark_entry__ as entrymod
-from tests.oracle_harness import compare, duck_connection
+from tests.driver_replica import strict_compare
+from tests.oracle_harness import duck_connection
 
 SRC = "/root/testdata/sf0.001"
 
@@ -99,7 +100,7 @@ def test_twin_holds_on_perturbed_fixture(spark, perturbed_dir, name):
     osql = entrymod.oracle_sql()
     con = duck_connection(perturbed_dir)
     try:
-        ok, detail = compare(q[name](spark, perturbed_dir), con, osql[name])
+        ok, detail = strict_compare(q[name](spark, perturbed_dir), con, osql[name])
         assert ok, f"{name} diverged on perturbed fixture: {detail}"
     finally:
         con.close()
@@ -195,7 +196,7 @@ def test_events_twin_holds_on_perturbed_fixture(spark, perturbed_events_dir, nam
     osql = entrymod.oracle_sql()
     con = duck_connection(perturbed_events_dir)
     try:
-        ok, detail = compare(q[name](spark, perturbed_events_dir), con, osql[name])
+        ok, detail = strict_compare(q[name](spark, perturbed_events_dir), con, osql[name])
         assert ok, f"{name} diverged on perturbed events: {detail}"
     finally:
         con.close()
@@ -256,7 +257,7 @@ def test_lineitem_twin_holds_on_numeric_edges(spark, perturbed_lineitem_dir, nam
     osql = entrymod.oracle_sql()
     con = duck_connection(perturbed_lineitem_dir)
     try:
-        ok, detail = compare(q[name](spark, perturbed_lineitem_dir), con, osql[name])
+        ok, detail = strict_compare(q[name](spark, perturbed_lineitem_dir), con, osql[name])
         assert ok, f"{name} diverged on numeric-edge lineitem: {detail}"
     finally:
         con.close()
@@ -323,7 +324,7 @@ def test_embedding_twin_holds_on_edges(spark, perturbed_embeddings_dir, name):
     osql = entrymod.oracle_sql()
     con = duck_connection(perturbed_embeddings_dir)
     try:
-        ok, detail = compare(q[name](spark, perturbed_embeddings_dir), con, osql[name])
+        ok, detail = strict_compare(q[name](spark, perturbed_embeddings_dir), con, osql[name])
         assert ok, f"{name} diverged on edge embeddings: {detail}"
     finally:
         con.close()
