@@ -107,17 +107,50 @@ def find_columns(df: DataFrame, columns=None) -> list[str]:
     return columns
 
 
-def _nv(name: str, ltype: str) -> str:
-    """Numeric projection for min/max/quantile/moment arithmetic. DATE
-    columns become fractional epoch seconds — the same double DuckDB's
-    epoch() yields, keeping the oracle comparison bit-identical."""
+def _nv(name: str, ltype: str, dtype: str | None = None) -> str:
+    """Numeric projection for min/max/quantile/moment arithmetic.
+    Temporal columns become fractional epoch seconds — the same double
+    DuckDB's epoch() yields, keeping the oracle comparison
+    bit-identical.
+
+    The epoch expression must be SESSION-TIMEZONE-INDEPENDENT: the
+    driver builds its own SparkSession and nothing pins it to UTC, and
+    ``CAST(x AS TIMESTAMP)`` interprets DATE/TIMESTAMP_NTZ wall-clock
+    values in the session zone (a non-UTC session shifted every date
+    statistic by the zone offset — caught by the --adversarial driver
+    replica). Per type:
+
+      * ``date`` — ``unix_date`` (days since epoch, zone-free) × 86400
+      * ``timestamp_ntz`` — micros diff against the NTZ epoch (the same
+        construction sources/tables.py uses for events.ts)
+      * ``timestamp`` (instant) — ``unix_micros``, zone-free by
+        definition
+
+    All three are bit-identical to the previous cast under a UTC
+    session (same long-micros → double division), so existing oracle
+    hashes are unchanged."""
     if ltype == constants.TYPE_DATE:
+        if dtype == "date":
+            return f"(CAST(unix_date(`{name}`) AS DOUBLE) * 86400.0D)"
+        if dtype == "timestamp_ntz":
+            return (
+                f"(CAST(timestampdiff(MICROSECOND,"
+                f" TIMESTAMP_NTZ '1970-01-01 00:00:00', `{name}`)"
+                f" AS DOUBLE) / 1.0E6)"
+            )
+        if dtype == "timestamp":
+            return f"(CAST(unix_micros(`{name}`) AS DOUBLE) / 1.0E6)"
+        # unknown temporal flavor — legacy (session-zone) behavior
         return f"CAST(CAST(`{name}` AS TIMESTAMP) AS DOUBLE)"
     return f"CAST(`{name}` AS DOUBLE)"
 
 
 def _agg_sql(
-    name: str, ltype: str, exact: bool, anchor: float | None = None
+    name: str,
+    ltype: str,
+    exact: bool,
+    anchor: float | None = None,
+    dtype: str | None = None,
 ) -> list[str]:
     """Aggregate expressions for one column, aliased ``{name}::{stat}``.
 
@@ -132,7 +165,7 @@ def _agg_sql(
     skewness/kurtosis central moments — keeping approx describe a
     strict single scan (the round-2 two-pass chain read the source
     three times)."""
-    nv = _nv(name, ltype)
+    nv = _nv(name, ltype, dtype)
     c = f"`{name}`"
     out = [f"count({c}) AS `{name}::count`"]
 
@@ -316,10 +349,11 @@ def _exact_value_stats(
 
     need = [c for c in cols if c in dist_cols or c in q_cols]
     idx = {c: i for i, c in enumerate(need)}
+    dtypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     structs = []
     for c in need:
         if ltypes[c] in (constants.TYPE_DATE, constants.TYPE_NUM):
-            nv = _nv(c, ltypes[c])
+            nv = _nv(c, ltypes[c], dtypes.get(c))
             vs = f"CAST(`{c}` AS STRING)"
         else:
             nv = "CAST(NULL AS DOUBLE)"
@@ -814,7 +848,10 @@ def describe_frame(
             pass
     aggs = ["count(1) AS `::rows`"]
     for c in cols:
-        aggs += _agg_sql(c, ltypes[c], exact, anchors.get(c))
+        aggs += _agg_sql(
+            c, ltypes[c], exact, anchors.get(c),
+            fields[c].dataType.simpleString(),
+        )
     stats = df.agg(*[F.expr(s) for s in aggs])
     if exact:
         # value histogram provides distinct/quantiles AND the central

@@ -103,13 +103,23 @@ def main(argv):
     from pyspark.sql import SparkSession
 
     sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if "--adversarial" in argv:
+        # The driver builds its own session; nothing guarantees UTC,
+        # non-ANSI, or Arrow-backed toPandas. Every twin must hold
+        # under the hostile combination too.
+        builder = (
+            builder.config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.sql.ansi.enabled", "true")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "false")
+        )
+    else:
+        builder = builder.config("spark.sql.session.timeZone", "UTC")
+    spark = builder.getOrCreate()
     con = duck_connection(sf_dir)
     queries, oracles = entry.queries(), entry.oracle_sql()
     args = [a for a in argv[2:] if not a.startswith("--")]
