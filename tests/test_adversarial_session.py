@@ -62,3 +62,27 @@ def test_twin_holds_under_hostile_session(hostile_session, name):
         assert ok, f"{name} diverged under hostile session conf: {detail}"
     finally:
         con.close()
+
+
+@pytest.mark.parametrize("name", ["sessionize_events", "completeness_over_time"])
+def test_events_twin_holds_under_ltz_parquet_read(hostile_session, name):
+    """Older Sparks (and inferTimestampNTZ=false) read the NTZ parquet
+    ts as TIMESTAMP (instant). Spark stores the raw micros unadjusted —
+    the session zone affects rendering only — so read_table's
+    unix_micros branch must stay zone-free even combined with a non-UTC
+    session. Guards against driver pyspark-version drift."""
+    spark = hostile_session
+    key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    saved = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    con = duck_connection(SF_DIR)
+    try:
+        ok, detail = strict_compare(
+            entrymod.queries()[name](spark, SF_DIR),
+            con,
+            entrymod.oracle_sql()[name],
+        )
+        assert ok, f"{name} diverged under LTZ parquet read: {detail}"
+    finally:
+        spark.conf.set(key, saved)
+        con.close()

@@ -30,9 +30,14 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def audit(df) -> dict:
+def audit(df, execute: bool = False) -> dict:
     from petk_spark.plans.inspect import executed_plan
 
+    if execute:
+        # AQE assigns codegen ids (and re-plans exchanges) only once
+        # query stages materialize; run the query so the signature
+        # reflects the FINAL adaptive plan, not the initial one.
+        df.collect()
     plan = executed_plan(df)
     nodes = dict(
         re.findall(r"\((\d+)\) ([A-Za-z][A-Za-z0-9_]*)", plan)
@@ -79,10 +84,11 @@ def main(argv):
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    execute = "--execute" in argv
     rows = []
     for name, fn in entry.queries().items():
         try:
-            sig = audit(fn(spark, sf_dir))
+            sig = audit(fn(spark, sf_dir), execute)
             sig["name"] = name
             sig["err"] = ""
         except Exception as exc:  # noqa: BLE001
