@@ -30,11 +30,40 @@ def test_no_hugeint_oracle_columns():
         except Exception as exc:  # pragma: no cover - surfaced by test_oracle
             pytest.fail(f"{name}: oracle SQL failed to prepare: {exc}")
         bad = [
-            (c, t) for c, t in zip(rel.columns, types) if t in PANDAS_UNSAFE
+            (c, t)
+            for c, t in zip(rel.columns, types)
+            if t in PANDAS_UNSAFE or t.startswith("DECIMAL")
         ]
         if bad:
             offenders.append((name, bad))
     assert not offenders, (
-        "oracle twins with pandas-unsafe integer columns (fetchdf will "
-        f"widen to float64 and break the %.6e hash): {offenders}"
+        "oracle twins with pandas-unsafe columns (fetchdf widens HUGEINT "
+        "and DECIMAL to float64 / object and breaks the %.6e hash): "
+        f"{offenders}"
+    )
+
+
+def test_no_decimal_or_float32_spark_columns(spark):
+    """Spark-side output types that format differently per fetch path:
+    DecimalType collects as decimal.Decimal (str '1.50') but converts
+    to float64 under toPandas; FloatType collects as float32-rounded
+    float whose %.6e can disagree with the oracle's float64 in the 7th
+    digit. Neither may appear in a declared query's output schema."""
+    import __spark_entry__ as entry
+
+    offenders = []
+    for name, fn in entry.queries().items():
+        try:
+            schema = fn(spark, SF_DIR).schema
+        except Exception as exc:  # pragma: no cover - surfaced by test_oracle
+            pytest.fail(f"{name}: query failed to build: {exc}")
+        bad = [
+            (f.name, f.dataType.simpleString())
+            for f in schema.fields
+            if f.dataType.simpleString().startswith(("decimal", "float"))
+        ]
+        if bad:
+            offenders.append((name, bad))
+    assert not offenders, (
+        f"queries with fetch-path-unstable output types: {offenders}"
     )
