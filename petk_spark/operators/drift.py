@@ -99,14 +99,20 @@ def psi_drift(
     )
 
     def binned(df: DataFrame, side: str) -> DataFrame:
+        # NULL must be filtered BEFORE the clamp: Spark's greatest()
+        # SKIPS null arguments (unlike a null-propagating engine), so
+        # greatest(NULL, 0) is 0 and an unfiltered NULL value would
+        # silently land in bin 0, inflating the denominator. (Caught by
+        # the perturbed-orders fixture: one NULL price shifted every
+        # p_a/p_b by 1/n.)
         b = (
-            df.crossJoin(F.broadcast(grid))
+            df.where(f"{v} IS NOT NULL AND NOT isnan({v})")
+            .crossJoin(F.broadcast(grid))
             .selectExpr(
                 f"least(greatest(CAST(floor(({v} - lo) / "
                 f"(CASE WHEN hi > lo THEN (hi - lo) / {n_bins} ELSE 1.0 END)"
                 f") AS INT), 0), {n_bins - 1}) AS bin"
             )
-            .where("bin IS NOT NULL")
         )
         return b.groupBy("bin").agg(F.count(F.lit(1)).alias(f"n_{side}"))
 

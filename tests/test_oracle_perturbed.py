@@ -328,3 +328,123 @@ def test_embedding_twin_holds_on_edges(spark, perturbed_embeddings_dir, name):
         assert ok, f"{name} diverged on edge embeddings: {detail}"
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# orders/customer edges — the describe/psi/unique/geo twin family
+# ---------------------------------------------------------------------------
+
+ORDERS_QUERIES = [
+    "describe_orders_customer",  # o_orderdate quantiles, acctbal moments
+    "psi_drift",                 # o_totalprice binning w/ NULL + extremes
+    "profile_drift",             # snapshot stat pairs
+    "validate_unique",           # o_custkey dup flagging w/ planted dups
+    "dedup_first_by",            # keep-first under duplicate keys
+    "geo_validate_rules",        # geometry synthesized from o_orderkey
+]
+
+
+@pytest.fixture(scope="module")
+def perturbed_orders_dir(tmp_path_factory):
+    """sf0.001 with adversarial orders + customer: shuffled order,
+    duplicate keys, NULL dates/prices/strings, epoch-boundary and
+    far-future dates, negative and huge totalprice, negative acctbal —
+    the properties a regenerated fixture may or may not carry."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("perturbed_orders")
+    for t in TABLES:
+        if t in ("orders", "customer"):
+            continue
+        shutil.copy(f"{SRC}/{t}.parquet", d / f"{t}.parquet")
+
+    base = pq.read_table(f"{SRC}/orders.parquet").to_pandas()
+    dup_key = int(base["o_orderkey"].iloc[0])
+    dup_cust = int(base["o_custkey"].iloc[0])
+    extra = pd.DataFrame(
+        [
+            # duplicate o_orderkey AND o_custkey (keep-first + unique)
+            (dup_key, dup_cust, "O", 111.11, dt.datetime(2024, 1, 2), "1-URGENT"),
+            # NULL date (describe must drop it from quantile ranks)
+            (91000001, 42, "F", 222.22, None, "2-HIGH"),
+            # NULL totalprice (psi binning must skip it)
+            (91000002, 42, "F", None, dt.datetime(2024, 1, 3), "3-MEDIUM"),
+            # epoch-boundary date + far-future microsecond edge
+            (91000003, 43, "O", 10.0, dt.datetime(1970, 1, 1), "4-NOT SPECIFIED"),
+            (91000004, 43, "O", 20.0,
+             dt.datetime(2099, 12, 31, 23, 59, 59, 999999), "5-LOW"),
+            # negative and huge totalprice (bin-edge outliers)
+            (91000005, 44, "F", -5.0, dt.datetime(2024, 2, 1), "1-URGENT"),
+            (91000006, 44, "F", 1.0e12, dt.datetime(2024, 2, 2), "1-URGENT"),
+            # NULL strings
+            (91000007, 45, None, 33.0, dt.datetime(2024, 2, 3), None),
+        ],
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        ],
+    )
+    both = pd.concat([base, extra], ignore_index=True)
+    both = both.iloc[
+        sorted(range(len(both)), key=lambda i: (i * 2654435761) % 1000003)
+    ].reset_index(drop=True)
+    schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_orderstatus", pa.string()),
+            ("o_totalprice", pa.float64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(both, schema=schema, preserve_index=False),
+        str(d / "orders.parquet"),
+    )
+
+    cbase = pq.read_table(f"{SRC}/customer.parquet").to_pandas()
+    cdup = int(cbase["c_custkey"].iloc[0])
+    cextra = pd.DataFrame(
+        [
+            (cdup, "Duplicate Key Co", 1, 50.0, "BUILDING"),
+            (95000001, None, 2, None, None),          # NULL name/bal/segment
+            (95000002, "Négatïve Bàlance 中文", 3, -999.99, "MACHINERY"),
+        ],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    cboth = pd.concat([cbase, cextra], ignore_index=True)
+    cboth = cboth.iloc[
+        sorted(range(len(cboth)), key=lambda i: (i * 2654435761) % 1000003)
+    ].reset_index(drop=True)
+    cschema = pa.schema(
+        [
+            ("c_custkey", pa.int64()),
+            ("c_name", pa.string()),
+            ("c_nationkey", pa.int32()),
+            ("c_acctbal", pa.float64()),
+            ("c_mktsegment", pa.string()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(cboth, schema=cschema, preserve_index=False),
+        str(d / "customer.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ORDERS_QUERIES)
+def test_orders_twin_holds_on_perturbed_fixture(spark, perturbed_orders_dir, name):
+    q = entrymod.queries()
+    osql = entrymod.oracle_sql()
+    con = duck_connection(perturbed_orders_dir)
+    try:
+        ok, detail = strict_compare(q[name](spark, perturbed_orders_dir), con, osql[name])
+        assert ok, f"{name} diverged on perturbed orders/customer: {detail}"
+    finally:
+        con.close()
