@@ -448,3 +448,78 @@ def test_orders_twin_holds_on_perturbed_fixture(spark, perturbed_orders_dir, nam
         assert ok, f"{name} diverged on perturbed orders/customer: {detail}"
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# part-table edges — the fuzzy-matching / pattern / frequent-values family
+# ---------------------------------------------------------------------------
+
+PART_QUERIES = [
+    "fuzzy_pairs_part",   # Levenshtein prefix-block join over p_brand
+    "validate_pattern",   # regex rule over part strings
+    "frequent_histogram", # top-n p_brand frequent values
+]
+
+
+@pytest.fixture(scope="module")
+def perturbed_part_dir(tmp_path_factory):
+    """sf0.001 with an adversarial part table: shuffled order, NULL
+    brand/name/type, empty-string and single-char brands (prefix-block
+    edges), a unicode brand, a tie-inducing duplicated brand count, and
+    duplicate part keys."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("perturbed_part")
+    for t in TABLES:
+        if t == "part":
+            continue
+        shutil.copy(f"{SRC}/{t}.parquet", d / f"{t}.parquet")
+    base = pq.read_table(f"{SRC}/part.parquet").to_pandas()
+    dup_key = int(base["p_partkey"].iloc[0])
+    extra = pd.DataFrame(
+        [
+            (dup_key, "dup key row", "Brand#11", "STANDARD", 1, 1.0),
+            (97000001, None, None, None, None, None),
+            (97000002, "empty brand", "", "SMALL", 2, 2.0),
+            (97000003, "one char", "B", "SMALL", 3, 3.0),
+            (97000004, "unicode", "Brändé#中文", "LARGE", 4, 4.0),
+            # near-miss brand one edit away from a real one (fuzzy edge)
+            (97000005, "near miss", "Brand#1", "MEDIUM", 5, 5.0),
+        ],
+        columns=["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+                 "p_retailprice"],
+    )
+    both = pd.concat([base, extra], ignore_index=True)
+    both = both.iloc[
+        sorted(range(len(both)), key=lambda i: (i * 2654435761) % 1000003)
+    ].reset_index(drop=True)
+    schema = pa.schema(
+        [
+            ("p_partkey", pa.int64()),
+            ("p_name", pa.string()),
+            ("p_brand", pa.string()),
+            ("p_type", pa.string()),
+            ("p_size", pa.int32()),
+            ("p_retailprice", pa.float64()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(both, schema=schema, preserve_index=False),
+        str(d / "part.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", PART_QUERIES)
+def test_part_twin_holds_on_perturbed_fixture(spark, perturbed_part_dir, name):
+    q = entrymod.queries()
+    osql = entrymod.oracle_sql()
+    con = duck_connection(perturbed_part_dir)
+    try:
+        ok, detail = strict_compare(q[name](spark, perturbed_part_dir), con, osql[name])
+        assert ok, f"{name} diverged on perturbed part: {detail}"
+    finally:
+        con.close()
