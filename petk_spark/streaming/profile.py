@@ -14,6 +14,9 @@ Design notes for scale:
   state at all.
 * ``streaming_dedup_exact`` uses Spark's watermarked dropDuplicates —
   state holds one entry per key within the watermark horizon.
+* ``streaming_completeness`` is the streaming twin of
+  ``drift.completeness_over_time`` (F29): count/sum-only windowed
+  aggregation, one state row per (window, monitored column).
 * ``running_profile`` is the custom stateful operator path
   (applyInPandasWithState): per-key Welford accumulators
   (count, mean, M2) merged batch-by-batch — numerically stable at
@@ -209,4 +212,53 @@ def running_profile(
             outputMode="update",
             timeoutConf=timeout,
         )
+    )
+
+
+def streaming_completeness(
+    sdf: DataFrame,
+    ts_col: str,
+    columns: list[str],
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``drift.completeness_over_time`` (F29): per
+    tumbling window and column, row count / null count / null rate —
+    the feed-went-dark monitor running ON the feed instead of over
+    landed data.
+
+    Output ``(window_start, window_end, col_name, n_rows, n_null,
+    p_null)``. The per-column fan-out is the same inline explode of
+    constant-size structs as the batch operator (no join), and the
+    aggregate is count/sum only — fully mergeable, so the state store
+    holds ONE compact row per (window, column); the watermark closes
+    windows and bounds state exactly as in ``streaming_profile``.
+    ``ts_col`` must be (castable to) a timestamp; the batch operator's
+    epoch-seconds ``floor`` bucketing and this ``window()`` bucketing
+    agree whenever ``bucket_seconds`` equals the window duration and
+    buckets align to the epoch (tumbling windows do) — pinned by the
+    parity test."""
+    t = F.col(ts_col).cast("timestamp")
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(c).isNull().cast("long").alias("is_null"),
+        )
+        for c in columns
+    ]
+    base = sdf.select(t.alias("__ts"), F.explode(F.array(*structs)).alias("e")).select(
+        "__ts", "e.*"
+    )
+    wm = base.withWatermark("__ts", watermark) if sdf.isStreaming else base
+    out = wm.groupBy(
+        F.window(F.col("__ts"), window).alias("win"), F.col("col_name")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("is_null").alias("n_null"),
+        F.try_divide(F.sum("is_null"), F.count(F.lit(1))).alias("p_null"),
+    )
+    return out.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "col_name", "n_rows", "n_null", "p_null",
     )

@@ -303,3 +303,52 @@ def test_rate_source_soak_state_stays_bounded(spark):
     # emitted results exist and are per-window×group compact rows
     emitted = spark.table(name)
     assert emitted.count() > 0
+
+
+def test_streaming_completeness_matches_batch(spark, stream_dir):
+    """streaming_completeness over file micro-batches must equal the
+    batch completeness_over_time on the same landed data (tumbling
+    1-hour windows ≡ epoch-aligned 3600 s floor buckets)."""
+    from petk_spark.operators.drift import completeness_over_time
+    from petk_spark.streaming.profile import streaming_completeness
+
+    sdf = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .withColumn(
+            "value", F.when(F.col("event_id") == 5, None).otherwise(F.col("value"))
+        )
+    )
+    # update mode: the sink sees every refinement of an open window;
+    # parity is on the LAST emitted row per (window, column) — the
+    # value a closed window would emit in append mode.
+    pdf = _run_stream(
+        spark,
+        streaming_completeness(sdf, "ts", ["value", "event_type"], "1 hour", "1 hour"),
+        "update",
+    ).toPandas()
+    last = pdf.groupby(["window_start", "col_name"]).last().reset_index()
+    got_rows = sorted(
+        (ws.timestamp(), cn, int(nr), int(nn), round(float(pn), 12))
+        for ws, cn, nr, nn, pn in zip(
+            last["window_start"], last["col_name"], last["n_rows"],
+            last["n_null"], last["p_null"],
+        )
+    )
+
+    batch = (
+        spark.read.parquet(stream_dir)
+        .withColumn(
+            "value", F.when(F.col("event_id") == 5, None).otherwise(F.col("value"))
+        )
+        .withColumn("tsec", F.col("ts").cast("double"))
+    )
+    want = completeness_over_time(batch, "tsec", ["value", "event_type"], 3600.0)
+    want_rows = sorted(
+        (r["bucket_start"], r["col_name"], r["n_rows"], r["n_null"],
+         round(r["p_null"], 12))
+        for r in want.collect()
+    )
+    assert got_rows == want_rows
+    assert len(got_rows) == 4  # 2 windows x 2 monitored columns
