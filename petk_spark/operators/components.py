@@ -20,12 +20,13 @@ per round). Rounds needed = graph diameter; near-dup components are
 dense (LSH bucket cliques glued by shared members), so diameters of 2-4
 dominate and the loop exits fast. ``localCheckpoint`` every round cuts
 the growing lineage so round N's plan doesn't replay rounds 1..N-1
-(the classic iterative-Spark trap). A 100 TB-scale note: for graphs
-with genuinely long chains, the two-phase large-star/small-star
+(the classic iterative-Spark trap). For graphs with genuinely long
+chains the module also ships the two-phase large-star/small-star
 variant (Kiveris et al., "Connected Components in MapReduce and
-Beyond", SoCC'14) converges in O(log n) rounds with the same
-join+min-agg building blocks; near-dup graphs don't need it, so this
-implementation keeps the simpler round shape.
+Beyond", SoCC'14; ``algorithm="star"``), which converges in O(log n)
+rounds independent of diameter with the same join+min-agg building
+blocks — the 100 TB path when the pair graph isn't the dense near-dup
+shape. Equivalence of the two fixpoints is property-tested.
 
 Determinism: labels are ids, min() is order-insensitive, iteration
 count is data-dependent but the fixpoint is unique — the result is
@@ -46,6 +47,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iterations: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """(id, cluster_id) for every node; cluster_id = component min id.
 
@@ -53,12 +55,25 @@ def connected_components(
     their own cluster). ``edges``: undirected pair list (each pair once
     is enough; both directions are derived internally).
 
-    Raises if the loop exhausts ``max_iterations`` before the labels
-    reach a fixpoint (graph diameter > max_iterations): returning
-    partially-propagated labels would be a silently wrong closure.
+    ``algorithm``: ``"label"`` (default) is min-label propagation —
+    O(diameter) rounds, the right shape for dense near-dup components
+    (diameter 2-4). ``"star"`` is the alternating large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — O(log n) rounds regardless of diameter, the
+    scale path for long-chain graphs where label propagation would
+    need (and here refuses beyond) ``max_iterations`` rounds. Both
+    reach the identical unique fixpoint (pinned by the equivalence
+    property test).
+
+    Raises if the loop exhausts ``max_iterations`` before the fixpoint
+    (label: graph diameter > budget): returning partially-propagated
+    labels would be a silently wrong closure.
     """
     if nodes.isStreaming or edges.isStreaming:
         raise ValueError("connected_components requires batch frames")
+    if algorithm == "star":
+        return _star_components(nodes, edges, id_col, src_col, dst_col,
+                                max_iterations)
     labels = nodes.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(id_col).cast("long").alias("lbl"),
@@ -102,6 +117,106 @@ def connected_components(
             "max_iterations or switch to a large-star/small-star variant"
         )
     return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
+def _star_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    src_col: str,
+    dst_col: str,
+    max_iterations: int,
+) -> DataFrame:
+    """Alternating large-star/small-star (Kiveris et al., SoCC'14).
+
+    Each round is two grouped min-joins over the CURRENT edge frame:
+
+      * large-star — group the bidirectional edge list by ``u``, take
+        ``m = min(neighbors ∪ {u})``, re-attach every STRICTLY LARGER
+        neighbor directly to ``m``: hooks long chains onto their local
+        minimum, halving tall structures.
+      * small-star — orient every edge toward the larger endpoint
+        (key = max, value = min), take ``m = min(smaller-neighbors ∪
+        {u})``, attach ``u`` and all its smaller neighbors to ``m``:
+        flattens the result into stars.
+
+    The edge multiset contracts toward star graphs centered on each
+    component's min id in O(log n) rounds independent of diameter —
+    the property the label-propagation loop lacks. Convergence is an
+    edge-set fixpoint, checked with one ``exceptAll().limit(1)`` probe
+    per round (an extra small shuffle; rounds are few). Same
+    ``localCheckpoint`` lineage-cut discipline as the label loop.
+
+    Final labels: a star edge ``(u, m)`` labels ``u`` with ``m``;
+    star centers and singletons label themselves.
+    """
+    ids = nodes.select(F.col(id_col).cast("long").alias("id")).distinct()
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("u"),
+            F.col(dst_col).cast("long").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(ed: DataFrame) -> DataFrame:
+        bi = ed.unionByName(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = bi.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least("u", "mv").alias("m")
+        )
+        return (
+            bi.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("u"), F.col("v"))
+            .where(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+            .distinct()
+        )
+
+    def small_star(ed: DataFrame) -> DataFrame:
+        # edges already oriented (u = min, v = max); group by the
+        # larger endpoint, attach it and its smaller neighbors to the
+        # minimum among them
+        m = ed.groupBy(F.col("v").alias("g")).agg(F.min("u").alias("m"))
+        re_small = (
+            ed.join(m, ed["v"] == m["g"])
+            .select(F.col("m").alias("u"), ed["u"].alias("v"))
+            .where(F.col("u") != F.col("v"))
+        )
+        re_center = m.select(F.col("m").alias("u"), F.col("g").alias("v"))
+        return (
+            re_small.unionByName(re_center)
+            .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+            .distinct()
+        )
+
+    for _ in range(max_iterations):
+        new_e = small_star(large_star(e)).localCheckpoint(eager=True)
+        changed = (
+            new_e.exceptAll(e).limit(1).count()
+            + e.exceptAll(new_e).limit(1).count()
+        )
+        e = new_e
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"star components did not converge within {max_iterations} "
+            "rounds — O(log n) expected; inspect the edge frame"
+        )
+
+    # stars: (u=min/center, v=member). Label members by center; every
+    # other node (centers, singletons) labels itself.
+    member_lbl = e.groupBy(F.col("v").alias("id")).agg(F.min("u").alias("lbl"))
+    return (
+        ids.join(member_lbl, "id", "left")
+        .select("id", F.coalesce("lbl", "id").alias("cluster_id"))
+    )
 
 
 def near_dup_clusters(

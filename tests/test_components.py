@@ -71,3 +71,72 @@ def test_sessionize_is_input_order_invariant(spark):
     assert a == b
     # gap 60 over [0,10 | 2000..2020 | 9000,9005+u] = 3 sessions per user
     assert {r[1] for r in a} == {1, 2, 3}
+
+
+# ---------------------------------------------------------------------------
+# large-star/small-star scale path
+# ---------------------------------------------------------------------------
+
+
+def _labels(df):
+    return sorted((r["id"], r["cluster_id"]) for r in df.collect())
+
+
+def test_star_matches_label_on_random_graphs(spark):
+    """Both algorithms reach the identical unique fixpoint on random
+    graphs (clusters + chains + singletons), seeds fixed."""
+    import random
+
+    from petk_spark.operators.components import connected_components
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        n = 60
+        ids = list(range(1000, 1000 + n))
+        edges = []
+        # a few dense cliques
+        for base in range(0, 30, 10):
+            clique = ids[base:base + 6]
+            edges += [(a, b) for a in clique for b in clique if a < b]
+        # one long chain
+        chain = ids[30:50]
+        edges += list(zip(chain, chain[1:]))
+        # random extra edges
+        edges += [tuple(sorted(rng.sample(ids, 2))) for _ in range(15)]
+        nodes = spark.createDataFrame([(i,) for i in ids], "id long")
+        e = spark.createDataFrame(edges, "id_a long, id_b long")
+        lab = connected_components(nodes, e, algorithm="label",
+                                   max_iterations=100)
+        star = connected_components(nodes, e, algorithm="star")
+        assert _labels(lab) == _labels(star), f"seed {seed}"
+
+
+def test_star_converges_on_long_chain_where_label_budget_fails(spark):
+    """A 120-node path has diameter 119: label propagation inside the
+    default 25-round budget must refuse, while the O(log n) star
+    variant converges and labels the whole chain with its min id."""
+    import pytest as _pytest
+
+    from petk_spark.operators.components import connected_components
+
+    ids = list(range(5000, 5120))
+    nodes = spark.createDataFrame([(i,) for i in ids], "id long")
+    e = spark.createDataFrame(
+        list(zip(ids, ids[1:])), "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, e, algorithm="label", max_iterations=10)
+    star = connected_components(nodes, e, algorithm="star")
+    got = _labels(star)
+    assert got == [(i, 5000) for i in ids]
+
+
+def test_star_handles_self_loops_dups_and_singletons(spark):
+    from petk_spark.operators.components import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 9]], "id long")
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 2), (2, 3)], "id_a long, id_b long"
+    )
+    got = _labels(connected_components(nodes, e, algorithm="star"))
+    assert got == [(1, 1), (2, 1), (3, 1), (9, 9)]
