@@ -17,6 +17,10 @@ Design notes for scale:
 * ``streaming_completeness`` is the streaming twin of
   ``drift.completeness_over_time`` (F29): count/sum-only windowed
   aggregation, one state row per (window, monitored column).
+* ``streaming_psi`` is the streaming twin of ``drift.psi_drift``
+  (F21): fixed baseline bin grid broadcast into the stream, ONE
+  windowed aggregation of n_bins conditional counters (fixed-width
+  state row per window), per-window PSI folded JVM-side.
 * ``running_profile`` is the custom stateful operator path
   (applyInPandasWithState): per-key Welford accumulators
   (count, mean, M2) merged batch-by-batch — numerically stable at
@@ -261,4 +265,110 @@ def streaming_completeness(
         F.col("win.start").alias("window_start"),
         F.col("win.end").alias("window_end"),
         "col_name", "n_rows", "n_null", "p_null",
+    )
+
+
+def streaming_psi(
+    sdf: DataFrame,
+    ts_col: str,
+    value_col: str,
+    baseline: DataFrame,
+    n_bins: int = 10,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Streaming twin of ``drift.psi_drift``: Population Stability
+    Index of each tumbling window of the stream against a FIXED batch
+    baseline (the standard feed-drift monitor: the baseline defines
+    the bin grid once; every closed window scores against it).
+
+    Output ``(window_start, window_end, psi)`` — one row per window.
+
+    Scale shape: the baseline is reduced ONCE to an ``n_bins``-row
+    probability frame (grid min/max + per-bin p_a) and broadcast into
+    the stream; the stream side is a windowed count per (window, bin) —
+    mergeable, one state row per (window, bin), watermark-bounded. The
+    per-window PSI reduction folds the ≤ ``n_bins`` bin terms with the
+    same eps floor as the batch operator. NULL/NaN values are filtered
+    before binning exactly as in the batch twin (Spark's ``greatest``
+    skips NULLs — see drift.psi_drift).
+    """
+    v = f"CAST(`{value_col}` AS DOUBLE)"
+    grid = baseline.agg(
+        F.expr(f"min({v}) AS lo"), F.expr(f"max({v}) AS hi")
+    )
+    bin_expr = (
+        f"least(greatest(CAST(floor(({v} - lo) / "
+        f"(CASE WHEN hi > lo THEN (hi - lo) / {n_bins} ELSE 1.0 END)"
+        f") AS INT), 0), {n_bins - 1}) AS bin"
+    )
+    base_binned = (
+        baseline.where(f"{v} IS NOT NULL AND NOT isnan({v})")
+        .crossJoin(F.broadcast(grid))
+        .selectExpr(bin_expr)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    spark = baseline.sparkSession
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    p_a = (
+        bins.join(base_binned, "bin", "left")
+        .crossJoin(base_binned.agg(F.sum("n_a").alias("tot_a")))
+        .selectExpr(
+            "bin",
+            f"greatest(CAST(coalesce(n_a, 0) AS DOUBLE) / tot_a, {eps!r}) AS p_a",
+        )
+    )
+
+    t = F.col(ts_col).cast("timestamp")
+    stream_binned = (
+        sdf.where(f"{v} IS NOT NULL AND NOT isnan({v})")
+        .select(t.alias("__ts"), F.col(value_col))
+        .crossJoin(F.broadcast(grid))
+        .selectExpr("__ts", bin_expr)
+    )
+    wm = (
+        stream_binned.withWatermark("__ts", watermark)
+        if sdf.isStreaming
+        else stream_binned
+    )
+    # ONE stateful aggregation (chained stateful aggs are disallowed on
+    # streams): per window, n_bins conditional counters — state is one
+    # fixed-width row per window regardless of input volume. Bins
+    # absent from a window count 0 and take the eps floor in the fold.
+    counters = [
+        F.sum(F.when(F.col("bin") == i, 1).otherwise(0)).alias(f"n_{i}")
+        for i in range(n_bins)
+    ]
+    per_win = wm.groupBy(F.window(F.col("__ts"), window).alias("win")).agg(
+        *counters
+    )
+    grid_arr = F.broadcast(
+        p_a.agg(
+            F.array_sort(F.collect_list(F.struct("bin", "p_a"))).alias("ga")
+        )
+    )
+    nb = "array(" + ", ".join(f"`n_{i}`" for i in range(n_bins)) + ")"
+    psi = per_win.crossJoin(grid_arr).selectExpr(
+        "win",
+        f"""
+        aggregate(
+          sequence(0, {n_bins - 1}),
+          CAST(0.0 AS DOUBLE),
+          (acc, i) -> acc + (
+            (element_at(ga, i + 1).p_a
+             - greatest(CAST(element_at({nb}, i + 1) AS DOUBLE)
+                        / aggregate({nb}, 0L, (a, x) -> a + x), {eps!r}))
+            * ln(element_at(ga, i + 1).p_a
+                 / greatest(CAST(element_at({nb}, i + 1) AS DOUBLE)
+                            / aggregate({nb}, 0L, (a, x) -> a + x), {eps!r}))
+          )
+        ) AS psi
+        """,
+    )
+    return psi.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "psi",
     )

@@ -352,3 +352,46 @@ def test_streaming_completeness_matches_batch(spark, stream_dir):
     )
     assert got_rows == want_rows
     assert len(got_rows) == 4  # 2 windows x 2 monitored columns
+
+
+def test_streaming_psi_matches_batch_per_window(spark, stream_dir):
+    """streaming_psi per tumbling window equals the batch psi_drift of
+    (baseline, window-slice) — same grid, same eps floors."""
+    import math
+
+    from petk_spark.operators.drift import psi_drift
+    from petk_spark.streaming.profile import streaming_psi
+
+    baseline = spark.read.parquet(stream_dir)
+
+    sdf = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    pdf = _run_stream(
+        spark,
+        streaming_psi(sdf, "ts", "value", baseline, n_bins=5,
+                      window="1 hour", watermark="1 hour"),
+        "update",
+    ).toPandas()
+    last = pdf.groupby("window_start").last().reset_index()
+    got = {
+        ws.timestamp(): float(p)
+        for ws, p in zip(last["window_start"], last["psi"])
+    }
+    assert len(got) == 2  # two 1-hour windows in the fixture
+
+    batch = baseline.withColumn("tsec", F.col("ts").cast("double"))
+    for ws, want_psi_rows in (
+        (1704067200.0, batch.where("tsec >= 1704067200 AND tsec < 1704070800")),
+        (1704070800.0, batch.where("tsec >= 1704070800 AND tsec < 1704074400")),
+    ):
+        expected = (
+            psi_drift(baseline, want_psi_rows, "value", n_bins=5)
+            .where("bin = -1")
+            .collect()[0]["psi_term"]
+        )
+        assert math.isclose(got[ws], expected, rel_tol=1e-09), (
+            f"window {ws}: stream {got[ws]} batch {expected}"
+        )
