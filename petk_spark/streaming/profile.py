@@ -21,6 +21,10 @@ Design notes for scale:
   (F21): fixed baseline bin grid broadcast into the stream, ONE
   windowed aggregation of n_bins conditional counters (fixed-width
   state row per window), per-window PSI folded JVM-side.
+* ``streaming_dedup_normalized`` drops shingle-SET-identical clones
+  (whitespace/ordering-insensitive): row-local sorted-shingle md5 key,
+  one watermarked dropDuplicates — 16 bytes of state per distinct
+  normalized doc in the horizon.
 * ``running_profile`` is the custom stateful operator path
   (applyInPandasWithState): per-key Welford accumulators
   (count, mean, M2) merged batch-by-batch — numerically stable at
@@ -372,3 +376,51 @@ def streaming_psi(
         F.col("win.end").alias("window_end"),
         "psi",
     )
+
+
+def streaming_dedup_normalized(
+    sdf: DataFrame,
+    id_col: str,
+    text_col: str,
+    ts_col: str | None = None,
+    n: int = 3,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming NORMALIZED text dedup: drops documents whose word
+    n-gram shingle SET is identical to one already seen (within the
+    watermark horizon) — whitespace-, line-break- and
+    paragraph-order-insensitive, i.e. the re-crawl/boilerplate clone
+    case exact byte dedup misses.
+
+    The key is row-local and stateless: md5 over the sorted distinct
+    shingle array (``dedup._shingles``, the same Arrow-batched
+    tokenizer every batch dedup operator uses), so the only stateful
+    operator is one watermarked ``dropDuplicates`` — state is one
+    16-byte key per distinct normalized document in the horizon.
+
+    Banded MinHash-LSH semantics (drop on ANY band collision) need
+    either chained stateful operators (disallowed) or a join against
+    accumulated state; run the batch ``minhash_lsh_near_dup`` over the
+    landed data for below-1.0 similarity thresholds. This operator is
+    the honest streaming-native subset: similarity == 1.0 on the
+    shingle-set metric.
+
+    Documents shorter than ``n`` tokens shingle to the empty set and
+    would all collide on one key; they are passed through UNFILTERED
+    (tagged by a distinct per-row key) — a too-short doc is not a
+    duplicate of another too-short doc under this metric.
+    """
+    from petk_spark.operators.dedup import _shingles
+
+    sh = F.array_sort(_shingles(F.col(text_col), n))
+    key = F.when(
+        F.size(sh) > 0, F.md5(F.concat_ws("\x1f", sh))
+    ).otherwise(F.concat(F.lit("__short__"), F.col(id_col).cast("string")))
+    keyed = sdf.withColumn("__nkey", key)
+    if ts_col is not None and sdf.isStreaming:
+        out = keyed.withWatermark(ts_col, watermark).dropDuplicates(
+            ["__nkey"]
+        )
+    else:
+        out = keyed.dropDuplicates(["__nkey"])
+    return out.drop("__nkey")

@@ -395,3 +395,53 @@ def test_streaming_psi_matches_batch_per_window(spark, stream_dir):
         assert math.isclose(got[ws], expected, rel_tol=1e-09), (
             f"window {ws}: stream {got[ws]} batch {expected}"
         )
+
+
+def test_streaming_dedup_normalized(spark, tmp_path):
+    """Shingle-set dedup: whitespace/line-break clones collapse, real
+    distinct docs survive, too-short docs pass through unfiltered."""
+    from petk_spark.streaming.profile import streaming_dedup_normalized
+
+    d = str(tmp_path / "docs_stream")
+    schema = "doc_id long, ts timestamp, text string"
+    rows1 = [
+        (1, "2024-01-01 00:01:00", "the quick brown fox jumps over the lazy dog"),
+        (2, "2024-01-01 00:02:00", "completely different text about data engines here"),
+        (3, "2024-01-01 00:03:00", "hi"),   # < n tokens
+    ]
+    rows2 = [
+        # whitespace/newline clone of doc 1 — same shingle set
+        (4, "2024-01-01 00:04:00", "the  quick\nbrown fox   jumps over the lazy dog"),
+        (5, "2024-01-01 00:05:00", "ho"),   # < n tokens, must NOT collide with doc 3
+        (6, "2024-01-01 00:06:00", "yet another genuinely novel document body text"),
+    ]
+    for rows in [rows1, rows2]:
+        spark.createDataFrame(
+            [(a, b, c) for a, b, c in rows],
+            "doc_id long, ts string, text string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = _run_stream(
+        spark,
+        streaming_dedup_normalized(sdf, "doc_id", "text", ts_col="ts",
+                                   watermark="1 day"),
+    )
+    ids = sorted(r["doc_id"] for r in got.collect())
+    assert ids == [1, 2, 3, 5, 6]  # 4 dropped as a normalized clone of 1
+
+    # batch parity: same function on the landed batch frame
+    batch = spark.read.schema(schema).parquet(d)
+    bids = sorted(
+        r["doc_id"]
+        for r in streaming_dedup_normalized(batch, "doc_id", "text").collect()
+    )
+    # batch dropDuplicates keeps an arbitrary member per key; the KEY
+    # SETS must match even if the kept representative differs
+    assert len(bids) == 5 and {2, 3, 5, 6}.issubset(set(bids))
