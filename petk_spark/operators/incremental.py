@@ -1,0 +1,155 @@
+"""Incremental (mergeable) profiling — profile the NEW data only,
+merge with stored partials, never rescan the corpus.
+
+At 100 TB with daily ingest, re-running ``describe`` over the full
+table per day is a full-corpus scan for statistics that are 99%
+unchanged. This module splits the profile into the classic
+partial/merge/finalize shape:
+
+  * :func:`partial_profile` — ONE scan of a frame (typically just the
+    new partition) producing one compact row per column of mergeable
+    sufficient statistics: non-null count, null count, sum, mean, M2
+    (centered second moment), min, max, and an HLL distinct sketch
+    (``hll_sketch_agg`` — Spark's Datasketches binding, binary,
+    mergeable).
+  * :func:`merge_partials` — pure-aggregation merge of any number of
+    partial frames (yesterday's stored partial + today's): counts and
+    sums add, min/max fold, mean/M2 combine by the parallel
+    (Chan et al.) formula expressed as one grouped aggregation, HLL
+    sketches union register-wise (``hll_union_agg``). No source data
+    touched.
+  * :func:`finalize_profile` — derive the describe-compatible
+    statistics (mean, sample std ddof=1, distinct estimate, p_null)
+    from a partial. Cheap projection.
+
+Contract: ``finalize_profile(merge_partials(partial(A), partial(B)))``
+equals ``finalize_profile(partial(A ∪ B))`` — exactly for counts,
+min/max and sum, within the sketch's own relative error for the HLL
+estimate (Datasketches' union internally promotes HLL_4→HLL_8, so the
+unioned estimate is equivalent-quality but not bit-identical to a
+single-shot sketch; lgK=14 ⇒ ~0.8% RSE), and
+to float round-off for mean/M2 (the grouped merge uses the
+König-Huygens form ``M2 = Σm2_i + Σn_i·mean_i² − n·mean²``, exact in
+real arithmetic; document the caveat that a mean ≫ spread column loses
+relative precision in M2 — the same trade ``describe``'s shifted
+moments engineer around with anchors, acceptable here because partials
+are per-partition where the anchor-free form stays well-conditioned
+for typical data, and a caller can pre-center a pathological column).
+
+The stats here are the MERGEABLE subset: exact quantiles/medians are
+not incrementally mergeable (describe's value-histogram pass covers
+those in batch); KLL/quantile sketches would slot into the same
+partial row when Spark exposes a mergeable quantile sketch aggregate.
+
+Storage: partials are ordinary small DataFrames (one row per column)
+— write them with ``sources.sinks.write_report`` next to the data they
+summarize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: lgConfigK for the HLL sketches — fixed so every partial is unionable.
+_HLL_LGK = 14
+
+
+def partial_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One row per column: (column, n, n_null, sum, mean, m2, min, max,
+    hll) — the mergeable sufficient statistics, from ONE scan.
+
+    Numeric columns get the full moment block; every column gets
+    counts and the HLL distinct sketch (over the string rendering, so
+    mixed-type evolution can't split a value's identity across
+    partials)."""
+    from petk_spark import constants
+    from petk_spark.logical_types import static_logical_type
+    from petk_spark.operators.describe import find_columns
+
+    cols = find_columns(df, columns)
+    fields = {f.name: f for f in df.schema.fields}
+    ltypes = {c: static_logical_type(fields[c]) for c in cols}
+
+    aggs = []
+    for c in cols:
+        q = f"`{c}`"
+        is_num = ltypes[c] == constants.TYPE_NUM
+        v = f"CAST({q} AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)"
+        aggs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.expr(f"count({q})").alias("n"),
+                F.expr(f"count(1) - count({q})").alias("n_null"),
+                F.expr(f"sum({v})").alias("sum"),
+                F.expr(f"avg({v})").alias("mean"),
+                # M2 = (n-1)·var; var_samp of a single value is NULL →
+                # coalesce to 0 so a 1-row partial merges cleanly
+                F.expr(
+                    f"CASE WHEN count({v}) > 1 THEN "
+                    f"var_samp({v}) * (count({v}) - 1) "
+                    f"WHEN count({v}) = 1 THEN 0.0D ELSE NULL END"
+                ).alias("m2"),
+                F.expr(f"min({v})").alias("min"),
+                F.expr(f"max({v})").alias("max"),
+                F.expr(
+                    f"hll_sketch_agg(CAST({q} AS STRING), {_HLL_LGK})"
+                ).alias("hll"),
+            ).alias(f"__p_{c}")
+        )
+    wide = df.agg(*aggs)
+    return wide.select(
+        F.explode(F.array(*[F.col(f"__p_{c}") for c in cols])).alias("p")
+    ).select("p.*")
+
+
+def merge_partials(*partials: DataFrame) -> DataFrame:
+    """Merge partial-profile frames into one — a pure aggregation over
+    the concatenated partial rows; the source data is never touched.
+
+    mean/M2 combine via the grouped König-Huygens identity (exact in
+    real arithmetic for any number of partials); HLL sketches union
+    register-wise (same error bound as a single-shot sketch; not
+    bit-identical — see module docstring)."""
+    assert partials, "need at least one partial frame"
+    allp = partials[0]
+    for p in partials[1:]:
+        allp = allp.unionByName(p)
+    merged = allp.groupBy("column").agg(
+        F.sum("n").alias("n"),
+        F.sum("n_null").alias("n_null"),
+        F.sum("sum").alias("sum"),
+        F.expr(
+            "CASE WHEN sum(CASE WHEN mean IS NOT NULL THEN n END) > 0 THEN "
+            "sum(n * mean) / sum(CASE WHEN mean IS NOT NULL THEN n END) END"
+        ).alias("mean"),
+        # Σm2_i + Σ n_i·mean_i² − n·mean²  (parallel-axis / Chan merge)
+        F.expr(
+            "CASE WHEN sum(CASE WHEN m2 IS NOT NULL THEN n END) > 0 THEN "
+            "sum(m2) + sum(n * mean * mean) "
+            "- (sum(n * mean) * sum(n * mean))"
+            "  / sum(CASE WHEN mean IS NOT NULL THEN n END) END"
+        ).alias("m2"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+        F.expr("hll_union_agg(hll)").alias("hll"),
+    )
+    return merged
+
+
+def finalize_profile(partial: DataFrame) -> DataFrame:
+    """Describe-compatible statistics from a (merged) partial: adds
+    std (ddof=1), variance, p_null and the HLL distinct estimate."""
+    return partial.select(
+        "column",
+        "n",
+        "n_null",
+        F.expr("n_null / CAST(n + n_null AS DOUBLE)").alias("p_null"),
+        "sum",
+        "mean",
+        F.expr("CASE WHEN n > 1 THEN m2 / (n - 1) END").alias("variance"),
+        F.expr("CASE WHEN n > 1 THEN sqrt(m2 / (n - 1)) END").alias("std"),
+        "min",
+        "max",
+        F.expr("hll_sketch_estimate(hll)").alias("distinct_estimate"),
+    )

@@ -1,0 +1,86 @@
+"""Incremental profiling: finalize(merge(partial(A), partial(B), ...))
+must equal finalize(partial(A ∪ B)) — exactly for counts/min/max and
+within the sketch's error for the HLL distinct estimate, and to float
+round-off for sum/mean/M2."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from petk_spark.operators.incremental import (
+    finalize_profile,
+    merge_partials,
+    partial_profile,
+)
+
+SF = "/root/testdata/sf0.001"
+COLS = ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"]
+
+
+def _rows(df):
+    return {r["column"]: r.asDict() for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def split_vs_whole(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    chunks = [df.where(F.col("l_orderkey") % 3 == i) for i in range(3)]
+    merged = finalize_profile(
+        merge_partials(*[partial_profile(c, COLS) for c in chunks])
+    )
+    direct = finalize_profile(partial_profile(df, COLS))
+    return _rows(merged), _rows(direct)
+
+
+def test_counts_min_max_exact(split_vs_whole):
+    got, want = split_vs_whole
+    for c in COLS:
+        for k in ("n", "n_null", "min", "max"):
+            assert got[c][k] == want[c][k], (c, k, got[c][k], want[c][k])
+
+
+def test_hll_union_estimate_within_sketch_error(split_vs_whole):
+    # Datasketches' union is equivalent-quality but not bit-identical
+    # to a single-shot sketch (HLL_4->HLL_8 promotion); lgK=14 => ~0.8%
+    # RSE, assert within 3 sigma of the single-shot estimate
+    got, want = split_vs_whole
+    for c in COLS:
+        g, w = got[c]["distinct_estimate"], want[c]["distinct_estimate"]
+        assert abs(g - w) <= max(0.025 * w, 2.0), (c, g, w)
+
+
+def test_moments_match_to_roundoff(split_vs_whole):
+    got, want = split_vs_whole
+    for c in ["l_orderkey", "l_quantity", "l_extendedprice"]:
+        for k in ("sum", "mean", "variance", "std", "p_null"):
+            g, w = got[c][k], want[c][k]
+            assert g is not None and w is not None, (c, k)
+            assert math.isclose(g, w, rel_tol=1e-9), (c, k, g, w)
+
+
+def test_hll_estimate_tracks_exact_distinct(spark, split_vs_whole):
+    got, _ = split_vs_whole
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    for c in COLS:
+        exact = df.select(c).distinct().count()
+        est = got[c]["distinct_estimate"]
+        assert abs(est - exact) <= max(0.05 * exact, 2.0), (c, est, exact)
+
+
+def test_all_null_and_single_row_chunks_merge_cleanly(spark):
+    a = spark.createDataFrame([(None,), (None,)], "x double")
+    b = spark.createDataFrame([(5.0,)], "x double")
+    c = spark.createDataFrame([(7.0,), (9.0,)], "x double")
+    out = _rows(
+        finalize_profile(
+            merge_partials(*[partial_profile(d, ["x"]) for d in (a, b, c)])
+        )
+    )["x"]
+    assert out["n"] == 3 and out["n_null"] == 2
+    assert out["min"] == 5.0 and out["max"] == 9.0
+    assert math.isclose(out["mean"], 7.0)
+    assert math.isclose(out["variance"], 4.0)  # var_samp of {5,7,9}
+    assert math.isclose(out["p_null"], 0.4)
