@@ -44,4 +44,9 @@ def recommended_builder(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # compile the >100-field fused describe bundle instead of
+        # interpreting it (measured ~30% on the describe family at
+        # sf0.1; the one-off Janino compile cost shows on the first run
+        # of each distinct plan — see bench.py)
+        .config("spark.sql.codegen.maxFields", "300")
     )
