@@ -36,10 +36,13 @@ moments engineer around with anchors, acceptable here because partials
 are per-partition where the anchor-free form stays well-conditioned
 for typical data, and a caller can pre-center a pathological column).
 
-The stats here are the MERGEABLE subset: exact quantiles/medians are
-not incrementally mergeable (describe's value-histogram pass covers
-those in batch); KLL/quantile sketches would slot into the same
-partial row when Spark exposes a mergeable quantile sketch aggregate.
+Quantiles ARE covered incrementally — via Datasketches KLL
+(``kll_sketch_agg_double`` / ``kll_merge_agg_double``, Spark ≥4.0):
+each numeric column's partial carries a KLL sketch; merge is the
+sketch merge; finalize reads the standard describe probabilities off
+the merged sketch with the sketch's rank-error guarantee (default
+k=200 ⇒ ~1.65% rank error at 99% confidence). EXACT quantiles remain
+a batch-only property (describe's value-histogram pass).
 
 Storage: partials are ordinary small DataFrames (one row per column)
 — write them with ``sources.sinks.write_report`` next to the data they
@@ -95,6 +98,11 @@ def partial_profile(df: DataFrame, columns: list[str] | None = None) -> DataFram
                 F.expr(
                     f"hll_sketch_agg(CAST({q} AS STRING), {_HLL_LGK})"
                 ).alias("hll"),
+                (
+                    F.expr(f"kll_sketch_agg_double({v})")
+                    if is_num
+                    else F.expr("CAST(NULL AS BINARY)")
+                ).alias("kll"),
             ).alias(f"__p_{c}")
         )
     wide = df.agg(*aggs)
@@ -133,6 +141,7 @@ def merge_partials(*partials: DataFrame) -> DataFrame:
         F.min("min").alias("min"),
         F.max("max").alias("max"),
         F.expr("hll_union_agg(hll)").alias("hll"),
+        F.expr("kll_merge_agg_double(kll)").alias("kll"),
     )
     return merged
 
@@ -152,4 +161,18 @@ def finalize_profile(partial: DataFrame) -> DataFrame:
         "min",
         "max",
         F.expr("hll_sketch_estimate(hll)").alias("distinct_estimate"),
+        # guard on the sketch's item count, not NULLness: aggregating
+        # an all-NULL (e.g. non-numeric) column yields a non-NULL EMPTY
+        # sketch buffer, and get_quantile throws on it
+        *[
+            F.expr(
+                f"CASE WHEN kll IS NOT NULL "
+                f"AND kll_sketch_get_n_double(kll) > 0 THEN "
+                f"kll_sketch_get_quantile_double(kll, {p}) END"
+            ).alias(label)
+            for p, label in [
+                (0.05, "q05"), (0.25, "q25"), (0.5, "median"),
+                (0.75, "q75"), (0.95, "q95"),
+            ]
+        ],
     )

@@ -84,3 +84,26 @@ def test_all_null_and_single_row_chunks_merge_cleanly(spark):
     assert math.isclose(out["mean"], 7.0)
     assert math.isclose(out["variance"], 4.0)  # var_samp of {5,7,9}
     assert math.isclose(out["p_null"], 0.4)
+
+
+def test_kll_merged_quantiles_within_rank_error(spark, split_vs_whole):
+    """Merged KLL quantiles must sit within the sketch's rank error of
+    the EXACT quantiles (k=200 => ~1.65% rank error at 99% conf; assert
+    at a generous 3% rank band via exact percentiles at p±0.03)."""
+    got, _ = split_vs_whole
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    for c in ["l_quantity", "l_extendedprice"]:
+        for p, label in [(0.05, "q05"), (0.25, "q25"), (0.5, "median"),
+                         (0.75, "q75"), (0.95, "q95")]:
+            lo, hi = df.selectExpr(
+                f"percentile({c}, {max(p - 0.03, 0.0)}) AS lo",
+                f"percentile({c}, {min(p + 0.03, 1.0)}) AS hi",
+            ).collect()[0]
+            v = got[c][label]
+            assert v is not None and lo <= v <= hi, (c, label, v, lo, hi)
+
+
+def test_kll_absent_for_non_numeric(split_vs_whole):
+    got, _ = split_vs_whole
+    assert got["l_returnflag"]["median"] is None
+    assert got["l_quantity"]["median"] is not None
