@@ -107,3 +107,21 @@ def test_kll_absent_for_non_numeric(split_vs_whole):
     got, _ = split_vs_whole
     assert got["l_returnflag"]["median"] is None
     assert got["l_quantity"]["median"] is not None
+
+
+def test_theta_overlap_estimate_tracks_exact(spark):
+    """Theta-sketch overlap vs the exact distinct intersection on two
+    overlapping document-id sets."""
+    from petk_spark.operators.incremental import overlap_estimate
+
+    a = spark.range(0, 4000).select(F.col("id").alias("k"))
+    b = spark.range(3000, 9000).select(F.col("id").alias("k"))
+    row = overlap_estimate(a, b, "k").collect()[0]
+    assert abs(row["n_a"] - 4000) <= 0.03 * 4000
+    assert abs(row["n_b"] - 6000) <= 0.03 * 6000
+    assert abs(row["n_overlap"] - 1000) <= 0.08 * 1000 + 5
+
+    disjoint = overlap_estimate(
+        a, spark.range(50000, 51000).select(F.col("id").alias("k")), "k"
+    ).collect()[0]
+    assert disjoint["n_overlap"] <= 5
