@@ -66,6 +66,44 @@ def grouped_quantiles(
     return df.groupBy(*group_cols).agg(*aggs)
 
 
+def grouped_quantiles_approx(
+    df: DataFrame,
+    group_cols: str | list[str],
+    value_col: str,
+    probs: tuple = (0.05, 0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """KLL-sketch per-group quantiles — the UNBOUNDED-group scale path.
+
+    ``grouped_quantiles`` (exact) buffers each group's values on one
+    reducer — correct and intended for bounded categorical groups, a
+    hazard when a single group can hold billions of rows. This variant
+    aggregates a Datasketches KLL sketch per group instead
+    (``kll_sketch_agg_double``: mergeable, map-side combined, fixed
+    ~O(k·log n) memory per group regardless of group size; default
+    k=200 ⇒ ~1.65% rank error at 99% confidence) and reads the same
+    probabilities off each group's sketch. Same output schema as the
+    exact operator, so callers can switch on group-size expectations.
+
+    The all-NULL-group guard matches incremental.finalize_profile: an
+    empty sketch is a non-NULL buffer on which get_quantile throws, so
+    quantiles gate on the sketch's item count."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    g = df.groupBy(*group_cols).agg(
+        F.expr(
+            f"kll_sketch_agg_double(CAST(`{value_col}` AS DOUBLE))"
+        ).alias("__kll")
+    )
+    qs = [
+        F.expr(
+            f"CASE WHEN kll_sketch_get_n_double(__kll) > 0 THEN "
+            f"kll_sketch_get_quantile_double(__kll, {p}) END"
+        ).alias(f"q{str(p).replace('0.', '').ljust(2, '0')}")
+        for p in probs
+    ]
+    return g.select(*group_cols, *qs)
+
+
 def windowed_profile(
     df: DataFrame,
     ts_col: str,

@@ -125,3 +125,44 @@ def test_theta_overlap_estimate_tracks_exact(spark):
         a, spark.range(50000, 51000).select(F.col("id").alias("k")), "k"
     ).collect()[0]
     assert disjoint["n_overlap"] <= 5
+
+
+def test_grouped_quantiles_approx_within_rank_error(spark):
+    """KLL per-group quantiles track the exact per-group percentiles
+    within the sketch's rank band (3% of the group's value range by
+    rank, probed via exact percentiles at p±0.03)."""
+    from petk_spark.operators.grouped import (
+        grouped_quantiles,
+        grouped_quantiles_approx,
+    )
+
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    approx = {
+        r["l_returnflag"]: r.asDict()
+        for r in grouped_quantiles_approx(df, "l_returnflag", "l_extendedprice").collect()
+    }
+    for flag in approx:
+        for p, label in [(0.05, "q05"), (0.25, "q25"), (0.5, "q50"),
+                         (0.75, "q75"), (0.95, "q95")]:
+            lo, hi = df.where(F.col("l_returnflag") == flag).selectExpr(
+                f"percentile(l_extendedprice, {max(p - 0.03, 0.0)}) AS lo",
+                f"percentile(l_extendedprice, {min(p + 0.03, 1.0)}) AS hi",
+            ).collect()[0]
+            v = approx[flag][label]
+            assert v is not None and lo <= v <= hi, (flag, label, v, lo, hi)
+
+    # schema parity with the exact operator
+    exact_cols = grouped_quantiles(df, "l_returnflag", "l_extendedprice").columns
+    approx_cols = grouped_quantiles_approx(df, "l_returnflag", "l_extendedprice").columns
+    assert exact_cols == approx_cols
+
+
+def test_grouped_quantiles_approx_all_null_group(spark):
+    from petk_spark.operators.grouped import grouped_quantiles_approx
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", None)], "g string, x double"
+    )
+    rows = {r["g"]: r.asDict() for r in grouped_quantiles_approx(df, "g", "x").collect()}
+    assert rows["b"]["q50"] is None
+    assert rows["a"]["q50"] is not None
