@@ -74,6 +74,10 @@ def connected_components(
     if algorithm == "star":
         return _star_components(nodes, edges, id_col, src_col, dst_col,
                                 max_iterations)
+    if algorithm != "label":
+        raise ValueError(
+            f"unknown algorithm {algorithm!r}: expected 'label' or 'star'"
+        )
     labels = nodes.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(id_col).cast("long").alias("lbl"),

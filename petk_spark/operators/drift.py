@@ -73,6 +73,43 @@ def completeness_over_time(
     )
 
 
+def psi_grid(df: DataFrame, column: str) -> DataFrame:
+    """1-row (lo, hi) bin grid from the baseline snapshot — the shared
+    grid contract of batch ``psi_drift`` and ``streaming_psi``."""
+    v = f"CAST(`{column}` AS DOUBLE)"
+    return df.agg(F.expr(f"min({v}) AS lo"), F.expr(f"max({v}) AS hi"))
+
+
+def psi_bin_rows(
+    df: DataFrame,
+    column: str,
+    grid: DataFrame,
+    n_bins: int,
+    keep: tuple = (),
+) -> DataFrame:
+    """Row-level ``(keep..., bin)`` frame over the broadcast grid — the
+    ONE binning convention both the batch and streaming PSI use (a
+    divergence here silently breaks their documented parity).
+
+    NULL/NaN are filtered BEFORE the clamp: Spark's ``greatest()``
+    SKIPS null arguments (unlike a null-propagating engine), so
+    ``greatest(NULL, 0)`` is 0 and an unfiltered NULL value would
+    silently land in bin 0, inflating the denominator. (Caught by the
+    perturbed-orders fixture: one NULL price shifted every p_a/p_b by
+    1/n.)"""
+    v = f"CAST(`{column}` AS DOUBLE)"
+    return (
+        df.where(f"{v} IS NOT NULL AND NOT isnan({v})")
+        .crossJoin(F.broadcast(grid))
+        .selectExpr(
+            *keep,
+            f"least(greatest(CAST(floor(({v} - lo) / "
+            f"(CASE WHEN hi > lo THEN (hi - lo) / {n_bins} ELSE 1.0 END)"
+            f") AS INT), 0), {n_bins - 1}) AS bin",
+        )
+    )
+
+
 def psi_drift(
     df_a: DataFrame,
     df_b: DataFrame,
@@ -93,28 +130,12 @@ def psi_drift(
     stats), then one ``floor((x−lo)/w)``-keyed count per side: two
     scans, one tiny shuffle each (≤ n_bins groups), broadcast join of
     two ≤ n_bins-row frames. No windows, no Python."""
-    v = f"CAST(`{column}` AS DOUBLE)"
-    grid = df_a.agg(
-        F.expr(f"min({v}) AS lo"), F.expr(f"max({v}) AS hi")
-    )
+    grid = psi_grid(df_a, column)
 
     def binned(df: DataFrame, side: str) -> DataFrame:
-        # NULL must be filtered BEFORE the clamp: Spark's greatest()
-        # SKIPS null arguments (unlike a null-propagating engine), so
-        # greatest(NULL, 0) is 0 and an unfiltered NULL value would
-        # silently land in bin 0, inflating the denominator. (Caught by
-        # the perturbed-orders fixture: one NULL price shifted every
-        # p_a/p_b by 1/n.)
-        b = (
-            df.where(f"{v} IS NOT NULL AND NOT isnan({v})")
-            .crossJoin(F.broadcast(grid))
-            .selectExpr(
-                f"least(greatest(CAST(floor(({v} - lo) / "
-                f"(CASE WHEN hi > lo THEN (hi - lo) / {n_bins} ELSE 1.0 END)"
-                f") AS INT), 0), {n_bins - 1}) AS bin"
-            )
+        return psi_bin_rows(df, column, grid, n_bins).groupBy("bin").agg(
+            F.count(F.lit(1)).alias(f"n_{side}")
         )
-        return b.groupBy("bin").agg(F.count(F.lit(1)).alias(f"n_{side}"))
 
     a, b = binned(df_a, "a"), binned(df_b, "b")
     bins = df_a.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))

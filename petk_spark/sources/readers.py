@@ -101,7 +101,6 @@ def read_text(
     spark: SparkSession,
     path: str,
     whole_file: bool = False,
-    id_from_file: bool = True,
 ) -> DataFrame:
     """Raw-text corpus ingest for the documents pipeline.
 
@@ -112,11 +111,13 @@ def read_text(
     an executor's row budget, and files are the parallelism unit — the
     documented trade.
 
-    Output: (doc_id, text[, source_file]). ``doc_id`` is a
-    deterministic 63-bit id derived from (source file, line offset) via
-    xxhash64 when ``id_from_file`` — stable across re-runs and
-    partitioning, unlike ``monotonically_increasing_id`` whose values
-    encode the partition layout."""
+    Output: (doc_id, text, source_file). ``doc_id`` is a deterministic
+    63-bit xxhash64 of (source file, CONTENT) — stable across re-runs
+    and partitioning, unlike ``monotonically_increasing_id`` whose
+    values encode the partition layout. Identical lines within one file
+    therefore share an id (they are the same document to the dedup
+    semantics downstream) while remaining separate rows; use
+    ``whole_file=True`` when byte-offset identity matters."""
     from pyspark.sql import functions as F
 
     df = spark.read.text(path, wholetext=whole_file).select(

@@ -89,13 +89,20 @@ def streaming_dedup_exact(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Exact streaming dedup on a key subset. With a ts_col, state is
-    bounded by the watermark horizon (duplicates arriving later than
-    the watermark are NOT caught — the documented at-scale contract);
-    without one, state grows with distinct keys (only for bounded key
+    bounded by the watermark horizon via
+    ``dropDuplicatesWithinWatermark`` — a duplicate KEY arriving within
+    the watermark is dropped regardless of its event time, and the
+    key's state is evicted once the watermark passes (duplicates
+    arriving later than that are NOT caught — the documented at-scale
+    contract). Plain ``dropDuplicates`` with a watermark would only
+    evict state if the event-time column were part of the dedup keys,
+    which changes the semantics to (key, ts) equality AND — without it
+    — grows state with every distinct key ever seen. Without a ts_col,
+    state does grow with distinct keys (only for bounded key
     domains)."""
     if ts_col is not None and sdf.isStreaming:
-        return sdf.withWatermark(ts_col, watermark).dropDuplicates(
-            subset + [ts_col]
+        return sdf.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            subset
         )
     return sdf.dropDuplicates(subset)
 
@@ -298,19 +305,14 @@ def streaming_psi(
     before binning exactly as in the batch twin (Spark's ``greatest``
     skips NULLs — see drift.psi_drift).
     """
-    v = f"CAST(`{value_col}` AS DOUBLE)"
-    grid = baseline.agg(
-        F.expr(f"min({v}) AS lo"), F.expr(f"max({v}) AS hi")
-    )
-    bin_expr = (
-        f"least(greatest(CAST(floor(({v} - lo) / "
-        f"(CASE WHEN hi > lo THEN (hi - lo) / {n_bins} ELSE 1.0 END)"
-        f") AS INT), 0), {n_bins - 1}) AS bin"
-    )
+    # binning convention (grid, clamp, NULL/NaN pre-filter) is SHARED
+    # with batch psi_drift via drift.psi_grid/psi_bin_rows — one place
+    # to change, or the documented batch/stream parity silently breaks
+    from petk_spark.operators.drift import psi_bin_rows, psi_grid
+
+    grid = psi_grid(baseline, value_col)
     base_binned = (
-        baseline.where(f"{v} IS NOT NULL AND NOT isnan({v})")
-        .crossJoin(F.broadcast(grid))
-        .selectExpr(bin_expr)
+        psi_bin_rows(baseline, value_col, grid, n_bins)
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n_a"))
     )
@@ -326,11 +328,9 @@ def streaming_psi(
     )
 
     t = F.col(ts_col).cast("timestamp")
-    stream_binned = (
-        sdf.where(f"{v} IS NOT NULL AND NOT isnan({v})")
-        .select(t.alias("__ts"), F.col(value_col))
-        .crossJoin(F.broadcast(grid))
-        .selectExpr("__ts", bin_expr)
+    stream_binned = psi_bin_rows(
+        sdf.select(t.alias("__ts"), F.col(value_col)),
+        value_col, grid, n_bins, keep=("__ts",),
     )
     wm = (
         stream_binned.withWatermark("__ts", watermark)
@@ -354,22 +354,32 @@ def streaming_psi(
         )
     )
     nb = "array(" + ", ".join(f"`n_{i}`" for i in range(n_bins)) + ")"
-    psi = per_win.crossJoin(grid_arr).selectExpr(
-        "win",
-        f"""
-        aggregate(
-          sequence(0, {n_bins - 1}),
-          CAST(0.0 AS DOUBLE),
-          (acc, i) -> acc + (
-            (element_at(ga, i + 1).p_a
-             - greatest(CAST(element_at({nb}, i + 1) AS DOUBLE)
-                        / aggregate({nb}, 0L, (a, x) -> a + x), {eps!r}))
-            * ln(element_at(ga, i + 1).p_a
-                 / greatest(CAST(element_at({nb}, i + 1) AS DOUBLE)
-                            / aggregate({nb}, 0L, (a, x) -> a + x), {eps!r}))
-          )
-        ) AS psi
-        """,
+    # hoist the window total and per-bin p_b ONCE — inlining the
+    # aggregate() fold inside the psi fold would re-evaluate the
+    # O(n_bins) sum for every bin term
+    psi = (
+        per_win.crossJoin(grid_arr)
+        .selectExpr(
+            "win", "ga", f"{nb} AS nb",
+            f"CAST(aggregate({nb}, 0L, (a, x) -> a + x) AS DOUBLE) AS tot_b",
+        )
+        .selectExpr(
+            "win",
+            f"""
+            aggregate(
+              sequence(0, {n_bins - 1}),
+              CAST(0.0 AS DOUBLE),
+              (acc, i) -> acc + (
+                (element_at(ga, i + 1).p_a
+                 - greatest(CAST(element_at(nb, i + 1) AS DOUBLE)
+                            / tot_b, {eps!r}))
+                * ln(element_at(ga, i + 1).p_a
+                     / greatest(CAST(element_at(nb, i + 1) AS DOUBLE)
+                                / tot_b, {eps!r}))
+              )
+            ) AS psi
+            """,
+        )
     )
     return psi.select(
         F.col("win.start").alias("window_start"),
@@ -418,9 +428,15 @@ def streaming_dedup_normalized(
     ).otherwise(F.concat(F.lit("__short__"), F.col(id_col).cast("string")))
     keyed = sdf.withColumn("__nkey", key)
     if ts_col is not None and sdf.isStreaming:
-        out = keyed.withWatermark(ts_col, watermark).dropDuplicates(
-            ["__nkey"]
-        )
+        # dropDuplicatesWithinWatermark, NOT dropDuplicates: with plain
+        # dropDuplicates the watermark only evicts state when the
+        # event-time column is among the dedup keys — keyed on __nkey
+        # alone it would accumulate one state entry per distinct
+        # normalized doc EVER seen (unbounded), not per doc in the
+        # horizon.
+        out = keyed.withWatermark(
+            ts_col, watermark
+        ).dropDuplicatesWithinWatermark(["__nkey"])
     else:
         out = keyed.dropDuplicates(["__nkey"])
     return out.drop("__nkey")

@@ -102,7 +102,14 @@ def main(argv):
     import __spark_entry__ as entry
     from pyspark.sql import SparkSession
 
-    sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
+    positional = [a for a in argv[1:] if not a.startswith("--")]
+    # first positional is the sf_dir only if it actually is a
+    # directory; otherwise it's a query name and the default dir holds
+    if positional and os.path.isdir(positional[0]):
+        sf_dir = positional[0]
+        positional = positional[1:]
+    else:
+        sf_dir = "/root/testdata/sf0.01"
     builder = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
@@ -122,7 +129,7 @@ def main(argv):
     spark = builder.getOrCreate()
     con = duck_connection(sf_dir)
     queries, oracles = entry.queries(), entry.oracle_sql()
-    args = [a for a in argv[2:] if not a.startswith("--")]
+    args = positional
     models = (
         ["pandas", "python"] if "--both" in argv
         else ["python"] if "--python-model" in argv

@@ -39,23 +39,20 @@ def audit(df, execute: bool = False) -> dict:
         # reflects the FINAL adaptive plan, not the initial one.
         df.collect()
     plan = executed_plan(df)
-    nodes = dict(
-        re.findall(r"\((\d+)\) ([A-Za-z][A-Za-z0-9_]*)", plan)
-    )  # id -> node name (last occurrence wins; ids are stable)
-    names = list(nodes.values())
-    n_scan = sum(1 for n in names if n == "Scan")
-    # re-count scans precisely (Scan parquet renders as 'Scan parquet  ')
     n_scan = len(set(re.findall(r"\((\d+)\) Scan (?:parquet|csv|json|text)", plan)))
     exch_ids = set(re.findall(r"\((\d+)\) Exchange\b", plan))
-    rr = len(
-        set(
-            re.findall(
-                r"\((\d+)\) Exchange\b(?:[^\n]*\n)+?[^\n]*RoundRobinPartitioning",
-                plan,
-            )
-        )
-        & exch_ids
-    )
+    # Per-node detail blocks: formatted explain prints each node as
+    # "(id) Name" followed by its own detail lines until the next
+    # "(id) " header. Attribute RoundRobinPartitioning to the exchange
+    # whose OWN block mentions it — a lazy cross-block regex would
+    # capture the id of an unrelated earlier exchange.
+    rr_ids = set()
+    for m in re.finditer(r"\((\d+)\) Exchange\b", plan):
+        block_end = re.search(r"\n\(\d+\) ", plan[m.end():])
+        block = plan[m.end(): m.end() + block_end.start()] if block_end else plan[m.end():]
+        if "RoundRobinPartitioning" in block:
+            rr_ids.add(m.group(1))
+    rr = len(rr_ids & exch_ids)
     return {
         "scans": n_scan,
         "exch": len(exch_ids),
