@@ -445,3 +445,69 @@ def test_streaming_dedup_normalized(spark, tmp_path):
     # batch dropDuplicates keeps an arbitrary member per key; the KEY
     # SETS must match even if the kept representative differs
     assert len(bids) == 5 and {2, 3, 5, 6}.issubset(set(bids))
+
+
+@pytest.mark.slow
+def test_dedup_normalized_soak_state_evicted(spark):
+    """Soak evidence for the round-4 code-review fix: the normalized
+    dedup's dropDuplicatesWithinWatermark state must be EVICTED as the
+    watermark advances (plain dropDuplicates keyed on the content key
+    alone would grow state with every distinct doc ever seen). Rate
+    source synthesizes mostly-unique docs (so distinct keys keep
+    arriving) with periodic clones; asserts from progress metrics that
+    eviction fires and state stays near the horizon population, far
+    below total distinct keys ingested."""
+    import time
+    import uuid
+
+    from petk_spark.streaming.profile import streaming_dedup_normalized
+
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 200)
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            F.col("value").alias("doc_id"),
+            # unique body per value, with every 10th a clone of value-1
+            F.when(
+                F.col("value") % 10 == 0,
+                F.concat(F.lit("doc body shared tokens number "),
+                         ((F.col("value") - 1)).cast("string")),
+            ).otherwise(
+                F.concat(F.lit("doc body shared tokens number "),
+                         F.col("value").cast("string"))
+            ).alias("text"),
+        )
+    )
+    out = streaming_dedup_normalized(
+        src, "doc_id", "text", ts_col="ts", n=3, watermark="2 seconds"
+    )
+    name = "dsoak" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 14
+        removed_total, state_rows_series = 0, []
+        while time.time() < deadline:
+            time.sleep(1.0)
+            p = q.lastProgress
+            if p and p.get("stateOperators"):
+                op = p["stateOperators"][0]
+                removed_total += op.get("numRowsRemoved", 0)
+                state_rows_series.append(op.get("numRowsTotal", 0))
+    finally:
+        q.stop()
+
+    assert state_rows_series, "no progress with state metrics observed"
+    assert removed_total > 0, "watermark never evicted dedup state"
+    # ~200 keys/s with a 2 s watermark + trigger slack: allow a 10 s
+    # horizon population; unbounded growth would approach the ~2800
+    # distinct keys ingested by the soak's end
+    assert max(state_rows_series[3:]) <= 200 * 10, (
+        f"dedup state grew past horizon bound: {state_rows_series}"
+    )
