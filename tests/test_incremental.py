@@ -166,3 +166,31 @@ def test_grouped_quantiles_approx_all_null_group(spark):
     rows = {r["g"]: r.asDict() for r in grouped_quantiles_approx(df, "g", "x").collect()}
     assert rows["b"]["q50"] is None
     assert rows["a"]["q50"] is not None
+
+
+def test_partial_profile_parquet_round_trip_then_merge(spark, tmp_path):
+    """The documented storage workflow: write yesterday's partial to
+    parquet, read it back, merge with today's — the binary HLL/KLL
+    sketch columns must survive the round-trip bit-exactly."""
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    yesterday = df.where(F.col("l_orderkey") % 2 == 0)
+    today = df.where(F.col("l_orderkey") % 2 == 1)
+
+    p = str(tmp_path / "partial_y")
+    partial_profile(yesterday, COLS).write.parquet(p)
+    stored = spark.read.parquet(p)
+
+    merged = finalize_profile(
+        merge_partials(stored, partial_profile(today, COLS))
+    )
+    direct = finalize_profile(partial_profile(df, COLS))
+    got, want = _rows(merged), _rows(direct)
+    for c in COLS:
+        for k in ("n", "n_null", "min", "max"):
+            assert got[c][k] == want[c][k], (c, k)
+        assert abs(got[c]["distinct_estimate"] - want[c]["distinct_estimate"]) \
+            <= max(0.025 * want[c]["distinct_estimate"], 2.0), c
+    for k in ("mean", "std"):
+        assert math.isclose(got["l_quantity"][k], want["l_quantity"][k],
+                            rel_tol=1e-9), k
+    assert got["l_quantity"]["median"] is not None
