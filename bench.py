@@ -51,13 +51,16 @@ def build_spark(cpus: str) -> SparkSession:
         # run — accumulated blocks inflated late queries ~2x in the r3
         # record (validate family; adjudicated round 4).
         .config("spark.cleaner.periodicGC.interval", "45s")
-        # The fused describe bundle exceeds the default
-        # codegen.maxFields=100 and fell back to interpreted eval.
-        # Raising the cap compiles it: round-4 interleaved A/B at sf0.1
-        # (n=4, both arm orders) — describe_lineitem median 8.8→6.3 s,
-        # describe_events 4.9→3.4 s; first-sample (cold) cost carries
-        # the extra Janino compile and stays visible in raw samples.
-        .config("spark.sql.codegen.maxFields", "300")
+        # codegen.maxFields stays at the DEFAULT (100): raising it to
+        # 300 compiles the wide describe bundles and wins ~30% on
+        # describe_lineitem/events in an ISOLATED interleaved A/B
+        # (8.8→6.3 s / 4.9→3.4 s), but in the full 54-query bench the
+        # total went 117→121/127 s across two runs — the array-heavy
+        # docs+embeddings bundle's large generated class churns the
+        # codegen cache and re-pays multi-second Janino compiles, and
+        # its compiled form is also ~15% slower warm than interpreted.
+        # Measured, reverted; a deployment profiling ONE narrow table
+        # repeatedly can still set it per-session.
         .getOrCreate()
     )
 

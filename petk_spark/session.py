@@ -44,9 +44,9 @@ def recommended_builder(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # compile the >100-field fused describe bundle instead of
-        # interpreting it (measured ~30% on the describe family at
-        # sf0.1; the one-off Janino compile cost shows on the first run
-        # of each distinct plan — see bench.py)
-        .config("spark.sql.codegen.maxFields", "300")
+        # NOTE on spark.sql.codegen.maxFields: raising it past the
+        # >100-field fused describe bundle wins ~30% on narrow-table
+        # profiles in isolation but regressed the full mixed workload
+        # (codegen-cache churn + slower compiled form for array-heavy
+        # bundles) — measured and reverted round 4; see bench.py.
     )
