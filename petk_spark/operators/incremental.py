@@ -58,19 +58,34 @@ from pyspark.sql import functions as F
 _HLL_LGK = 14
 
 
-def partial_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
-    """One row per column: (column, n, n_null, sum, mean, m2, min, max,
-    hll) — the mergeable sufficient statistics, from ONE scan.
+#: stat fields of a partial row — everything else is a grouping column.
+_STAT_FIELDS = ("column", "n", "n_null", "sum", "mean", "m2",
+                "min", "max", "hll", "kll")
+
+
+def partial_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """One row per (group…,) column: (group…, column, n, n_null, sum,
+    mean, m2, min, max, hll, kll) — the mergeable sufficient
+    statistics, from ONE scan.
 
     Numeric columns get the full moment block; every column gets
     counts and the HLL distinct sketch (over the string rendering, so
     mixed-type evolution can't split a value's identity across
-    partials)."""
+    partials). ``group_cols`` adds per-group partials (e.g. per
+    ``source``) — merge/finalize handle them transparently (any
+    non-stat column is part of the merge key)."""
     from petk_spark import constants
     from petk_spark.logical_types import static_logical_type
     from petk_spark.operators.describe import find_columns
 
-    cols = find_columns(df, columns)
+    group_cols = list(group_cols or [])
+    cols = [
+        c for c in find_columns(df, columns) if c not in group_cols
+    ]
     fields = {f.name: f for f in df.schema.fields}
     ltypes = {c: static_logical_type(fields[c]) for c in cols}
 
@@ -105,10 +120,11 @@ def partial_profile(df: DataFrame, columns: list[str] | None = None) -> DataFram
                 ).alias("kll"),
             ).alias(f"__p_{c}")
         )
-    wide = df.agg(*aggs)
+    wide = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
     return wide.select(
-        F.explode(F.array(*[F.col(f"__p_{c}") for c in cols])).alias("p")
-    ).select("p.*")
+        *group_cols,
+        F.explode(F.array(*[F.col(f"__p_{c}") for c in cols])).alias("p"),
+    ).select(*group_cols, "p.*")
 
 
 def merge_partials(*partials: DataFrame) -> DataFrame:
@@ -123,7 +139,12 @@ def merge_partials(*partials: DataFrame) -> DataFrame:
     allp = partials[0]
     for p in partials[1:]:
         allp = allp.unionByName(p)
-    merged = allp.groupBy("column").agg(
+    # any non-stat column (e.g. the group_cols of a grouped partial)
+    # is part of the merge key
+    keys = ["column"] + [
+        c for c in allp.columns if c not in _STAT_FIELDS
+    ]
+    merged = allp.groupBy(*keys).agg(
         F.sum("n").alias("n"),
         F.sum("n_null").alias("n_null"),
         F.sum("sum").alias("sum"),
@@ -149,7 +170,9 @@ def merge_partials(*partials: DataFrame) -> DataFrame:
 def finalize_profile(partial: DataFrame) -> DataFrame:
     """Describe-compatible statistics from a (merged) partial: adds
     std (ddof=1), variance, p_null and the HLL distinct estimate."""
+    extra = [c for c in partial.columns if c not in _STAT_FIELDS]
     return partial.select(
+        *extra,
         "column",
         "n",
         "n_null",

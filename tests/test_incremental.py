@@ -194,3 +194,27 @@ def test_partial_profile_parquet_round_trip_then_merge(spark, tmp_path):
         assert math.isclose(got["l_quantity"][k], want["l_quantity"][k],
                             rel_tol=1e-9), k
     assert got["l_quantity"]["median"] is not None
+
+
+def test_grouped_partials_merge_per_group(spark):
+    """Per-group partials (group_cols) merge on (group, column) and
+    finalize carries the group columns through."""
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    a = df.where(F.col("doc_id") % 2 == 0)
+    b = df.where(F.col("doc_id") % 2 == 1)
+    merged = finalize_profile(
+        merge_partials(
+            partial_profile(a, ["n_chars"], group_cols=["source"]),
+            partial_profile(b, ["n_chars"], group_cols=["source"]),
+        )
+    )
+    direct = finalize_profile(
+        partial_profile(df, ["n_chars"], group_cols=["source"])
+    )
+    got = {(r["source"], r["column"]): r.asDict() for r in merged.collect()}
+    want = {(r["source"], r["column"]): r.asDict() for r in direct.collect()}
+    assert set(got) == set(want) and len(got) >= 2
+    for k in got:
+        for stat in ("n", "n_null", "min", "max"):
+            assert got[k][stat] == want[k][stat], (k, stat)
+        assert math.isclose(got[k]["mean"], want[k]["mean"], rel_tol=1e-9), k
