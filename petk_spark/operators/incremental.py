@@ -83,6 +83,17 @@ def partial_profile(
     from petk_spark.operators.describe import find_columns
 
     group_cols = list(group_cols or [])
+    # merge_partials classifies partial columns BY NAME against
+    # _STAT_FIELDS — a group column named 'n'/'mean'/'column'/… would be
+    # silently aggregated as a statistic instead of joining the merge
+    # key, corrupting every downstream merge. Fail fast here instead.
+    clash = sorted(set(group_cols) & set(_STAT_FIELDS))
+    if clash:
+        raise ValueError(
+            f"group_cols {clash} collide with partial-profile stat field "
+            f"names {_STAT_FIELDS}; rename the grouping column(s) "
+            f"(e.g. df.withColumnRenamed) before profiling"
+        )
     cols = [
         c for c in find_columns(df, columns) if c not in group_cols
     ]
@@ -176,7 +187,10 @@ def finalize_profile(partial: DataFrame) -> DataFrame:
         "column",
         "n",
         "n_null",
-        F.expr("n_null / CAST(n + n_null AS DOUBLE)").alias("p_null"),
+        # try_divide: an all-empty partial (n = n_null = 0) finalizes
+        # to NULL, not 0/0 = NaN — same convention as
+        # streaming_completeness
+        F.expr("try_divide(n_null, CAST(n + n_null AS DOUBLE))").alias("p_null"),
         "sum",
         "mean",
         F.expr("CASE WHEN n > 1 THEN m2 / (n - 1) END").alias("variance"),

@@ -126,8 +126,12 @@ def read_text(
         F.input_file_name().alias("__f"),
     )
     if whole_file:
+        # (path, content) hash — the same content-identity contract as
+        # the per-line branch: re-ingesting a file whose bytes changed
+        # yields a NEW doc_id, so downstream dedup/fingerprints can't
+        # silently alias two different documents to one id
         keyed = df.select(
-            F.abs(F.xxhash64(F.col("__f"))).alias("doc_id"),
+            F.abs(F.xxhash64(F.col("__f"), F.col("text"))).alias("doc_id"),
             "text", "source_file",
         )
     else:
