@@ -223,7 +223,7 @@ UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM a
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS THE DRIVER CONTRACT: the driver hash-checks the first 50
     # entries of this merged dict (9 core + 41 extension twins = 50;
-    # the 3 declared no-oracle stubs sit last).
+    # the 2 declared no-oracle stubs sit last).
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "describe_lineitem": _describe_query("lineitem"),
         "describe_events": _describe_query("events"),

@@ -229,12 +229,16 @@ def near_dup_clusters(
     id_col: str,
     src_col: str = "id_a",
     dst_col: str = "id_b",
+    algorithm: str = "label",
 ) -> DataFrame:
     """(id, cluster_id) over ALL rows of ``df`` given a near-dup pair
     list from any of the pair operators; rows in no pair cluster to
-    themselves."""
+    themselves. ``algorithm`` forwards to :func:`connected_components`
+    ("label" O(diameter) / "star" O(log n))."""
     nodes = df.select(F.col(id_col).alias("id")).distinct()
-    return connected_components(nodes, pairs, "id", src_col, dst_col)
+    return connected_components(
+        nodes, pairs, "id", src_col, dst_col, algorithm=algorithm
+    )
 
 
 def dedup_near_keep_first(

@@ -36,12 +36,11 @@ TABLES = [
 QUERIES = [
     "fingerprint_documents",
     "token_histogram",
-    "chunk_documents",
+    "chunk_pack_sequences",
     "corpus_clean",
     "media_metadata",
     "quality_weighted_sample",
     "near_dup_jaccard",
-    "pack_sequences",
 ]
 
 EXTRA_DOCS = [
@@ -339,7 +338,7 @@ ORDERS_QUERIES = [
     "psi_drift",                 # o_totalprice binning w/ NULL + extremes
     "profile_drift",             # snapshot stat pairs
     "validate_unique",           # o_custkey dup flagging w/ planted dups
-    "dedup_first_by",            # keep-first under duplicate keys
+    "dedup_exact_report",        # keep-first under duplicate keys (F1+F11 spine)
     "geo_validate_rules",        # geometry synthesized from o_orderkey
 ]
 
