@@ -28,13 +28,11 @@ min/max and sum, within the sketch's own relative error for the HLL
 estimate (Datasketches' union internally promotes HLL_4→HLL_8, so the
 unioned estimate is equivalent-quality but not bit-identical to a
 single-shot sketch; lgK=14 ⇒ ~0.8% RSE), and
-to float round-off for mean/M2 (the grouped merge uses the
-König-Huygens form ``M2 = Σm2_i + Σn_i·mean_i² − n·mean²``, exact in
-real arithmetic; document the caveat that a mean ≫ spread column loses
-relative precision in M2 — the same trade ``describe``'s shifted
-moments engineer around with anchors, acceptable here because partials
-are per-partition where the anchor-free form stays well-conditioned
-for typical data, and a caller can pre-center a pathological column).
+to float round-off for mean/M2 (the grouped merge uses the CENTERED
+Chan form ``M2 = Σm2_i + Σn_i·(mean_i − mean)²`` with the merged mean
+computed first — well-conditioned even for mean ≫ spread columns,
+where the one-pass König-Huygens form would cancel catastrophically;
+stability over a 30-partial fold is property-tested).
 
 Quantiles ARE covered incrementally — via Datasketches KLL
 (``kll_sketch_agg_double`` / ``kll_merge_agg_double``, Spark ≥4.0):
@@ -142,10 +140,19 @@ def merge_partials(*partials: DataFrame) -> DataFrame:
     """Merge partial-profile frames into one — a pure aggregation over
     the concatenated partial rows; the source data is never touched.
 
-    mean/M2 combine via the grouped König-Huygens identity (exact in
-    real arithmetic for any number of partials); HLL sketches union
-    register-wise (same error bound as a single-shot sketch; not
-    bit-identical — see module docstring)."""
+    mean/M2 combine via the CENTERED Chan identity
+    ``M2 = Σm2_i + Σ n_i·(mean_i − mean)²`` computed in two stages:
+    the merged mean first, then the between-chunk term against it.
+    The uncentered König-Huygens form (``Σn·mean² − n·mean²``) is
+    algebraically identical but cancels catastrophically when
+    mean ≫ spread — at mean ~1e9 with unit spread it loses ~all
+    significant digits of M2 over a 30-partial fold, where the
+    centered form stays exact to round-off (pinned by the 30-day
+    lifecycle property test). The second pass is a self-join of the
+    PARTIALS frame (rows = chunks × columns — compact by
+    construction), so the extra stage costs nothing at any corpus
+    size. HLL sketches union register-wise (same error bound as a
+    single-shot sketch; not bit-identical — see module docstring)."""
     assert partials, "need at least one partial frame"
     allp = partials[0]
     for p in partials[1:]:
@@ -155,7 +162,7 @@ def merge_partials(*partials: DataFrame) -> DataFrame:
     keys = ["column"] + [
         c for c in allp.columns if c not in _STAT_FIELDS
     ]
-    merged = allp.groupBy(*keys).agg(
+    base = allp.groupBy(*keys).agg(
         F.sum("n").alias("n"),
         F.sum("n_null").alias("n_null"),
         F.sum("sum").alias("sum"),
@@ -163,17 +170,27 @@ def merge_partials(*partials: DataFrame) -> DataFrame:
             "CASE WHEN sum(CASE WHEN mean IS NOT NULL THEN n END) > 0 THEN "
             "sum(n * mean) / sum(CASE WHEN mean IS NOT NULL THEN n END) END"
         ).alias("mean"),
-        # Σm2_i + Σ n_i·mean_i² − n·mean²  (parallel-axis / Chan merge)
-        F.expr(
-            "CASE WHEN sum(CASE WHEN m2 IS NOT NULL THEN n END) > 0 THEN "
-            "sum(m2) + sum(n * mean * mean) "
-            "- (sum(n * mean) * sum(n * mean))"
-            "  / sum(CASE WHEN mean IS NOT NULL THEN n END) END"
-        ).alias("m2"),
         F.min("min").alias("min"),
         F.max("max").alias("max"),
         F.expr("hll_union_agg(hll)").alias("hll"),
         F.expr("kll_merge_agg_double(kll)").alias("kll"),
+    )
+    centered = (
+        allp.select(*keys, "n", "mean", "m2")
+        .join(
+            base.select(*keys, F.col("mean").alias("__gmean")), keys
+        )
+        .groupBy(*keys)
+        .agg(
+            F.expr(
+                "CASE WHEN sum(CASE WHEN m2 IS NOT NULL THEN n END) > 0 THEN "
+                "sum(m2 + n * (mean - __gmean) * (mean - __gmean)) END"
+            ).alias("m2")
+        )
+    )
+    merged = base.join(centered, keys).select(
+        *keys, "n", "n_null", "sum", "mean", "m2",
+        "min", "max", "hll", "kll",
     )
     return merged
 
