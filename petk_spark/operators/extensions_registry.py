@@ -565,7 +565,7 @@ def _q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("OUT_OF_BAND "), fmt_sci(F.col("qv"))))
     )
     band = (
-        a_long.join(ranks, ["event_type", "label"], "left")
+        a_long.join(F.broadcast(ranks), ["event_type", "label"], "left")
         .select("event_type", "label", verdict.alias("verdict"))
         .groupBy("event_type")
         .agg(*[
@@ -2395,13 +2395,16 @@ def _q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = (
         exact.select("query_id", "neighbor_id")
-        .join(ivf.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .join(
+            F.broadcast(ivf.select("query_id", "neighbor_id")),
+            ["query_id", "neighbor_id"],
+        )
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     per_q = (
         qs.select(F.col("vec_id").alias("query_id"))
-        .join(hits, "query_id", "left")
+        .join(F.broadcast(hits), "query_id", "left")
         .select(
             F.col("query_id").cast("string").alias("query_id"),
             F.when(F.coalesce(F.col("n_hits"), F.lit(0)) >= 1, F.lit("ok"))
@@ -2416,7 +2419,7 @@ def _q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     overall = (
         qs.select(F.col("vec_id").alias("query_id"))
-        .join(hits, "query_id", "left")
+        .join(F.broadcast(hits), "query_id", "left")
         .agg(
             (F.sum(F.coalesce(F.col("n_hits"), F.lit(0)))
              / (F.count(F.lit(1)) * 10.0)).alias("recall")
