@@ -784,7 +784,12 @@ def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from petk_spark.operators.components import near_dup_clusters
 
     df = read_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_near_dup(df, "doc_id", "text", n=3, threshold=0.1)
+    # one materialization of the pair graph shared by both algorithm
+    # branches (each is iterative — recomputing the shingle join per
+    # branch would double the dominant cost)
+    pairs = dedup.jaccard_near_dup(
+        df, "doc_id", "text", n=3, threshold=0.1
+    ).localCheckpoint()
     out = []
     for algo in ("label", "star"):
         out.append(
