@@ -2249,7 +2249,9 @@ _INC_EPS = 0.04
 def _q_incremental_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The incremental-profiling lifecycle under the driver oracle:
     split lineitem into two disjoint halves by ``l_orderkey`` parity,
-    ``partial_profile`` each half (one scan each), ``merge_partials``,
+    ``partial_profile`` both halves (via ``group_cols`` — the grouped-
+    partial API, ONE source scan producing one independent partial row
+    per (half, column)), ``merge_partials`` across the halves,
     ``finalize_profile`` — then emit
 
       * every exactly-mergeable statistic (counts, p_null, sum, Chan-
@@ -2260,7 +2262,14 @@ def _q_incremental_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         KLL quantiles) as banded verdicts against exact references from
         the engine's own distributed value-histogram pass
         (`describe._exact_value_stats`) computed in the same plan —
-        the describe_lineitem_approx pattern.
+        the describe_lineitem_approx pattern;
+      * the theta-sketch corpus-overlap estimator
+        (`incremental.overlap_estimate`) on the two halves'
+        ``l_orderkey`` sets as banded verdicts: |A| and |B| within ±20%
+        of the exact per-half distinct counts (computed in the same
+        plan), and |A ∩ B| ≤ 2% of either side — the halves are
+        DISJOINT by construction, so a non-tiny intersection estimate
+        means the sketch pipeline is broken.
 
     A statistic undefined for its column (moments of a VARCHAR) is a
     dropped row on both engines."""
@@ -2269,16 +2278,18 @@ def _q_incremental_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from petk_spark.operators.incremental import (
         finalize_profile,
         merge_partials,
+        overlap_estimate,
         partial_profile,
     )
 
     full = read_table(spark, sf_dir, "lineitem")
     df = full.select("l_orderkey", *_INC_COLS)
-    half_a = df.filter(F.col("l_orderkey") % 2 == 0).select(*_INC_COLS)
-    half_b = df.filter(F.col("l_orderkey") % 2 != 0).select(*_INC_COLS)
-    fin = finalize_profile(
-        merge_partials(partial_profile(half_a), partial_profile(half_b))
+    halves = partial_profile(
+        df.withColumn("__half", (F.col("l_orderkey") % 2 == 0).cast("int")),
+        _INC_COLS,
+        group_cols=["__half"],
     )
+    fin = finalize_profile(merge_partials(halves.drop("__half")))
 
     ltypes = {
         f.name: static_logical_type(f)
@@ -2328,7 +2339,7 @@ def _q_incremental_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for j, lbl in enumerate(_INC_QLABELS)
     ]
-    return (
+    main = (
         fin.crossJoin(F.broadcast(val))
         .select(
             F.col("column").alias("col_name"),
@@ -2337,6 +2348,60 @@ def _q_incremental_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("col_name", "e.statistic", "e.value")
         .filter(F.col("value").isNotNull())
     )
+
+    # theta-sketch overlap on the disjoint halves' key sets
+    even = F.col("l_orderkey") % 2 == 0
+    ov = overlap_estimate(
+        df.filter(even), df.filter(~even), "l_orderkey"
+    ).crossJoin(
+        F.broadcast(
+            df.agg(
+                F.count_distinct(
+                    F.when(even, F.col("l_orderkey"))
+                ).alias("xa"),
+                F.count_distinct(
+                    F.when(~even, F.col("l_orderkey"))
+                ).alias("xb"),
+            )
+        )
+    )
+
+    def _band(est_col, lo, hi):
+        e = F.col(est_col)
+        return (
+            F.when((e >= lo) & (e <= hi), F.lit("ok"))
+            .otherwise(F.concat(F.lit("OUT_OF_BAND "), fmt_sci(e)))
+        )
+
+    theta = ov.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("n_a").alias("statistic"),
+                    _band("n_a", 0.8 * F.col("xa"), 1.2 * F.col("xa")).alias(
+                        "value"
+                    ),
+                ),
+                F.struct(
+                    F.lit("n_b").alias("statistic"),
+                    _band("n_b", 0.8 * F.col("xb"), 1.2 * F.col("xb")).alias(
+                        "value"
+                    ),
+                ),
+                F.struct(
+                    F.lit("n_overlap").alias("statistic"),
+                    _band(
+                        "n_overlap",
+                        F.lit(0.0),
+                        0.02 * F.least(F.col("xa"), F.col("xb")),
+                    ).alias("value"),
+                ),
+            )
+        ).alias("e")
+    ).select(
+        F.lit("__theta_overlap").alias("col_name"), "e.statistic", "e.value"
+    )
+    return main.unionAll(theta)
 
 
 def _incremental_profile_sql() -> str:
@@ -2369,6 +2434,8 @@ def _incremental_profile_sql() -> str:
         if is_num:
             for lbl in _INC_QLABELS:
                 parts.append(f"SELECT '{c}', '{lbl}', 'ok'")
+    for s in ("n_a", "n_b", "n_overlap"):
+        parts.append(f"SELECT '__theta_overlap', '{s}', 'ok'")
     return " UNION ALL ".join(parts)
 
 
