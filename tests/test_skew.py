@@ -193,3 +193,52 @@ def test_chunked_sessionize_bounds_window_partitions(spark):
     )
     assert bot_total >= 600
     assert biggest <= bot_total / 4, (biggest, bot_total)
+
+
+@pytest.mark.slow
+def test_chunked_sessionize_equivalence_property(spark):
+    """Hypothesis: on RANDOM event streams (duplicate timestamps,
+    boundary-exact gaps, sparse users, sub-second jitter), the chunked
+    plan's output is row-identical to the plain window for arbitrary
+    chunk widths."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from petk_spark.operators.sessions import sessionize
+
+    ts_strategy = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),          # user
+            st.floats(min_value=0, max_value=20_000,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=ts_strategy,
+        gap=st.sampled_from([1.0, 300.0, 1800.0]),
+        chunk=st.sampled_from([7.0, 250.0, 1800.0, 50_000.0]),
+    )
+    def check(rows, gap, chunk):
+        df = spark.createDataFrame(
+            [(u, float(t)) for u, t in rows], "user_id long, ts double"
+        )
+        want = sorted(map(tuple, sessionize(df, "user_id", "ts", gap).collect()))
+        got = sorted(
+            map(
+                tuple,
+                sessionize(
+                    df, "user_id", "ts", gap, chunk_seconds=chunk
+                ).collect(),
+            )
+        )
+        assert got == want
+
+    check()
