@@ -440,3 +440,60 @@ def streaming_dedup_normalized(
     else:
         out = keyed.dropDuplicates(["__nkey"])
     return out.drop("__nkey")
+
+
+# ---------------------------------------------------------------------------
+# Streaming → incremental-profile store (the production re-profiling loop)
+# ---------------------------------------------------------------------------
+
+def streaming_partial_store(
+    sdf: DataFrame,
+    store_path: str,
+    columns: list[str] | None = None,
+    group_cols: list[str] | None = None,
+):
+    """Maintain an incremental-profile PARTIAL STORE from a stream:
+    each micro-batch is profiled with ``incremental.partial_profile``
+    (one scan of the batch → a few compact mergeable rows per column)
+    and written to ``store_path/batch_id=<id>``. ``overwrite`` per
+    batch directory makes the sink idempotent under foreachBatch's
+    at-least-once retries — the standard exactly-once file recipe.
+
+    This closes the loop between the streaming and incremental paths:
+    the store is exactly the mergeable-partial format
+    ``merge_partials``/``finalize_profile`` consume, so a full-fidelity
+    profile of EVERYTHING ever streamed (true min/max/moments/HLL
+    distinct/KLL quantiles — statistics a bounded-state windowed
+    aggregation cannot give you) is available at any time for the cost
+    of folding the tiny store (:func:`profile_from_store`), with no
+    replay of the stream and no unbounded operator state: profile
+    state lives in the store as O(batches × columns) compact rows, not
+    in the streaming state store at all. Compact the store periodically
+    by rewriting ``merge_partials`` of old batches if batch count ever
+    matters (it is ~rows-per-day × columns — small by construction).
+
+    Returns the ``DataStreamWriter`` (caller sets checkpoint/trigger
+    and calls ``start()``)."""
+    from petk_spark.operators.incremental import partial_profile
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = partial_profile(batch_df, columns, group_cols)
+        part.write.mode("overwrite").parquet(
+            f"{store_path}/batch_id={batch_id}"
+        )
+
+    return sdf.writeStream.foreachBatch(write_batch)
+
+
+def profile_from_store(spark, store_path: str) -> DataFrame:
+    """Finalized profile over every partial in a
+    :func:`streaming_partial_store` directory: read the (tiny) store,
+    drop the batch partition key, merge, finalize. Never touches the
+    original data."""
+    from petk_spark.operators.incremental import (
+        finalize_profile,
+        merge_partials,
+    )
+
+    stored = spark.read.parquet(store_path)
+    return finalize_profile(merge_partials(stored.drop("batch_id")))

@@ -511,3 +511,56 @@ def test_dedup_normalized_soak_state_evicted(spark):
     assert max(state_rows_series[3:]) <= 200 * 10, (
         f"dedup state grew past horizon bound: {state_rows_series}"
     )
+
+
+def test_streaming_partial_store_matches_batch_profile(spark, stream_dir, tmp_path):
+    """The streamed partial store, folded, equals the batch incremental
+    profile of everything streamed: exact stats identical, HLL/KLL
+    within sketch error. Two micro-batches forced via
+    maxFilesPerTrigger=1 so the store genuinely merges >1 partial."""
+    from petk_spark.operators.incremental import finalize_profile, partial_profile
+    from petk_spark.streaming.profile import (
+        profile_from_store,
+        streaming_partial_store,
+    )
+
+    store = str(tmp_path / "p_store")
+    sdf = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        streaming_partial_store(sdf, store, columns=["event_type", "value"])
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    import glob
+
+    batch_dirs = glob.glob(f"{store}/batch_id=*")
+    assert len(batch_dirs) >= 2, batch_dirs
+
+    got = {
+        r["column"]: r.asDict()
+        for r in profile_from_store(spark, store).collect()
+    }
+    whole = spark.read.parquet(stream_dir)
+    want = {
+        r["column"]: r.asDict()
+        for r in finalize_profile(
+            partial_profile(whole, ["event_type", "value"])
+        ).collect()
+    }
+    for c in ("event_type", "value"):
+        for k in ("n", "n_null", "min", "max", "sum"):
+            assert got[c][k] == want[c][k], (c, k)
+        g, w = got[c]["distinct_estimate"], want[c]["distinct_estimate"]
+        assert abs(g - w) <= max(0.05 * w, 1.0)
+    assert abs(got["value"]["variance"] - want["value"]["variance"]) <= 1e-9 * abs(
+        want["value"]["variance"]
+    )
+    # KLL over a 7-value column is in the exact (n < k) regime
+    assert got["value"]["median"] == want["value"]["median"]
