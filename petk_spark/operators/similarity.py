@@ -187,6 +187,13 @@ def ivf_assign(
     best twice per step, doubling the expression tree per centroid:
     2^16 nodes at 16 centroids, which took multi-MiB task binaries and
     ~13 s of codegen for 600 rows.)"""
+    if not centroids:
+        # all-NULL/empty corpus sample — every row is unassignable
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.lit(None).cast("int").alias("centroid_id"),
+        ).filter(F.lit(False))
     entries = [
         F.struct(
             cosine_expr(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cen])).alias(
@@ -213,12 +220,26 @@ def sample_centroids(
 ) -> list[list[float]]:
     """K-means on a driver-side sample (numpy): sample ≤ 10k vectors,
     Lloyd iterations, return centroid list. The sample collect is the
-    only driver materialization and is capped."""
+    only driver materialization and is capped.
+
+    NULL embeddings and vectors whose length disagrees with the
+    corpus dimension are excluded from the sample instead of crashing
+    the numpy stack — one malformed row in 100 TB must not kill
+    centroid training (same hardening as the embedding_near_dup
+    broadcast path, caught by the perturbed-embeddings fixture)."""
     import numpy as np
 
     sample = (
-        df.select(vec_col).orderBy(F.col(id_col)).limit(10_000).collect()
+        df.filter(F.col(vec_col).isNotNull())
+        .select(vec_col)
+        .orderBy(F.col(id_col))
+        .limit(10_000)
+        .collect()
     )
+    if not sample:
+        return []
+    dim = len(sample[0][0])
+    sample = [r for r in sample if len(r[0]) == dim]
     X = np.array([r[0] for r in sample], dtype=np.float64)
     rng = np.random.default_rng(42)
     cent = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
@@ -247,6 +268,13 @@ def cosine_topk_ivf(
     """IVF approximate top-k: corpus bucketed by nearest centroid; each
     query scores only its ``n_probes`` nearest centroid buckets."""
     centroids = sample_centroids(corpus, n_centroids, vec_col, id_col)
+    if not centroids:
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"query_id {queries.schema[id_col].dataType.simpleString()}, "
+            f"neighbor_id {corpus.schema[id_col].dataType.simpleString()}, "
+            "cosine double, rank int",
+        )
     c = ivf_assign(corpus, centroids, id_col, vec_col).select(
         F.col("id").alias("neighbor_id"), F.col("vec").alias("cv"), "centroid_id"
     )

@@ -271,6 +271,9 @@ EMBEDDING_QUERIES = [
     "cosine_topk",
     "embedding_near_dup",
     "cosine_topk_lsh",
+    # recall contract: NULL/zero/tiny/ragged corpus vectors must not
+    # crash centroid training (round 5: sample_centroids hardening)
+    "cosine_topk_ivf",
 ]
 
 
