@@ -41,6 +41,9 @@ QUERIES = [
     "media_metadata",
     "quality_weighted_sample",
     "near_dup_jaccard",
+    # both components algorithms against the recursive fixpoint under
+    # unicode/empty/NULL/duplicate docs (round 5)
+    "near_dup_clusters",
 ]
 
 EXTRA_DOCS = [
@@ -116,6 +119,8 @@ EVENT_QUERIES = [
     "json_field_profile",
     "grouped_windowed_profile",
     "describe_events",
+    # exact + KLL rank-band per hostile group (round 5)
+    "grouped_quantiles",
 ]
 
 
@@ -211,6 +216,9 @@ LINEITEM_QUERIES = [
     "validate_lineitem",
     "equidepth_histogram",
     "correlation_lineitem",
+    # merge-equals-whole + sketch bands under NaN/-0.0/subnormal/NULL
+    # numeric edges (round 5)
+    "incremental_profile",
 ]
 
 
