@@ -289,3 +289,114 @@ def token_histogram(df: DataFrame, text_col: str, top_n: int = 20) -> DataFrame:
     ).alias("token")
     counts = df.select(toks).groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(top_n)
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher/RefinedWeb-style quality filters)
+# ---------------------------------------------------------------------------
+
+def repetition_signals(text: Column) -> dict[str, Column]:
+    """Within-document repetition features, each a single row-local JVM
+    expression (higher-order functions over the line array — no
+    explode, no shuffle, so the 100 TB cost is a projection on the
+    scan):
+
+      * ``dup_line_frac`` — fraction of non-empty lines that are a
+        repeat of an earlier line (1 − distinct/total).
+      * ``dup_line_char_frac`` — fraction of line characters carried by
+        those repeats (total line chars − distinct line chars, over
+        total): boilerplate blocks weigh by their size, not their
+        count.
+      * ``max_line_frac`` — characters of the single most repeated line
+        over total line characters (the "same banner every other line"
+        signal; computed as max over distinct lines of
+        occurrences·length via a transform+array_max, still row-local).
+
+    The doc-level duplicate-TOKEN-n-gram signal needs a per-doc mode
+    and lives in :func:`repetition_frame` (one balanced shuffle)."""
+    lines = F.filter(
+        F.split(text, "\n"), lambda ln: F.trim(ln) != F.lit("")
+    )
+    n_lines = F.size(lines)
+    dlines = F.array_distinct(lines)
+    n_dist = F.size(dlines)
+    chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, ln: a + F.length(ln)
+    )
+    dchars = F.aggregate(
+        dlines, F.lit(0).cast("long"), lambda a, ln: a + F.length(ln)
+    )
+    # occurrences(line) * length(line) for each DISTINCT line, maxed
+    rep_mass = F.array_max(
+        F.transform(
+            dlines,
+            lambda d: F.size(F.filter(lines, lambda ln: ln == d))
+            * F.length(d),
+        )
+    )
+    return {
+        "n_lines": n_lines.cast("long"),
+        "dup_line_frac": F.when(
+            n_lines > 0, (n_lines - n_dist).cast("double") / n_lines
+        ),
+        "dup_line_char_frac": F.when(
+            chars > 0, (chars - dchars).cast("double") / chars
+        ),
+        "max_line_frac": F.when(
+            chars > 0, rep_mass.cast("double") / chars
+        ),
+    }
+
+
+def repetition_frame(
+    df: DataFrame, id_col: str, text_col: str, ngram: int = 2
+) -> DataFrame:
+    """(id, n_lines, dup_line_frac, dup_line_char_frac, max_line_frac,
+    top_ngram_frac) per document.
+
+    ``top_ngram_frac`` — fraction of the document's token n-grams
+    accounted for by its single most frequent n-gram (Gopher's
+    duplicate-2-gram class of filters): token arrays fan out to
+    (doc, ngram) rows, one count aggregation keyed by (doc, ngram)
+    (balanced — key cardinality ≈ corpus n-gram volume, no hot key
+    beyond a single document's repetition), then a per-doc max and a
+    broadcast-size join back. Quadratic nowhere; the explode volume is
+    the token count, the same scale as any tokenizing pass."""
+    t = F.col(text_col)
+    sig = repetition_signals(t)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *[c.alias(k) for k, c in sig.items()],
+        F.filter(
+            F.split(F.lower(t), r"\s+"), lambda x: x != F.lit("")
+        ).alias("__toks"),
+    )
+    grams = base.select(
+        "id",
+        F.explode(
+            F.when(
+                F.size("__toks") >= ngram,
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.size("__toks") - F.lit(ngram - 1)
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(F.col("__toks"), i, ngram), " "
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("g"),
+    )
+    top = (
+        grams.groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("__top"), F.sum("c").alias("__total"))
+        .select(
+            "id",
+            (F.col("__top").cast("double") / F.col("__total")).alias(
+                "top_ngram_frac"
+            ),
+        )
+    )
+    return base.drop("__toks").join(top, "id", "left")

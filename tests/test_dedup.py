@@ -60,3 +60,65 @@ def test_lsh_fallback_subset_and_recall(emb):
     assert len(lsh) >= 0.6 * len(exact), (len(lsh), len(exact))
     for k, v in lsh.items():
         assert v == pytest.approx(exact[k], rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (round 5 — Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+def test_repetition_signals_known_values(spark):
+    from petk_spark.operators.text import repetition_frame
+
+    docs = [
+        # 4 non-empty lines, "spam" repeated 3x: dup_line_frac = 2/4;
+        # line chars = 4+4+4+11 = 23, distinct = 4+11 = 15 -> dup_char
+        # = 8/23; max rep mass = 3*4 = 12 -> 12/23
+        (1, "spam\nspam\n\nspam\nreal line x"),
+        # no repetition at all
+        (2, "alpha beta\ngamma delta"),
+        # single line
+        (3, "only one line"),
+        # bigrams: tokens [a b a b a] -> bigrams [a b, b a, a b, b a]
+        # -> top 'a b' = 2/4
+        (4, "a b a b a"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["id"]: r.asDict()
+        for r in repetition_frame(df, "doc_id", "text").collect()
+    }
+
+    assert out[1]["n_lines"] == 4
+    assert abs(out[1]["dup_line_frac"] - 2 / 4) < 1e-12
+    assert abs(out[1]["dup_line_char_frac"] - 8 / 23) < 1e-12
+    assert abs(out[1]["max_line_frac"] - 12 / 23) < 1e-12
+
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["dup_line_char_frac"] == 0.0
+
+    assert abs(out[4]["top_ngram_frac"] - 0.5) < 1e-12
+    # doc 3 has 3 tokens -> 2 bigrams, both distinct
+    assert abs(out[3]["top_ngram_frac"] - 0.5) < 1e-12
+
+    # empty doc: all fractions NULL, zero lines
+    assert out[5]["n_lines"] == 0
+    assert out[5]["dup_line_frac"] is None
+    assert out[5]["top_ngram_frac"] is None
+
+
+def test_repetition_signals_row_local_plan(spark):
+    """The line-level signals are a projection — no exchange before the
+    bigram aggregation's single balanced shuffle pair."""
+    from petk_spark.operators.text import repetition_frame
+    from petk_spark.plans.inspect import exchange_count
+
+    df = spark.createDataFrame(
+        [(i, f"line a\nline b {i}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    out = repetition_frame(df, "doc_id", "text")
+    out.collect()
+    # (doc, gram) count agg + per-doc rollup + join back (both sides
+    # shuffle on id): bounded small, no cartesian
+    assert exchange_count(out) <= 6
