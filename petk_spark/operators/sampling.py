@@ -94,3 +94,42 @@ def stratified_sample(
             F.col(strata_col) == F.lit(value), F.lit(rate_threshold(rate))
         ).otherwise(thr)
     return df.filter(sample_key(key_cols, salt) < thr)
+
+
+def assign_split(
+    df: DataFrame,
+    key_cols: list[str],
+    fractions: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic multi-way train/val/test assignment: adds
+    ``split_col`` labeling each row by where its keyed uniform lands in
+    the cumulative fraction intervals (dict order; fractions must sum
+    to ~1). Pure function of (salt, key) — map-side projection, no
+    shuffle, no state — so:
+
+      * re-runs, engines, and partition layouts agree row-for-row;
+      * all rows sharing a key (e.g. all chunks of one document) land
+        in the SAME split — key on the document id to prevent
+        train/test leakage through near-identical sibling rows;
+      * appending data never moves an existing row between splits
+        (the property periodic re-splits need).
+
+    Change ``salt`` to draw an independent partition."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions sum to {total}, expected 1.0")
+    u = uniform_from_key(key_cols, salt)
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

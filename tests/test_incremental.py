@@ -294,3 +294,21 @@ def test_thirty_partial_fold_stable_and_within_bounds(spark):
         r_lo = bisect.bisect_left(svals, q) / n
         r_hi = bisect.bisect_right(svals, q) / n
         assert r_lo - 0.03 <= p <= r_hi + 0.03, (lbl, q, r_lo, r_hi)
+
+
+def test_group_col_stat_name_collision_raises(spark):
+    """A grouping column named like a partial stat field would be
+    silently aggregated as a statistic by merge_partials — partial_profile
+    must refuse it up front (advisory fix, round 5)."""
+    df = spark.createDataFrame([(1, 1.0)], "n long, v double")
+    with pytest.raises(ValueError, match="collide"):
+        partial_profile(df, ["v"], group_cols=["n"])
+
+
+def test_empty_partial_finalizes_p_null_to_null_not_nan(spark):
+    """n = n_null = 0 (empty frame) must finalize p_null as NULL, not
+    0/0 = NaN (try_divide convention, advisory fix round 5)."""
+    df = spark.createDataFrame([], "v double")
+    row = finalize_profile(partial_profile(df, ["v"])).collect()[0]
+    assert row["n"] == 0 and row["n_null"] == 0
+    assert row["p_null"] is None

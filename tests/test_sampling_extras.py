@@ -54,3 +54,54 @@ def test_equidepth_histogram_conserves_mass(spark):
     # edges are monotone and each bucket's lo <= hi
     for r in out:
         assert r.edge_lo <= r.edge_hi
+
+
+def test_assign_split_deterministic_disjoint_and_leakproof(spark):
+    from petk_spark.operators.sampling import assign_split
+
+    rows = [(i, i // 4) for i in range(4000)]  # 4 chunks per doc
+    df = spark.createDataFrame(rows, "chunk_id long, doc_id long")
+    out = assign_split(
+        df, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, salt="s1"
+    )
+    pdf = out.toPandas()
+    # total partition, no NULLs
+    assert set(pdf["split"].unique()) <= {"train", "val", "test"}
+    assert pdf["split"].notna().all()
+    # leak-proof: every chunk of a doc is in the same split
+    assert (pdf.groupby("doc_id")["split"].nunique() == 1).all()
+    # fractions approximately honored (1000 docs, binomial 3-sigma)
+    frac = pdf.groupby("split")["doc_id"].nunique() / 1000
+    assert abs(frac.get("train", 0) - 0.8) < 0.05
+    assert abs(frac.get("val", 0) - 0.1) < 0.04
+    # deterministic across re-runs; different salt reshuffles
+    again = assign_split(
+        df, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, salt="s1"
+    ).toPandas()
+    assert (pdf.sort_values("chunk_id")["split"].values
+            == again.sort_values("chunk_id")["split"].values).all()
+    other = assign_split(
+        df, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, salt="s2"
+    ).toPandas()
+    assert (pdf.sort_values("chunk_id")["split"].values
+            != other.sort_values("chunk_id")["split"].values).any()
+    # append-stability: adding rows never moves existing ones
+    bigger = spark.createDataFrame(
+        rows + [(99_000 + i, 99_000 + i) for i in range(100)],
+        "chunk_id long, doc_id long",
+    )
+    grown = assign_split(
+        bigger, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, salt="s1"
+    ).toPandas()
+    merged = pdf.merge(grown, on="chunk_id", suffixes=("_a", "_b"))
+    assert (merged["split_a"] == merged["split_b"]).all()
+
+
+def test_assign_split_rejects_bad_fractions(spark):
+    import pytest as _pytest
+
+    from petk_spark.operators.sampling import assign_split
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with _pytest.raises(ValueError, match="sum"):
+        assign_split(df, ["k"], {"train": 0.5, "test": 0.1})
