@@ -546,9 +546,21 @@ def _q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = df.select(
         "event_type", F.col("value").cast("double").alias("v")
     ).filter(F.col("v").isNotNull())
+    # both joins below are NULL-SAFE on the group key: groupBy hashes a
+    # NULL event_type into its own group, so a null-unsafe equi-join
+    # would strand that group's approx quantiles with n = NULL and emit
+    # a spurious OUT_OF_BAND verdict the DuckDB oracle (which says 'ok'
+    # per DISTINCT group, NULL included) would mismatch on
     ranks = (
-        vals.join(F.broadcast(a_long), "event_type")
-        .groupBy("event_type", "label")
+        vals.alias("__v")
+        .join(
+            F.broadcast(a_long.alias("__a")),
+            F.col("__v.event_type").eqNullSafe(F.col("__a.event_type")),
+        )
+        .groupBy(
+            F.col("__a.event_type").alias("event_type"),
+            F.col("__a.label").alias("label"),
+        )
         .agg(
             F.sum(F.when(F.col("v") < F.col("qv"), 1).otherwise(0)).alias("n_lt"),
             F.sum(F.when(F.col("v") <= F.col("qv"), 1).otherwise(0)).alias("n_le"),
@@ -565,7 +577,22 @@ def _q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("OUT_OF_BAND "), fmt_sci(F.col("qv"))))
     )
     band = (
-        a_long.join(F.broadcast(ranks), ["event_type", "label"], "left")
+        a_long.alias("__l")
+        .join(
+            F.broadcast(ranks.alias("__r")),
+            F.col("__l.event_type").eqNullSafe(F.col("__r.event_type"))
+            & (F.col("__l.label") == F.col("__r.label")),
+            "left",
+        )
+        .select(
+            F.col("__l.event_type").alias("event_type"),
+            F.col("__l.label").alias("label"),
+            F.col("__l.qv").alias("qv"),
+            F.col("__l.p").alias("p"),
+            F.col("__r.n_lt").alias("n_lt"),
+            F.col("__r.n_le").alias("n_le"),
+            F.col("__r.n").alias("n"),
+        )
         .select("event_type", "label", verdict.alias("verdict"))
         .groupBy("event_type")
         .agg(*[

@@ -49,7 +49,7 @@ summarize.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: lgConfigK for the HLL sketches — fixed so every partial is unionable.
@@ -142,17 +142,26 @@ def merge_partials(*partials: DataFrame) -> DataFrame:
 
     mean/M2 combine via the CENTERED Chan identity
     ``M2 = Σm2_i + Σ n_i·(mean_i − mean)²`` computed in two stages:
-    the merged mean first, then the between-chunk term against it.
+    the merged mean first (a window total over the concatenated
+    partials, per merge key), then the between-chunk term against it.
     The uncentered König-Huygens form (``Σn·mean² − n·mean²``) is
     algebraically identical but cancels catastrophically when
     mean ≫ spread — at mean ~1e9 with unit spread it loses ~all
     significant digits of M2 over a 30-partial fold, where the
     centered form stays exact to round-off (pinned by the 30-day
-    lifecycle property test). The second pass is a self-join of the
-    PARTIALS frame (rows = chunks × columns — compact by
-    construction), so the extra stage costs nothing at any corpus
-    size. HLL sketches union register-wise (same error bound as a
-    single-shot sketch; not bit-identical — see module docstring)."""
+    lifecycle property test).
+
+    Plan / NULL-safety: the merged mean is attached as a WINDOW total
+    (``partitionBy(keys)``, whole-partition frame) rather than a
+    self-join of the partials frame — windows, like groupBy, hash
+    NULL keys into their own group, so a grouped partial whose group
+    column contains NULL merges correctly (a null-unsafe equi-join
+    here silently dropped the NULL group — round-6 advisory). The
+    follow-up groupBy reuses the window's hash partitioning, so the
+    whole merge is ONE shuffle of the compact partials frame
+    (rows = chunks × columns). HLL sketches union register-wise
+    (same error bound as a single-shot sketch; not bit-identical —
+    see module docstring)."""
     assert partials, "need at least one partial frame"
     allp = partials[0]
     for p in partials[1:]:
@@ -162,7 +171,11 @@ def merge_partials(*partials: DataFrame) -> DataFrame:
     keys = ["column"] + [
         c for c in allp.columns if c not in _STAT_FIELDS
     ]
-    base = allp.groupBy(*keys).agg(
+    wk = Window.partitionBy(*[F.col(k) for k in keys])
+    n_eff = F.sum(F.expr("CASE WHEN mean IS NOT NULL THEN n END")).over(wk)
+    gmean = F.when(n_eff > 0, F.sum(F.expr("n * mean")).over(wk) / n_eff)
+    withg = allp.withColumn("__gmean", gmean)
+    return withg.groupBy(*keys).agg(
         F.sum("n").alias("n"),
         F.sum("n_null").alias("n_null"),
         F.sum("sum").alias("sum"),
@@ -170,29 +183,18 @@ def merge_partials(*partials: DataFrame) -> DataFrame:
             "CASE WHEN sum(CASE WHEN mean IS NOT NULL THEN n END) > 0 THEN "
             "sum(n * mean) / sum(CASE WHEN mean IS NOT NULL THEN n END) END"
         ).alias("mean"),
+        F.expr(
+            "CASE WHEN sum(CASE WHEN m2 IS NOT NULL THEN n END) > 0 THEN "
+            "sum(m2 + n * (mean - __gmean) * (mean - __gmean)) END"
+        ).alias("m2"),
         F.min("min").alias("min"),
         F.max("max").alias("max"),
         F.expr("hll_union_agg(hll)").alias("hll"),
         F.expr("kll_merge_agg_double(kll)").alias("kll"),
-    )
-    centered = (
-        allp.select(*keys, "n", "mean", "m2")
-        .join(
-            base.select(*keys, F.col("mean").alias("__gmean")), keys
-        )
-        .groupBy(*keys)
-        .agg(
-            F.expr(
-                "CASE WHEN sum(CASE WHEN m2 IS NOT NULL THEN n END) > 0 THEN "
-                "sum(m2 + n * (mean - __gmean) * (mean - __gmean)) END"
-            ).alias("m2")
-        )
-    )
-    merged = base.join(centered, keys).select(
+    ).select(
         *keys, "n", "n_null", "sum", "mean", "m2",
         "min", "max", "hll", "kll",
     )
-    return merged
 
 
 def finalize_profile(partial: DataFrame) -> DataFrame:

@@ -105,7 +105,13 @@ def _sessionize_chunked(
     Plan: one shuffle of the events on (user, chunk); the summary
     aggregation reuses that partitioning, the stitch window shuffles
     only summary rows, and the join back is on the same (user, chunk)
-    key — the heavy side moves once."""
+    key — the heavy side moves once. The join back uses NULL-SAFE
+    equality on the user key: windows and groupBy hash NULL keys into
+    their own group, so the NULL-user partition sessionizes like any
+    other user on the plain path — a null-unsafe equi-join here
+    silently dropped those rows and broke the documented equivalence
+    (round-6 advisory; pinned by NULL-user cases in
+    tests/test_skew.py)."""
     bucket = F.floor(F.col(ts_col) / F.lit(chunk_seconds)).cast("long")
     ev = df.withColumn("__chunk", bucket)
     wl = Window.partitionBy(user_col, "__chunk").orderBy(ts_col)
@@ -139,11 +145,18 @@ def _sessionize_chunked(
         )
         .select(user_col, "__chunk", "__offset")
     )
-    return (
-        ev.join(offsets, [user_col, "__chunk"])
-        .withColumn("session_seq", F.col("__offset") + F.col("__local_seq"))
-        .drop("__chunk", "__local_seq", "__offset")
+    e, o = ev.alias("__e"), offsets.alias("__o")
+    joined = e.join(
+        o,
+        F.col(f"__e.`{user_col}`").eqNullSafe(F.col(f"__o.`{user_col}`"))
+        & (F.col("__e.__chunk") == F.col("__o.__chunk")),
     )
+    return joined.select(
+        *[F.col(f"__e.`{c}`") for c in ev.columns],
+        (F.col("__o.__offset") + F.col("__e.__local_seq")).alias(
+            "session_seq"
+        ),
+    ).drop("__chunk", "__local_seq")
 
 
 def session_profile(

@@ -226,7 +226,13 @@ def sample_centroids(
     corpus dimension are excluded from the sample instead of crashing
     the numpy stack — one malformed row in 100 TB must not kill
     centroid training (same hardening as the embedding_near_dup
-    broadcast path, caught by the perturbed-embeddings fixture)."""
+    broadcast path, caught by the perturbed-embeddings fixture). The
+    corpus dimension is the MODAL vector length across the sample,
+    not the first row's — if the lowest-id row happens to be the
+    ragged one, anchoring on it would discard every well-formed
+    vector and train at the wrong dimension (round-6 advisory)."""
+    from collections import Counter
+
     import numpy as np
 
     sample = (
@@ -238,7 +244,7 @@ def sample_centroids(
     )
     if not sample:
         return []
-    dim = len(sample[0][0])
+    dim = Counter(len(r[0]) for r in sample).most_common(1)[0][0]
     sample = [r for r in sample if len(r[0]) == dim]
     X = np.array([r[0] for r in sample], dtype=np.float64)
     rng = np.random.default_rng(42)

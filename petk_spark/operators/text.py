@@ -309,8 +309,14 @@ def repetition_signals(text: Column) -> dict[str, Column]:
         count.
       * ``max_line_frac`` — characters of the single most repeated line
         over total line characters (the "same banner every other line"
-        signal; computed as max over distinct lines of
-        occurrences·length via a transform+array_max, still row-local).
+        signal): ``array_sort`` the lines, then ONE ``aggregate`` pass
+        tracking the current equal-run length and maxing
+        ``run·length(line)`` — O(L log L) row-local, no shuffle. (The
+        previous transform-over-distinct × filter-over-lines form was
+        O(distinct·total) per row: a hostile 100k-line mostly-distinct
+        document cost ~10¹⁰ comparisons on one task — exactly the
+        pathological-document class this filter exists to catch.
+        Bounded-time pinned by the 50k-line test in tests/test_dedup.py.)
 
     The doc-level duplicate-TOKEN-n-gram signal needs a per-doc mode
     and lives in :func:`repetition_frame` (one balanced shuffle)."""
@@ -326,13 +332,29 @@ def repetition_signals(text: Column) -> dict[str, Column]:
     dchars = F.aggregate(
         dlines, F.lit(0).cast("long"), lambda a, ln: a + F.length(ln)
     )
-    # occurrences(line) * length(line) for each DISTINCT line, maxed
-    rep_mass = F.array_max(
-        F.transform(
-            dlines,
-            lambda d: F.size(F.filter(lines, lambda ln: ln == d))
-            * F.length(d),
+    # max over lines of occurrences·length: sorted run-length scan.
+    # acc = (prev line, current run length, best mass so far); lines
+    # are non-empty strings, so `ln == NULL-prev` is NULL → run
+    # restarts at 1 on the first element.
+    def _run_step(acc: Column, ln: Column) -> Column:
+        run = F.when(ln == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            ln.alias("prev"),
+            run.alias("run"),
+            F.greatest(
+                acc["best"], run.cast("long") * F.length(ln)
+            ).alias("best"),
         )
+
+    rep_mass = F.aggregate(
+        F.array_sort(lines),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        _run_step,
+        lambda acc: acc["best"],
     )
     return {
         "n_lines": n_lines.cast("long"),

@@ -122,3 +122,34 @@ def test_repetition_signals_row_local_plan(spark):
     # (doc, gram) count agg + per-doc rollup + join back (both sides
     # shuffle on id): bounded small, no cartesian
     assert exchange_count(out) <= 6
+
+
+def test_repetition_signals_bounded_on_many_distinct_lines(spark):
+    """50k mostly-distinct lines in ONE document: the sorted
+    run-length ``max_line_frac`` is O(L log L) row-local; the previous
+    transform-over-distinct × filter-over-lines form was
+    O(distinct·total) (~2.5e9 comparisons on this fixture) and stalled
+    the task (round-6 advisory). Values pinned exactly."""
+    import time
+
+    from petk_spark.operators.text import repetition_frame
+
+    n = 50_000
+    lines = [f"unique line {i:06d}" for i in range(n)] + (
+        ["boilerplate banner"] * 5
+    )
+    df = spark.createDataFrame(
+        [(1, "\n".join(lines))], "doc_id long, text string"
+    )
+    t0 = time.monotonic()
+    row = repetition_frame(df, "doc_id", "text").collect()[0]
+    elapsed = time.monotonic() - t0
+
+    total = n + 5
+    chars = sum(len(ln) for ln in lines)
+    dchars = sum(len(ln) for ln in set(lines))
+    assert row["n_lines"] == total
+    assert abs(row["dup_line_frac"] - 4 / total) < 1e-12
+    assert abs(row["dup_line_char_frac"] - (chars - dchars) / chars) < 1e-12
+    assert abs(row["max_line_frac"] - 5 * 18 / chars) < 1e-12
+    assert elapsed < 60, f"{elapsed:.1f}s — quadratic regression?"

@@ -312,3 +312,44 @@ def test_empty_partial_finalizes_p_null_to_null_not_nan(spark):
     row = finalize_profile(partial_profile(df, ["v"])).collect()[0]
     assert row["n"] == 0 and row["n_null"] == 0
     assert row["p_null"] is None
+
+
+def test_grouped_partials_merge_keeps_null_group(spark):
+    """A grouped partial whose group column contains NULL must keep the
+    NULL group through the merge — groupBy/windows hash NULL keys into
+    their own group, and the centered-Chan stage now attaches the
+    merged mean via a window instead of a null-unsafe equi-join, which
+    silently dropped the NULL group (round-6 advisory)."""
+    df = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .withColumn(
+            "source",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(
+                F.col("source")
+            ),
+        )
+    )
+    a = df.where(F.col("doc_id") % 2 == 0)
+    b = df.where(F.col("doc_id") % 2 == 1)
+    merged = finalize_profile(
+        merge_partials(
+            partial_profile(a, ["n_chars"], group_cols=["source"]),
+            partial_profile(b, ["n_chars"], group_cols=["source"]),
+        )
+    )
+    direct = finalize_profile(
+        partial_profile(df, ["n_chars"], group_cols=["source"])
+    )
+    got = {(r["source"], r["column"]): r.asDict() for r in merged.collect()}
+    want = {(r["source"], r["column"]): r.asDict() for r in direct.collect()}
+    assert set(got) == set(want)
+    assert any(k[0] is None for k in got), "NULL group missing from merge"
+    for k in got:
+        for stat in ("n", "n_null", "min", "max"):
+            assert got[k][stat] == want[k][stat], (k, stat)
+        assert math.isclose(got[k]["mean"], want[k]["mean"], rel_tol=1e-9), k
+        if want[k]["variance"] is not None:
+            assert math.isclose(
+                got[k]["variance"], want[k]["variance"],
+                rel_tol=1e-6, abs_tol=1e-9,
+            ), k

@@ -198,3 +198,20 @@ def test_read_text_lines_and_wholefile(spark, tmp_path):
     assert sorted(r["text"] for r in whole) == [
         "first line\nsecond line\n", "only line of b\n",
     ]
+
+
+def test_ivf_centroid_dim_survives_ragged_lowest_id_row(spark):
+    """The centroid sample's corpus dimension is the MODAL vector
+    length across the sample, so a ragged vector at the LOWEST id (the
+    previous anchor row) is excluded and training proceeds at the true
+    dimension instead of discarding every well-formed vector
+    (round-6 advisory)."""
+    from petk_spark.operators.similarity import sample_centroids
+
+    rows = [(0, [1.0, 2.0])] + [
+        (i, [float(i % 7), float((i * 3) % 5), float(i % 2), 1.0])
+        for i in range(1, 40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sample_centroids(df, 4, "embedding", "vec_id")
+    assert cents and all(len(c) == 4 for c in cents), cents

@@ -208,7 +208,9 @@ def test_chunked_sessionize_equivalence_property(spark):
 
     ts_strategy = st.lists(
         st.tuples(
-            st.integers(min_value=0, max_value=4),          # user
+            # user key, NULL included (round-6 advisory: the chunked
+            # join back must be null-safe on the user key)
+            st.one_of(st.none(), st.integers(min_value=0, max_value=4)),
             st.floats(min_value=0, max_value=20_000,
                       allow_nan=False, allow_infinity=False),
         ),
@@ -227,11 +229,14 @@ def test_chunked_sessionize_equivalence_property(spark):
         chunk=st.sampled_from([7.0, 250.0, 1800.0, 50_000.0]),
     )
     def check(rows, gap, chunk):
+        from collections import Counter
+
         df = spark.createDataFrame(
             [(u, float(t)) for u, t in rows], "user_id long, ts double"
         )
-        want = sorted(map(tuple, sessionize(df, "user_id", "ts", gap).collect()))
-        got = sorted(
+        # multiset compare — NULL user keys don't sort against ints
+        want = Counter(map(tuple, sessionize(df, "user_id", "ts", gap).collect()))
+        got = Counter(
             map(
                 tuple,
                 sessionize(
@@ -242,3 +247,39 @@ def test_chunked_sessionize_equivalence_property(spark):
         assert got == want
 
     check()
+
+
+def test_chunked_sessionize_keeps_null_users(spark):
+    """Rows with a NULL user key: windows and groupBy hash NULL into
+    its own group, so the plain path sessionizes the NULL-user
+    partition like any other user; the chunked path's join back is
+    null-safe on the user key (round-6 advisory: a null-unsafe
+    equi-join silently dropped those rows, breaking the documented
+    row-identical equivalence)."""
+    from collections import Counter
+
+    from petk_spark.operators.sessions import sessionize
+
+    rows = [
+        (None, 100.0), (None, 200.0), (None, 5000.0), (None, 5100.0),
+        (1, 100.0), (1, 200.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts double")
+    plain = Counter(
+        map(tuple, sessionize(df, "user_id", "ts", 1800.0).collect())
+    )
+    assert sum(plain.values()) == 6
+    # NULL user forms two sessions (gap 5000-200 > 1800)
+    assert {(u, s) for u, _, s in plain if u is None} == {
+        (None, 1), (None, 2)
+    }
+    for chunk in (60.0, 1800.0, 1e9):
+        got = Counter(
+            map(
+                tuple,
+                sessionize(
+                    df, "user_id", "ts", 1800.0, chunk_seconds=chunk
+                ).collect(),
+            )
+        )
+        assert got == plain, f"chunk={chunk}"
