@@ -109,10 +109,25 @@ FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
 """
 
 
+#: F35 split contract twinned on the stratified_sample row (round 6):
+#: fractions and salt shared between the Spark query and the SQL twin.
+_SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_SPLIT_SALT = "split-v1"
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified training-mix sample: sources up/down
     weighted, membership a pure function of (salt, doc_id) — the DuckDB
-    twin selects the identical subset, which IS the correctness claim."""
+    twin selects the identical subset, which IS the correctness claim.
+
+    Round 6 stacks the F35 ``assign_split`` contract onto the same row
+    (consolidation — keeps the driver window at 50): every sampled doc
+    also carries its train/val/test label, assigned by where the
+    52-bit keyed uniform lands in the cumulative fraction intervals.
+    The twin replays the identical md5→BIGINT→double arithmetic and
+    the SAME float-accumulated interval bounds (generated from one
+    shared dict, rendered via repr, so 0.9 + 0.05 compares as the
+    exact double Python produced, not a re-rounded 0.95 literal)."""
     from petk_spark.operators import sampling
 
     df = read_table(spark, sf_dir, "documents")
@@ -124,15 +139,30 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["doc_id"],
         salt="mix-v1",
     )
-    return out.select("doc_id", "source")
+    out = sampling.assign_split(
+        out, ["doc_id"], _SPLIT_FRACTIONS, salt=_SPLIT_SALT
+    )
+    return out.select("doc_id", "source", "split")
 
 
 def _stratified_sample_sql() -> str:
     from petk_spark.operators.sampling import rate_threshold
 
     key = "md5('mix-v1' || ':' || coalesce(doc_id::VARCHAR, ''))"
+    skey = f"md5('{_SPLIT_SALT}' || ':' || coalesce(doc_id::VARCHAR, ''))"
+    u = (
+        f"(('0x' || substr({skey}, 1, 13))::BIGINT"
+        " / 4503599627370496.0)"
+    )
+    names = list(_SPLIT_FRACTIONS)
+    acc = 0.0
+    whens = []
+    for name in names[:-1]:
+        acc += _SPLIT_FRACTIONS[name]
+        whens.append(f"WHEN {u} < CAST({acc!r} AS DOUBLE) THEN '{name}'")
+    split_case = " ".join(["CASE", *whens, f"ELSE '{names[-1]}' END"])
     return f"""
-SELECT doc_id, source FROM documents
+SELECT doc_id, source, {split_case} AS split FROM documents
 WHERE {key} < CASE source
   WHEN 'src1' THEN '{rate_threshold(0.8)}'
   WHEN 'src2' THEN '{rate_threshold(0.05)}'
@@ -2137,17 +2167,84 @@ FROM ({_SQL_WINDOWED_PROFILE})
 """
 
 
+#: F34 repetition twin fragment (round 6, consolidated onto the
+#: text_quality_lang row): the per-document Gopher-class repetition
+#: signals replayed in exact SQL. The oracle recomputes the
+#: most-repeated-line mass with the simple distinct×filter form —
+#: quadratic, but irrelevant at oracle scale; the Spark side is the
+#: O(L log L) sorted run-length rewrite this twin pins. n_lines is
+#: emitted VARCHAR on both engines (nullable numeric outputs are
+#: fetch-path-sensitive under the driver's pandas hash model).
+_SQL_REPETITION = f"""
+WITH {_TOKS_CTE},
+rl AS MATERIALIZED (
+  SELECT doc_id AS id,
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls
+  FROM documents
+),
+rstat AS (
+  SELECT id,
+         len(ls) AS n_lines,
+         len(list_distinct(ls)) AS n_dist,
+         list_sum(list_transform(ls, l -> length(l))) AS chars,
+         list_sum(list_transform(list_distinct(ls), l -> length(l))) AS dchars,
+         list_max(list_transform(list_distinct(ls),
+           d -> len(list_filter(ls, l -> l = d)) * length(d))) AS rep_mass
+  FROM rl
+),
+rgram AS (
+  SELECT doc_id AS id,
+         unnest(CASE WHEN len(tk) >= 2
+           THEN list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))
+           ELSE [] END) AS g
+  FROM toks
+),
+rtop AS (
+  SELECT id, max(c)::DOUBLE / sum(c) AS top_frac
+  FROM (SELECT id, g, count(*) AS c FROM rgram GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT s.id,
+       s.n_lines::VARCHAR AS n_lines,
+       {dfmt("CASE WHEN s.n_lines > 0 THEN (s.n_lines - s.n_dist)::DOUBLE / s.n_lines END")} AS dup_line_frac,
+       {dfmt("CASE WHEN s.chars > 0 THEN (s.chars - s.dchars)::DOUBLE / s.chars END")} AS dup_line_char_frac,
+       {dfmt("CASE WHEN s.chars > 0 THEN s.rep_mass::DOUBLE / s.chars END")} AS max_line_frac,
+       {dfmt("t.top_frac")} AS top_ngram_frac
+FROM rstat s LEFT JOIN rtop t USING (id)
+"""
+
+
 def _q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 per-document text profile: quality signals joined with the
-    language-ID prediction on doc id (both sides one scan each; the
-    join key is the unique doc id, so no multiplication)."""
-    return _q_quality(spark, sf_dir).join(_q_language_id(spark, sf_dir), "id")
+    language-ID prediction AND the F34 repetition signals on doc id
+    (each side one scan; the join key is the unique doc id, so no
+    multiplication). The repetition columns bring repetition_frame
+    under the driver oracle (round-6 consolidation — window stays
+    at 50)."""
+    rep = text.repetition_frame(
+        read_table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).select(
+        "id",
+        F.col("n_lines").cast("string").alias("n_lines"),
+        fmt_sci(F.col("dup_line_frac")).alias("dup_line_frac"),
+        fmt_sci(F.col("dup_line_char_frac")).alias("dup_line_char_frac"),
+        fmt_sci(F.col("max_line_frac")).alias("max_line_frac"),
+        fmt_sci(F.col("top_ngram_frac")).alias("top_ngram_frac"),
+    )
+    return (
+        _q_quality(spark, sf_dir)
+        .join(_q_language_id(spark, sf_dir), "id")
+        .join(rep, "id")
+    )
 
 
 def _quality_lang_sql() -> str:
     return (
-        f"SELECT q.*, l.lang_pred FROM ({_SQL_QUALITY}) q"
+        f"SELECT q.*, l.lang_pred, r.n_lines, r.dup_line_frac,"
+        f" r.dup_line_char_frac, r.max_line_frac, r.top_ngram_frac"
+        f" FROM ({_SQL_QUALITY}) q"
         f" JOIN ({_lang_sql()}) l USING (id)"
+        f" JOIN ({_SQL_REPETITION}) r USING (id)"
     )
 
 

@@ -44,6 +44,10 @@ QUERIES = [
     # both components algorithms against the recursive fixpoint under
     # unicode/empty/NULL/duplicate docs (round 5)
     "near_dup_clusters",
+    # round-6 consolidations: repetition signals (NULL text, unicode,
+    # whitespace-only lines) and the split-label 52-bit arithmetic
+    "text_quality_lang",
+    "stratified_sample",
 ]
 
 EXTRA_DOCS = [
