@@ -14,6 +14,10 @@ are scored.
 
 from __future__ import annotations
 
+# Module scope: the pandas_udf type-hint resolver evaluates annotations
+# in the function's global namespace (see _topn_centroid_udf).
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -172,21 +176,89 @@ def cosine_topk_lsh(
 # IVF (inverted-file) bucketing (scale path #2)
 # ---------------------------------------------------------------------------
 
+#: Centroid count above which ivf_assign/probe switch from plan-literal
+#: expression trees to the broadcast-numpy Arrow path. At n_centroids ≤
+#: 64 the literal form is a shuffle-free whole-stage-codegen projection;
+#: beyond that the PLAN itself becomes the bottleneck (4096 centroids ×
+#: dim 768 ≈ 3M literal nodes — Catalyst chokes long before the data).
+_IVF_LITERAL_MAX = 64
+
+
+def _topn_centroid_udf(spark, centroids: list[list[float]], n_best: int):
+    """Arrow-batched top-``n_best`` centroid assignment for LARGE
+    centroid sets: the row-normalized centroid matrix ships ONCE as a
+    Spark broadcast (a few MB at 4096×768), and each Arrow batch is one
+    BLAS matmul + argsort — map-side, zero shuffle, plan size O(1) in
+    n_centroids (plan-shape-tested at 512 in
+    tests/test_sinks_and_recall.py).
+
+    This deliberately is NOT a broadcast join + min_by: that shape
+    multiplies every corpus row by n_centroids through the join and
+    drags the fan-out into an aggregation — a ×K volume amplification
+    the map-side matmul never pays.
+
+    Semantics match :func:`cosine_expr`'s argmax for well-formed
+    vectors (cosine = normalized dot; argmax invariant). Malformed
+    rows — NULL, dimension mismatch, zero-norm — get a NULL assignment
+    (the literal path parks them on the last centroid with NULL
+    scores; neither can ever clear a similarity threshold, but NULL is
+    the honest rendering). Ties break toward the LOWER centroid id
+    (stable argsort); the literal path breaks high — k-means centroids
+    are distinct, so exact score ties require degenerate inputs."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = 1.0
+    bc = spark.sparkContext.broadcast(C / cn[:, None])
+
+    @F.pandas_udf("array<int>")
+    def topn(vs: pd.Series) -> pd.Series:
+        Cn = bc.value
+        D = Cn.shape[1]
+        res: list = [None] * len(vs)
+        idx = [
+            i for i, v in enumerate(vs) if v is not None and len(v) == D
+        ]
+        if idx:
+            X = np.asarray(
+                [np.asarray(vs.iloc[i], dtype=np.float64) for i in idx]
+            )
+            xn = np.linalg.norm(X, axis=1)
+            ok = xn > 0
+            xn[~ok] = 1.0
+            S = (X / xn[:, None]) @ Cn.T
+            order = np.argsort(-S, axis=1, kind="stable")[:, :n_best]
+            for pos, i in enumerate(idx):
+                if ok[pos]:
+                    res[i] = order[pos].astype("int32").tolist()
+        return pd.Series(res)
+
+    return topn
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str | None = None,
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (max cosine). Centroids
-    are plan literals — at realistic list sizes (≤ 4k) this stays a
-    map-only projection, no shuffle.
+    """Assign each vector to its nearest centroid (max cosine).
 
-    Argmax is array_sort over (score, id) structs — linear expression
-    size. (A chained when(s > best, ...) fold references the running
-    best twice per step, doubling the expression tree per centroid:
-    2^16 nodes at 16 centroids, which took multi-MiB task binaries and
-    ~13 s of codegen for 600 rows.)"""
+    Two physical strategies, both map-only projections with no shuffle
+    (``method=None`` picks by centroid count; "literal"/"arrow" force
+    a path — used by the equivalence test):
+
+    * ``n_centroids ≤ 64`` — centroids as plan literals, argmax via
+      array_sort over (score, id) structs: linear expression size,
+      whole-stage codegen. (A chained when(s > best, ...) fold
+      references the running best twice per step, doubling the
+      expression tree per centroid: 2^16 nodes at 16 centroids, which
+      took multi-MiB task binaries and ~13 s of codegen for 600 rows.)
+    * larger — the broadcast-numpy Arrow path
+      (:func:`_topn_centroid_udf`): plan size stays O(1) in
+      n_centroids, per-batch cost is one BLAS matmul."""
     if not centroids:
         # all-NULL/empty corpus sample — every row is unassignable
         return df.select(
@@ -194,6 +266,17 @@ def ivf_assign(
             F.col(vec_col).alias("vec"),
             F.lit(None).cast("int").alias("centroid_id"),
         ).filter(F.lit(False))
+    if method == "arrow" or (
+        method is None and len(centroids) > _IVF_LITERAL_MAX
+    ):
+        topn = _topn_centroid_udf(df.sparkSession, centroids, 1)
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.element_at(
+                topn(F.col(vec_col).cast("array<double>")), 1
+            ).alias("centroid_id"),
+        )
     entries = [
         F.struct(
             cosine_expr(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cen])).alias(
@@ -285,24 +368,39 @@ def cosine_topk_ivf(
         F.col("id").alias("neighbor_id"), F.col("vec").alias("cv"), "centroid_id"
     )
 
-    # Query-side: n_probes nearest centroids each.
-    probe_entries = []
-    for ci, cen in enumerate(centroids):
-        arr = F.array(*[F.lit(float(x)) for x in cen])
-        probe_entries.append(
-            F.struct(
-                cosine_expr(F.col(vec_col), arr).alias("score"),
-                F.lit(ci).alias("centroid_id"),
-            )
+    # Query-side: n_probes nearest centroids each — same two physical
+    # strategies as ivf_assign (plan literals vs broadcast-numpy Arrow).
+    if len(centroids) > _IVF_LITERAL_MAX:
+        topn = _topn_centroid_udf(
+            queries.sparkSession, centroids, n_probes
         )
-    ranked = F.slice(
-        F.reverse(F.array_sort(F.array(*probe_entries))), 1, n_probes
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.explode(ranked).alias("p"),
-    ).select("query_id", "qv", F.col("p.centroid_id").alias("centroid_id"))
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(
+                topn(F.col(vec_col).cast("array<double>"))
+            ).alias("centroid_id"),
+        )
+    else:
+        probe_entries = []
+        for ci, cen in enumerate(centroids):
+            arr = F.array(*[F.lit(float(x)) for x in cen])
+            probe_entries.append(
+                F.struct(
+                    cosine_expr(F.col(vec_col), arr).alias("score"),
+                    F.lit(ci).alias("centroid_id"),
+                )
+            )
+        ranked = F.slice(
+            F.reverse(F.array_sort(F.array(*probe_entries))), 1, n_probes
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(ranked).alias("p"),
+        ).select(
+            "query_id", "qv", F.col("p.centroid_id").alias("centroid_id")
+        )
 
     scored = (
         c.join(F.broadcast(q), "centroid_id")

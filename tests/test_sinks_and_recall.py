@@ -215,3 +215,80 @@ def test_ivf_centroid_dim_survives_ragged_lowest_id_row(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     cents = sample_centroids(df, 4, "embedding", "vec_id")
     assert cents and all(len(c) == 4 for c in cents), cents
+
+
+def _pseudo_vecs(n: int, dim: int, seed: int = 7):
+    """Deterministic LCG vectors — no RNG state, tie-free in practice."""
+    state = seed
+    out = []
+    for i in range(n):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append((state / float(1 << 31)) * 2.0 - 1.0)
+        out.append((i, row))
+    return out
+
+
+def test_ivf_assign_arrow_equals_literal(spark):
+    """The broadcast-numpy Arrow assignment path (n_centroids >
+    _IVF_LITERAL_MAX) is row-identical to the plan-literal path on
+    well-formed vectors, and renders malformed rows (NULL / ragged /
+    zero-norm) as NULL assignments without crashing."""
+    from petk_spark.operators.similarity import ivf_assign
+
+    vecs = _pseudo_vecs(300, 8)
+    cents = [v for _, v in _pseudo_vecs(70, 8, seed=99)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    lit = {
+        r["id"]: r["centroid_id"]
+        for r in ivf_assign(df, cents, method="literal").collect()
+    }
+    arrow = {
+        r["id"]: r["centroid_id"]
+        for r in ivf_assign(df, cents, method="arrow").collect()
+    }
+    assert lit == arrow and len(lit) == 300
+
+    bad = spark.createDataFrame(
+        [(0, None), (1, [1.0, 2.0]), (2, [0.0] * 8), (3, [1.0] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["id"]: r["centroid_id"]
+        for r in ivf_assign(bad, cents, method="arrow").collect()
+    }
+    assert got[0] is None and got[1] is None and got[2] is None
+    assert got[3] is not None
+
+
+def test_ivf_arrow_plan_bounded_at_512_centroids(spark):
+    """At n_centroids=512 the assignment plan must stay O(1) in the
+    centroid count: centroids travel as ONE broadcast variable into an
+    Arrow-batched projection — no shuffle, no join, no 512-literal
+    expression tree (the literal path's plan would be ~40k nodes here
+    and Catalyst analysis alone takes longer than the query)."""
+    from petk_spark.operators.similarity import cosine_topk_ivf, ivf_assign
+    from petk_spark.plans.inspect import exchange_count, executed_plan
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = [v for _, v in _pseudo_vecs(512, 64, seed=3)]
+
+    assign = ivf_assign(emb, cents)
+    assign.collect()
+    plan = executed_plan(assign)
+    assert "ArrowEvalPython" in plan, plan[:1500]
+    assert exchange_count(assign) == 0
+    assert len(plan) < 20_000, f"plan grew with centroid count: {len(plan)}"
+
+    # end-to-end: the large-centroid path produces ranked neighbors
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk_ivf(
+        emb, queries, "vec_id", "embedding",
+        k=5, n_centroids=128, n_probes=32,
+    )
+    rows = out.collect()
+    got = {r["query_id"] for r in rows}
+    assert got == {0, 1, 2, 3, 4}
+    assert all(1 <= r["rank"] <= 5 for r in rows)
