@@ -468,9 +468,11 @@ def streaming_partial_store(
     of folding the tiny store (:func:`profile_from_store`), with no
     replay of the stream and no unbounded operator state: profile
     state lives in the store as O(batches × columns) compact rows, not
-    in the streaming state store at all. Compact the store periodically
-    by rewriting ``merge_partials`` of old batches if batch count ever
-    matters (it is ~rows-per-day × columns — small by construction).
+    in the streaming state store at all. The store grows one partial
+    per micro-batch (a year of 1-minute batches ≈ 525k rows per
+    column); run :func:`compact_store` periodically to fold it back to
+    O(columns) — the fold is lossless for every statistic the store
+    carries (sketches merge, moments use the centered Chan identity).
 
     Returns the ``DataStreamWriter`` (caller sets checkpoint/trigger
     and calls ``start()``)."""
@@ -497,3 +499,73 @@ def profile_from_store(spark, store_path: str) -> DataFrame:
 
     stored = spark.read.parquet(store_path)
     return finalize_profile(merge_partials(stored.drop("batch_id")))
+
+
+def compact_store(spark, store_path: str) -> int:
+    """Fold every batch partial in a :func:`streaming_partial_store`
+    directory into ONE batch directory (the lowest folded id), keeping
+    the store O(columns × groups) no matter how many micro-batches
+    have run. Returns the number of batch directories folded
+    (0 = nothing to do). The fold is lossless for everything the store
+    carries: counts/sums/min/max add or fold exactly, moments merge
+    via the centered Chan identity, HLL/KLL sketches union — so
+    :func:`profile_from_store` before and after compaction agree
+    (equality pinned by the soak test in tests/test_streaming.py).
+
+    Crash safety (single-writer contract — run compaction from the
+    same maintenance loop as the sink, never concurrently with it):
+    the merged partial is first written to a ``_``-prefixed temp
+    directory (invisible to parquet partition discovery, so readers
+    are never affected), then a WRITE-AHEAD MANIFEST listing the
+    folded batch ids commits the operation, then the folded
+    directories are deleted and the temp renamed into place. A crash
+    at any point either leaves the store untouched (before the
+    manifest) or is completed by the recovery sweep at the next
+    ``compact_store`` call (after it) — the store never double-counts
+    and never loses a committed fold. Directory ops go through the
+    Hadoop FileSystem API, so the same protocol holds on HDFS/S3A
+    paths, not just local disk."""
+    import json
+
+    from petk_spark.operators.incremental import merge_partials
+
+    jvm = spark._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    fs = hadoop_path(store_path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    tmp_dir = f"{store_path}/_compact_tmp"
+    man_dir = f"{store_path}/_compact_manifest"
+
+    def _finish(folded: list[int], target: str) -> None:
+        for i in folded:
+            fs.delete(hadoop_path(f"{store_path}/batch_id={i}"), True)
+        if fs.exists(hadoop_path(tmp_dir)):
+            fs.rename(
+                hadoop_path(tmp_dir), hadoop_path(f"{store_path}/{target}")
+            )
+        fs.delete(hadoop_path(man_dir), True)
+
+    # recovery sweep: a manifest without a completed fold means the
+    # previous compaction crashed after its commit point — finish it
+    if fs.exists(hadoop_path(man_dir)):
+        m = json.loads(spark.read.text(man_dir).collect()[0][0])
+        _finish(m["folded"], m["target"])
+
+    stored = spark.read.parquet(store_path)
+    ids = sorted(r[0] for r in stored.select("batch_id").distinct().collect())
+    if len(ids) <= 1:
+        return 0
+    merged = merge_partials(stored.drop("batch_id"))
+    rows = merged.collect()  # O(columns × groups) — tiny by construction
+    fs.delete(hadoop_path(tmp_dir), True)
+    spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp_dir)
+    target = f"batch_id={ids[0]}"
+    payload = json.dumps({"folded": ids, "target": target})
+    spark.createDataFrame([(payload,)], "v string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(man_dir)  # ── commit point
+    _finish(ids, target)
+    return len(ids)

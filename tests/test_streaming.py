@@ -564,3 +564,113 @@ def test_streaming_partial_store_matches_batch_profile(spark, stream_dir, tmp_pa
     )
     # KLL over a 7-value column is in the exact (n < k) regime
     assert got["value"]["median"] == want["value"]["median"]
+
+
+def _store_batch(spark, store: str, b: int, n: int = 40):
+    """Write one simulated micro-batch partial, as foreachBatch would."""
+    from petk_spark.operators.incremental import partial_profile
+
+    df = spark.createDataFrame(
+        [(f"t{(i + b) % 3}", float(i + b * 10)) for i in range(n)],
+        "event_type string, value double",
+    )
+    partial_profile(df, ["event_type", "value"]).write.mode(
+        "overwrite"
+    ).parquet(f"{store}/batch_id={b}")
+    return df
+
+
+def test_compact_store_soak_bounded_and_lossless(spark, tmp_path):
+    """Soak the store maintenance loop: alternate batches and
+    compactions; after each compaction the store is ONE batch
+    directory with O(columns) rows, the folded profile equals the
+    whole-data batch profile (exact stats identical, sketches in
+    band), and a compaction with nothing to fold is a no-op."""
+    import glob
+
+    from petk_spark.operators.incremental import (
+        finalize_profile,
+        partial_profile,
+    )
+    from petk_spark.streaming.profile import compact_store, profile_from_store
+
+    store = str(tmp_path / "store")
+    frames, next_id = [], 0
+    for round_batches in (4, 3, 5):
+        for _ in range(round_batches):
+            frames.append(_store_batch(spark, store, next_id))
+            next_id += 1
+        folded = compact_store(spark, store)
+        assert folded == (round_batches if len(frames) == round_batches
+                          else round_batches + 1), folded
+        dirs = glob.glob(f"{store}/batch_id=*")
+        assert len(dirs) == 1, dirs
+        # store stays O(columns): one row per profiled column
+        assert spark.read.parquet(store).count() == 2
+
+        whole = frames[0]
+        for f in frames[1:]:
+            whole = whole.unionByName(f)
+        got = {
+            r["column"]: r.asDict()
+            for r in profile_from_store(spark, store).collect()
+        }
+        want = {
+            r["column"]: r.asDict()
+            for r in finalize_profile(
+                partial_profile(whole, ["event_type", "value"])
+            ).collect()
+        }
+        for c in ("event_type", "value"):
+            for k in ("n", "n_null", "min", "max", "sum"):
+                assert got[c][k] == want[c][k], (c, k)
+            g, w = got[c]["distinct_estimate"], want[c]["distinct_estimate"]
+            assert abs(g - w) <= max(0.05 * w, 1.0)
+        assert abs(
+            got["value"]["variance"] - want["value"]["variance"]
+        ) <= 1e-9 * abs(want["value"]["variance"])
+
+    assert compact_store(spark, store) == 0  # idempotent no-op
+
+
+def test_compact_store_crash_recovery(spark, tmp_path):
+    """A compaction that crashed right after its commit point (manifest
+    written, folded dirs and temp dir still on disk) is completed by
+    the recovery sweep of the next compact_store call — no double
+    count, no lost fold."""
+    import glob
+    import json
+
+    from petk_spark.operators.incremental import merge_partials
+    from petk_spark.streaming.profile import compact_store, profile_from_store
+
+    store = str(tmp_path / "store")
+    for b in range(3):
+        _store_batch(spark, store, b)
+    before = {
+        r["column"]: r.asDict()
+        for r in profile_from_store(spark, store).collect()
+    }
+
+    # simulate the crash: temp + manifest exist, nothing deleted/renamed
+    stored = spark.read.parquet(store)
+    merged = merge_partials(stored.drop("batch_id"))
+    spark.createDataFrame(merged.collect(), merged.schema).coalesce(
+        1
+    ).write.parquet(f"{store}/_compact_tmp")
+    payload = json.dumps({"folded": [0, 1, 2], "target": "batch_id=0"})
+    spark.createDataFrame([(payload,)], "v string").coalesce(1).write.text(
+        f"{store}/_compact_manifest"
+    )
+
+    assert compact_store(spark, store) == 0  # recovery only — no new fold
+    assert len(glob.glob(f"{store}/batch_id=*")) == 1
+    assert not glob.glob(f"{store}/_compact_tmp")
+    assert not glob.glob(f"{store}/_compact_manifest")
+    after = {
+        r["column"]: r.asDict()
+        for r in profile_from_store(spark, store).collect()
+    }
+    for c in ("event_type", "value"):
+        for k in ("n", "n_null", "min", "max", "sum", "mean"):
+            assert after[c][k] == before[c][k], (c, k)
