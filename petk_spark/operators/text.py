@@ -378,12 +378,22 @@ def repetition_frame(
 
     ``top_ngram_frac`` — fraction of the document's token n-grams
     accounted for by its single most frequent n-gram (Gopher's
-    duplicate-2-gram class of filters): token arrays fan out to
-    (doc, ngram) rows, one count aggregation keyed by (doc, ngram)
-    (balanced — key cardinality ≈ corpus n-gram volume, no hot key
-    beyond a single document's repetition), then a per-doc max and a
-    broadcast-size join back. Quadratic nowhere; the explode volume is
-    the token count, the same scale as any tokenizing pass."""
+    duplicate-2-gram class of filters). Computed ROW-LOCALLY like the
+    line signals: build the gram array, ``array_sort`` it, one
+    ``aggregate`` run-length pass for the max count — so the whole
+    frame is a single projection on the scan: ZERO shuffles, zero
+    joins, O(T log T) per document. (The previous form exploded every
+    n-gram through a (doc, gram) count shuffle and joined the rollup
+    back — a corpus-token-volume shuffle that bought nothing: the
+    per-doc mode never needs cross-row state, and the token array is
+    materialized per row either way.)
+
+    Staging note: the token and gram arrays are bound as intermediate
+    COLUMNS, not inlined subtrees — an array-producing expression
+    referenced inside a ``transform``/``aggregate`` lambda re-evaluates
+    per ELEMENT (the lambda body is just an expression tree), which
+    turns the gram build into O(T²) per row; multiple references to a
+    non-cheap named column keep CollapseProject from re-inlining it."""
     t = F.col(text_col)
     sig = repetition_signals(t)
     base = df.select(
@@ -393,32 +403,41 @@ def repetition_frame(
             F.split(F.lower(t), r"\s+"), lambda x: x != F.lit("")
         ).alias("__toks"),
     )
-    grams = base.select(
-        "id",
-        F.explode(
-            F.when(
-                F.size("__toks") >= ngram,
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.size("__toks") - F.lit(ngram - 1)
-                    ),
-                    lambda i: F.array_join(
-                        F.slice(F.col("__toks"), i, ngram), " "
-                    ),
-                ),
-            ).otherwise(F.array())
-        ).alias("g"),
-    )
-    top = (
-        grams.groupBy("id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("id")
-        .agg(F.max("c").alias("__top"), F.sum("c").alias("__total"))
-        .select(
-            "id",
-            (F.col("__top").cast("double") / F.col("__total")).alias(
-                "top_ngram_frac"
-            ),
+    grams = F.when(
+        F.size("__toks") >= ngram,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - F.lit(ngram - 1)),
+            lambda i: F.array_join(F.slice(F.col("__toks"), i, ngram), " "),
+        ),
+    ).otherwise(F.array())
+    staged = base.withColumn("__grams", grams)
+
+    # max occurrence count over grams: sorted run-length scan (same
+    # shape as repetition_signals.max_line_frac, counts instead of
+    # char mass)
+    def _run_step(acc: Column, g: Column) -> Column:
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
         )
+
+    top_count = F.aggregate(
+        F.array_sort(F.col("__grams")),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        _run_step,
+        lambda acc: acc["best"],
     )
-    return base.drop("__toks").join(top, "id", "left")
+    return staged.select(
+        "id",
+        *[k for k in sig],
+        F.when(
+            F.size("__grams") > 0,
+            top_count.cast("double") / F.size("__grams"),
+        ).alias("top_ngram_frac"),
+    )

@@ -108,10 +108,12 @@ def test_repetition_signals_known_values(spark):
 
 
 def test_repetition_signals_row_local_plan(spark):
-    """The line-level signals are a projection — no exchange before the
-    bigram aggregation's single balanced shuffle pair."""
+    """The WHOLE repetition frame — line signals AND the n-gram mode —
+    is one row-local projection on the scan: zero shuffles, zero
+    joins (round 6: the former (doc, gram) count shuffle + join back
+    was replaced by a sorted run-length pass over the gram array)."""
     from petk_spark.operators.text import repetition_frame
-    from petk_spark.plans.inspect import exchange_count
+    from petk_spark.plans.inspect import exchange_count, scan_count
 
     df = spark.createDataFrame(
         [(i, f"line a\nline b {i}") for i in range(100)],
@@ -119,9 +121,7 @@ def test_repetition_signals_row_local_plan(spark):
     )
     out = repetition_frame(df, "doc_id", "text")
     out.collect()
-    # (doc, gram) count agg + per-doc rollup + join back (both sides
-    # shuffle on id): bounded small, no cartesian
-    assert exchange_count(out) <= 6
+    assert exchange_count(out) == 0
 
 
 def test_repetition_signals_bounded_on_many_distinct_lines(spark):
