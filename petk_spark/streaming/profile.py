@@ -547,10 +547,17 @@ def compact_store(spark, store_path: str) -> int:
         fs.delete(hadoop_path(man_dir), True)
 
     # recovery sweep: a manifest without a completed fold means the
-    # previous compaction crashed after its commit point — finish it
+    # previous compaction crashed after its commit point — finish it.
+    # An EMPTY manifest dir (crash mid-write, before the text commit)
+    # means the commit point was never reached: the store is untouched
+    # and the half-written manifest is just debris to clear.
     if fs.exists(hadoop_path(man_dir)):
-        m = json.loads(spark.read.text(man_dir).collect()[0][0])
-        _finish(m["folded"], m["target"])
+        rows = spark.read.text(man_dir).collect()
+        if rows:
+            m = json.loads(rows[0][0])
+            _finish(m["folded"], m["target"])
+        else:
+            fs.delete(hadoop_path(man_dir), True)
 
     stored = spark.read.parquet(store_path)
     ids = sorted(r[0] for r in stored.select("batch_id").distinct().collect())

@@ -674,3 +674,33 @@ def test_compact_store_crash_recovery(spark, tmp_path):
     for c in ("event_type", "value"):
         for k in ("n", "n_null", "min", "max", "sum", "mean"):
             assert after[c][k] == before[c][k], (c, k)
+
+
+def test_compact_store_half_written_manifest_is_debris(spark, tmp_path):
+    """A crash DURING the manifest write (dir exists, no committed text
+    rows) is before the commit point: the next compact_store clears the
+    debris and performs a fresh, correct fold."""
+    import glob
+    import os
+
+    from petk_spark.streaming.profile import compact_store, profile_from_store
+
+    store = str(tmp_path / "store")
+    for b in range(3):
+        _store_batch(spark, store, b)
+    before = {
+        r["column"]: r.asDict()
+        for r in profile_from_store(spark, store).collect()
+    }
+    os.makedirs(f"{store}/_compact_manifest/_temporary", exist_ok=True)
+
+    assert compact_store(spark, store) == 3
+    assert len(glob.glob(f"{store}/batch_id=*")) == 1
+    assert not glob.glob(f"{store}/_compact_manifest")
+    after = {
+        r["column"]: r.asDict()
+        for r in profile_from_store(spark, store).collect()
+    }
+    for c in ("event_type", "value"):
+        for k in ("n", "n_null", "min", "max", "sum", "mean"):
+            assert after[c][k] == before[c][k], (c, k)
