@@ -113,7 +113,7 @@ def test_repetition_signals_row_local_plan(spark):
     joins (round 6: the former (doc, gram) count shuffle + join back
     was replaced by a sorted run-length pass over the gram array)."""
     from petk_spark.operators.text import repetition_frame
-    from petk_spark.plans.inspect import exchange_count, scan_count
+    from petk_spark.plans.inspect import exchange_count
 
     df = spark.createDataFrame(
         [(i, f"line a\nline b {i}") for i in range(100)],
