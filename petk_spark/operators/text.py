@@ -403,6 +403,15 @@ def repetition_frame(
             F.split(F.lower(t), r"\s+"), lambda x: x != F.lit("")
         ).alias("__toks"),
     )
+    return _append_top_ngram_frac(base, ngram)
+
+
+def _append_top_ngram_frac(staged: DataFrame, ngram: int) -> DataFrame:
+    """Append ``top_ngram_frac`` to a frame carrying a materialized
+    ``__toks`` token-array column, dropping the staging columns. The
+    max occurrence count over grams is a sorted run-length scan (same
+    shape as repetition_signals.max_line_frac, counts instead of char
+    mass) — row-local, zero shuffle."""
     grams = F.when(
         F.size("__toks") >= ngram,
         F.transform(
@@ -410,11 +419,8 @@ def repetition_frame(
             lambda i: F.array_join(F.slice(F.col("__toks"), i, ngram), " "),
         ),
     ).otherwise(F.array())
-    staged = base.withColumn("__grams", grams)
+    out = staged.withColumn("__grams", grams)
 
-    # max occurrence count over grams: sorted run-length scan (same
-    # shape as repetition_signals.max_line_frac, counts instead of
-    # char mass)
     def _run_step(acc: Column, g: Column) -> Column:
         run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
         return F.struct(
@@ -433,11 +439,42 @@ def repetition_frame(
         _run_step,
         lambda acc: acc["best"],
     )
-    return staged.select(
-        "id",
-        *[k for k in sig],
+    return out.withColumn(
+        "top_ngram_frac",
         F.when(
             F.size("__grams") > 0,
             top_count.cast("double") / F.size("__grams"),
-        ).alias("top_ngram_frac"),
+        ),
+    ).drop("__toks", "__grams")
+
+
+def document_signals_frame(
+    df: DataFrame, id_col: str, text_col: str, ngram: int = 2
+) -> DataFrame:
+    """EVERY per-document text signal in ONE projection on the scan:
+    the quality block (:func:`quality_signals` + ``quality_score``),
+    the language prediction (:func:`language_id`), and the repetition
+    block (:func:`repetition_signals` + ``top_ngram_frac``) — zero
+    shuffles, zero joins, one pass over the corpus.
+
+    This is the production path for a corpus-wide quality/filter sweep
+    at 100 TB: the driver twin (`extensions_registry.
+    _q_text_quality_lang`) composes the SAME signal expressions as
+    three id-joined frames for oracle modularity, which costs three
+    scans of the documents table; a pipeline that wants all signals
+    should call this instead and pay one. Column-for-column equality
+    with the composed form is pinned in tests/test_dedup.py."""
+    t = F.col(text_col)
+    q = quality_signals(t)
+    rep = repetition_signals(t)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *[c.alias(k) for k, c in q.items()],
+        quality_score(t).alias("quality_score"),
+        language_id(t).alias("lang_pred"),
+        *[c.alias(k) for k, c in rep.items()],
+        F.filter(
+            F.split(F.lower(t), r"\s+"), lambda x: x != F.lit("")
+        ).alias("__toks"),
     )
+    return _append_top_ngram_frac(base, ngram)

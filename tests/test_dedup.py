@@ -153,3 +153,42 @@ def test_repetition_signals_bounded_on_many_distinct_lines(spark):
     assert abs(row["dup_line_char_frac"] - (chars - dchars) / chars) < 1e-12
     assert abs(row["max_line_frac"] - 5 * 18 / chars) < 1e-12
     assert elapsed < 60, f"{elapsed:.1f}s — quadratic regression?"
+
+
+def test_document_signals_frame_fused_one_scan(spark):
+    """The fused production path equals the three composed frames
+    column-for-column (quality ∘ lang ∘ repetition joined on id) and
+    is ONE scan with zero shuffles — the plan a 100 TB corpus sweep
+    should pay instead of three."""
+    import math
+
+    from petk_spark.operators.text import (
+        document_signals_frame,
+        language_id_frame,
+        repetition_frame,
+        text_quality_frame,
+    )
+    from petk_spark.plans.inspect import exchange_count, scan_count
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    fused = document_signals_frame(df, "doc_id", "text")
+    fused.collect()
+    assert scan_count(fused) == 1
+    assert exchange_count(fused) == 0
+
+    composed = (
+        text_quality_frame(df, "doc_id", "text")
+        .join(language_id_frame(df, "doc_id", "text"), "id")
+        .join(repetition_frame(df, "doc_id", "text"), "id")
+    )
+    assert set(fused.columns) == set(composed.columns)
+    got = {r["id"]: r.asDict() for r in fused.collect()}
+    want = {r["id"]: r.asDict() for r in composed.collect()}
+    assert set(got) == set(want) and len(got) >= 100
+    for i, row in want.items():
+        for k, v in row.items():
+            g = got[i][k]
+            if isinstance(v, float):
+                assert g == v or math.isclose(g, v, rel_tol=1e-12), (i, k)
+            else:
+                assert g == v, (i, k)
