@@ -259,6 +259,10 @@ def ivf_assign(
     * larger — the broadcast-numpy Arrow path
       (:func:`_topn_centroid_udf`): plan size stays O(1) in
       n_centroids, per-batch cost is one BLAS matmul."""
+    if method not in (None, "literal", "arrow"):
+        raise ValueError(
+            f"method must be None, 'literal' or 'arrow', got {method!r}"
+        )
     if not centroids:
         # all-NULL/empty corpus sample — every row is unassignable
         return df.select(
