@@ -94,6 +94,20 @@ def main() -> None:
 
     registry["describe_lineitem_approx_pure"] = _pure_approx
 
+    # Bench-only timing entry: the fused one-scan document sweep
+    # (text.document_signals_frame) — the production path whose
+    # correctness is pinned by equality to the three composed frames
+    # the text_quality_lang twin pays 3 scans for.
+    def _fused_signals(s, d):
+        from petk_spark.operators.text import document_signals_frame
+        from petk_spark.sources.tables import read_table
+
+        return document_signals_frame(
+            read_table(s, d, "documents"), "doc_id", "text"
+        )
+
+    registry["document_signals_fused"] = _fused_signals
+
     # Warm the JVM once (codegen compiler, parquet reader, shuffle, Arrow
     # python-worker pool) so the alphabetically-first query doesn't absorb
     # ~4 s of session spin-up that no steady-state deployment would pay.
