@@ -349,63 +349,51 @@ def sample_centroids(
     return [list(map(float, c)) for c in cent]
 
 
-def cosine_topk_ivf(
-    corpus: DataFrame,
+def _probe_frame(
     queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 10,
-    n_centroids: int = 16,
-    n_probes: int = 2,
+    centroids: list[list[float]],
+    n_probes: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """IVF approximate top-k: corpus bucketed by nearest centroid; each
-    query scores only its ``n_probes`` nearest centroid buckets."""
-    centroids = sample_centroids(corpus, n_centroids, vec_col, id_col)
-    if not centroids:
-        return corpus.sparkSession.createDataFrame(
-            [],
-            f"query_id {queries.schema[id_col].dataType.simpleString()}, "
-            f"neighbor_id {corpus.schema[id_col].dataType.simpleString()}, "
-            "cosine double, rank int",
-        )
-    c = ivf_assign(corpus, centroids, id_col, vec_col).select(
-        F.col("id").alias("neighbor_id"), F.col("vec").alias("cv"), "centroid_id"
-    )
-
-    # Query-side: n_probes nearest centroids each — same two physical
-    # strategies as ivf_assign (plan literals vs broadcast-numpy Arrow).
+    """(query_id, qv, centroid_id) — each query exploded to its
+    ``n_probes`` nearest centroids. Same two physical strategies as
+    :func:`ivf_assign` (plan literals vs broadcast-numpy Arrow)."""
     if len(centroids) > _IVF_LITERAL_MAX:
         topn = _topn_centroid_udf(
             queries.sparkSession, centroids, n_probes
         )
-        q = queries.select(
+        return queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
             F.explode(
                 topn(F.col(vec_col).cast("array<double>"))
             ).alias("centroid_id"),
         )
-    else:
-        probe_entries = []
-        for ci, cen in enumerate(centroids):
-            arr = F.array(*[F.lit(float(x)) for x in cen])
-            probe_entries.append(
-                F.struct(
-                    cosine_expr(F.col(vec_col), arr).alias("score"),
-                    F.lit(ci).alias("centroid_id"),
-                )
+    probe_entries = []
+    for ci, cen in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in cen])
+        probe_entries.append(
+            F.struct(
+                cosine_expr(F.col(vec_col), arr).alias("score"),
+                F.lit(ci).alias("centroid_id"),
             )
-        ranked = F.slice(
-            F.reverse(F.array_sort(F.array(*probe_entries))), 1, n_probes
         )
-        q = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            F.explode(ranked).alias("p"),
-        ).select(
-            "query_id", "qv", F.col("p.centroid_id").alias("centroid_id")
-        )
+    ranked = F.slice(
+        F.reverse(F.array_sort(F.array(*probe_entries))), 1, n_probes
+    )
+    return queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(ranked).alias("p"),
+    ).select(
+        "query_id", "qv", F.col("p.centroid_id").alias("centroid_id")
+    )
 
+
+def _score_buckets(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
+    """Score (neighbor_id, cv, centroid_id) corpus buckets against the
+    broadcast probe frame and rank top-k per query."""
     scored = (
         c.join(F.broadcast(q), "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -419,3 +407,116 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probes: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: corpus bucketed by nearest centroid; each
+    query scores only its ``n_probes`` nearest centroid buckets. For
+    repeated query batches over a stable corpus, build the index ONCE
+    with :func:`build_ivf_index` and use :func:`query_ivf_index`
+    instead — this single-shot form re-trains and re-assigns per
+    call."""
+    centroids = sample_centroids(corpus, n_centroids, vec_col, id_col)
+    if not centroids:
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"query_id {queries.schema[id_col].dataType.simpleString()}, "
+            f"neighbor_id {corpus.schema[id_col].dataType.simpleString()}, "
+            "cosine double, rank int",
+        )
+    c = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("cv"), "centroid_id"
+    )
+    q = _probe_frame(queries, centroids, n_probes, id_col, vec_col)
+    return _score_buckets(c, q, k)
+
+
+# ---------------------------------------------------------------------------
+# Persistent IVF index (build once, query many times)
+# ---------------------------------------------------------------------------
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iterations: int = 2,
+) -> list[list[float]]:
+    """Materialize an IVF index: train centroids, assign every corpus
+    vector to its nearest one, and write the assigned corpus
+    ``partitionBy("centroid_id")`` — one parquet directory per cell.
+    The trained centroids are stored alongside in an
+    underscore-prefixed text sidecar (invisible to parquet partition
+    discovery, same convention as the streaming store's manifest).
+
+    This is the repeated-query production shape at 100 TB: the k-means
+    sample, the full-corpus assignment pass, and the bucketed write
+    happen ONCE; each later :func:`query_ivf_index` batch joins the
+    index on its PARTITION column against a broadcast probe frame, so
+    Catalyst's dynamic partition pruning reads only the probed cells'
+    directories (~n_probes/n_centroids of the corpus) instead of
+    re-scanning and re-bucketing everything per batch. Rows whose
+    vector is malformed (NULL assignment) land in the default
+    partition and are never probed.
+
+    Returns the trained centroids (also what the sidecar stores)."""
+    import json
+
+    centroids = sample_centroids(
+        corpus, n_centroids, vec_col, id_col, iterations
+    )
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("cv"),
+        "centroid_id",
+    )
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(json.dumps(centroids),)], "v string"
+    ).coalesce(1).write.mode("overwrite").text(f"{path}/_ivf_centroids")
+    return centroids
+
+
+def load_ivf_centroids(spark, path: str) -> list[list[float]]:
+    """The centroid list stored by :func:`build_ivf_index`."""
+    import json
+
+    return json.loads(spark.read.text(f"{path}/_ivf_centroids").collect()[0][0])
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probes: int = 2,
+) -> DataFrame:
+    """Approximate top-k against a stored :func:`build_ivf_index`
+    directory. Identical results to :func:`cosine_topk_ivf` over the
+    same corpus and centroid count (pinned by test) — but the corpus
+    side is a partition-pruned read of only the probed cells (the
+    probe frame is broadcast and the join key IS the partition
+    column, so dynamic partition pruning applies), not a full scan +
+    re-assignment."""
+    centroids = load_ivf_centroids(spark, path)
+    if not centroids:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    index = spark.read.parquet(path).filter(
+        F.col("centroid_id").isNotNull()
+    )
+    q = _probe_frame(queries, centroids, n_probes, id_col, vec_col)
+    return _score_buckets(index, q, k)

@@ -292,3 +292,41 @@ def test_ivf_arrow_plan_bounded_at_512_centroids(spark):
     got = {r["query_id"] for r in rows}
     assert got == {0, 1, 2, 3, 4}
     assert all(1 <= r["rank"] <= 5 for r in rows)
+
+
+def test_ivf_index_build_query_equals_single_shot(spark, tmp_path):
+    """query_ivf_index over a stored index returns row-identical
+    results to the single-shot cosine_topk_ivf (same deterministic
+    centroid training), and the index read is partition-pruned: the
+    probe frame is broadcast and joined on the PARTITION column, so
+    the scan carries a dynamic partition pruning filter instead of
+    reading all cells."""
+    from petk_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk_ivf,
+        query_ivf_index,
+    )
+    from petk_spark.plans.inspect import executed_plan
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "ivf")
+
+    cents = build_ivf_index(emb, idx, n_centroids=8)
+    assert len(cents) == 8
+
+    out = query_ivf_index(spark, idx, queries, k=10, n_probes=2)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], round(r["cosine"], 12))
+        for r in out.collect()
+    )
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], round(r["cosine"], 12))
+        for r in cosine_topk_ivf(
+            emb, queries, k=10, n_centroids=8, n_probes=2
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+    plan = executed_plan(out)
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
