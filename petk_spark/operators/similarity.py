@@ -494,6 +494,28 @@ def load_ivf_centroids(spark, path: str) -> list[list[float]]:
     return json.loads(spark.read.text(f"{path}/_ivf_centroids").collect()[0][0])
 
 
+def append_to_ivf_index(
+    new_corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Assign NEW vectors with the index's STORED centroids and append
+    them to the bucketed directories — the daily-ingest shape: one
+    assignment pass over the new data only, no retraining, no rewrite
+    of existing cells. Queries immediately see the appended vectors
+    (same partition layout, same pruning). Centroids drift as the
+    corpus grows; rebuild with :func:`build_ivf_index` when recall
+    degrades — the same rebuild-cadence trade every IVF system makes."""
+    centroids = load_ivf_centroids(new_corpus.sparkSession, path)
+    assigned = ivf_assign(new_corpus, centroids, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("cv"),
+        "centroid_id",
+    )
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
+
+
 def query_ivf_index(
     spark,
     path: str,

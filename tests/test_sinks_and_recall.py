@@ -330,3 +330,47 @@ def test_ivf_index_build_query_equals_single_shot(spark, tmp_path):
 
     plan = executed_plan(out)
     assert "dynamicpruning" in plan.lower(), plan[:3000]
+
+
+def test_ivf_index_append_matches_full_assignment(spark, tmp_path):
+    """Building on half the corpus and appending the other half equals
+    assigning the FULL corpus with the same stored centroids: query
+    results are row-identical to scoring the whole corpus bucketed by
+    those centroids (no retraining on append)."""
+    from petk_spark.operators.similarity import (
+        _probe_frame,
+        _score_buckets,
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_assign,
+        load_ivf_centroids,
+        query_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "ivf")
+
+    build_ivf_index(half_a, idx, n_centroids=8)
+    append_to_ivf_index(half_b, idx)
+    cents = load_ivf_centroids(spark, idx)
+
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], round(r["cosine"], 12))
+        for r in query_ivf_index(
+            spark, idx, queries, k=10, n_probes=2
+        ).collect()
+    )
+    full = ivf_assign(emb, cents).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("cv"),
+        "centroid_id",
+    )
+    q = _probe_frame(queries, cents, 2, "vec_id", "embedding")
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], round(r["cosine"], 12))
+        for r in _score_buckets(full, q, 10).collect()
+    )
+    assert got == want and len(got) > 0
