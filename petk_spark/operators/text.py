@@ -54,9 +54,16 @@ STOPWORDS = [
 ]
 
 
-def quality_signals(text: Column) -> dict[str, Column]:
-    """Per-document quality features, each a single JVM expression."""
-    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+def _toks_of(text: Column) -> Column:
+    """Lowercased whitespace token array of a text column."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+
+
+def quality_signals(text: Column, toks: Column | None = None) -> dict[str, Column]:
+    """Per-document quality features, each a single JVM expression.
+    Pass a pre-tokenized ``toks`` column to share one tokenization
+    across signal families (see :func:`document_signals_frame`)."""
+    toks = _toks_of(text) if toks is None else toks
     n_tok = F.size(toks)
     n_chars = F.length(text)
     n_punct = F.regexp_count(text, F.lit("[^a-zA-Z0-9\\s]"))
@@ -82,10 +89,10 @@ def quality_signals(text: Column) -> dict[str, Column]:
     }
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, toks: Column | None = None) -> Column:
     """Composite [0,1] quality heuristic: long-enough, low punctuation,
     some stopwords (prose-like), plausible word lengths."""
-    s = quality_signals(text)
+    s = quality_signals(text, toks)
     len_ok = F.least(s["n_tokens"].cast("double") / F.lit(20.0), F.lit(1.0))
     punct_ok = F.greatest(F.lit(0.0), F.lit(1.0) - s["punct_ratio"] * 4)
     stop_ok = F.least(s["stopword_ratio"] * 5, F.lit(1.0))
@@ -122,10 +129,13 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
-def language_id(text: Column) -> Column:
+def language_id(text: Column, toks: Column | None = None) -> Column:
     """Predicted language code by marker-word hit count (ties broken by
-    language code order; 0 hits → 'und')."""
-    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+    language code order; 0 hits → 'und'). ``toks`` as in
+    :func:`quality_signals` — NOTE each language's score passes the
+    token array once, so sharing a materialized column here saves 5
+    tokenizations per row."""
+    toks = _toks_of(text) if toks is None else toks
     # Fold langs in reverse-lexicographic order with a >= comparison, so
     # on equal scores the lexicographically FIRST language wins.
     score = F.lit(-1)
@@ -463,18 +473,27 @@ def document_signals_frame(
     three id-joined frames for oracle modularity, which costs three
     scans of the documents table; a pipeline that wants all signals
     should call this instead and pay one. Column-for-column equality
-    with the composed form is pinned in tests/test_dedup.py."""
+    with the composed form is pinned in tests/test_dedup.py.
+
+    The tokenization is staged ONCE as a ``__toks`` column and shared
+    by every token-consuming signal (quality ratios, all five language
+    scores, the n-gram mode) — the composed frames each re-tokenize,
+    so a naive fusion would pay ~10 tokenization passes per row;
+    multiple references to the non-cheap alias keep CollapseProject
+    from re-inlining it."""
     t = F.col(text_col)
-    q = quality_signals(t)
-    rep = repetition_signals(t)
-    base = df.select(
+    staged = df.select(
         F.col(id_col).alias("id"),
-        *[c.alias(k) for k, c in q.items()],
-        quality_score(t).alias("quality_score"),
-        language_id(t).alias("lang_pred"),
-        *[c.alias(k) for k, c in rep.items()],
-        F.filter(
-            F.split(F.lower(t), r"\s+"), lambda x: x != F.lit("")
-        ).alias("__toks"),
+        t.alias("__text"),
+        _toks_of(t).alias("__toks"),
+    )
+    txt, tk = F.col("__text"), F.col("__toks")
+    base = staged.select(
+        "id",
+        *[c.alias(k) for k, c in quality_signals(txt, tk).items()],
+        quality_score(txt, tk).alias("quality_score"),
+        language_id(txt, tk).alias("lang_pred"),
+        *[c.alias(k) for k, c in repetition_signals(txt).items()],
+        tk.alias("__toks"),
     )
     return _append_top_ngram_frac(base, ngram)
