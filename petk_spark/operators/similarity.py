@@ -468,23 +468,46 @@ def build_ivf_index(
     vector is malformed (NULL assignment) land in the default
     partition and are never probed.
 
+    Layout: ``path/ingest=<generation>/centroid_id=<cell>/…`` — the
+    extra ``ingest`` partition level gives every ingest generation
+    (the base build, each batch append, each streaming micro-batch)
+    its own directory, so appends are independent overwrites
+    (idempotent under retries) and never rewrite existing data.
+    Queries drop the ``ingest`` column; pruning happens on
+    ``centroid_id`` regardless of the level above it.
+
     Returns the trained centroids (also what the sidecar stores)."""
     import json
 
     centroids = sample_centroids(
         corpus, n_centroids, vec_col, id_col, iterations
     )
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
-        F.col("id").alias("neighbor_id"),
-        F.col("vec").alias("cv"),
-        "centroid_id",
-    )
-    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    _write_ivf_generation(corpus, centroids, path, "base", id_col, vec_col)
     spark = corpus.sparkSession
     spark.createDataFrame(
         [(json.dumps(centroids),)], "v string"
     ).coalesce(1).write.mode("overwrite").text(f"{path}/_ivf_centroids")
     return centroids
+
+
+def _write_ivf_generation(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    generation: str,
+    id_col: str,
+    vec_col: str,
+) -> None:
+    """Assign ``corpus`` with ``centroids`` and overwrite ONE ingest
+    generation directory of the index (bucketed by centroid inside)."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("cv"),
+        "centroid_id",
+    )
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/ingest={generation}"
+    )
 
 
 def load_ivf_centroids(spark, path: str) -> list[list[float]]:
@@ -499,21 +522,38 @@ def append_to_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> None:
-    """Assign NEW vectors with the index's STORED centroids and append
-    them to the bucketed directories — the daily-ingest shape: one
+    generation: str | None = None,
+) -> str:
+    """Assign NEW vectors with the index's STORED centroids and add
+    them as a fresh ingest generation — the daily-ingest shape: one
     assignment pass over the new data only, no retraining, no rewrite
     of existing cells. Queries immediately see the appended vectors
-    (same partition layout, same pruning). Centroids drift as the
-    corpus grows; rebuild with :func:`build_ivf_index` when recall
-    degrades — the same rebuild-cadence trade every IVF system makes."""
-    centroids = load_ivf_centroids(new_corpus.sparkSession, path)
-    assigned = ivf_assign(new_corpus, centroids, id_col, vec_col).select(
-        F.col("id").alias("neighbor_id"),
-        F.col("vec").alias("cv"),
-        "centroid_id",
+    (same partition layout, same pruning). Returns the generation
+    token written (auto-numbered ``batch-<n>`` under the single-writer
+    contract unless ``generation`` pins one — re-running with the same
+    token is an idempotent overwrite of that generation). Centroids
+    drift as the corpus grows; rebuild with :func:`build_ivf_index`
+    when recall degrades — the same rebuild-cadence trade every IVF
+    system makes. For a stream of vectors use
+    ``streaming.profile.streaming_ivf_append`` (per-micro-batch
+    generations keyed by the checkpointed batch id)."""
+    spark = new_corpus.sparkSession
+    centroids = load_ivf_centroids(spark, path)
+    if generation is None:
+        jvm = spark._jvm
+        hp = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+        existing = [
+            st.getPath().getName()
+            for st in fs.listStatus(hp)
+            if st.getPath().getName().startswith("ingest=batch-")
+        ]
+        nums = [int(n.split("batch-", 1)[1]) for n in existing]
+        generation = f"batch-{max(nums) + 1 if nums else 0}"
+    _write_ivf_generation(
+        new_corpus, centroids, path, generation, id_col, vec_col
     )
-    assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
+    return generation
 
 
 def query_ivf_index(
@@ -537,7 +577,7 @@ def query_ivf_index(
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rank int"
         )
-    index = spark.read.parquet(path).filter(
+    index = spark.read.parquet(path).drop("ingest").filter(
         F.col("centroid_id").isNotNull()
     )
     q = _probe_frame(queries, centroids, n_probes, id_col, vec_col)

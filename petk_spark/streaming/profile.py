@@ -487,6 +487,42 @@ def streaming_partial_store(
     return sdf.writeStream.foreachBatch(write_batch)
 
 
+def streaming_ivf_append(
+    sdf: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Stream NEW vectors into a stored IVF index
+    (``operators.similarity.build_ivf_index``): each micro-batch is
+    assigned with the index's stored centroids (loaded ONCE at wiring
+    time — no retraining, no per-batch sidecar read) and written as
+    its own ingest generation ``stream-<batch_id>``. The overwrite of
+    a per-batch-id directory makes the sink idempotent under
+    foreachBatch's at-least-once retries — the same exactly-once file
+    recipe as :func:`streaming_partial_store` — and
+    ``query_ivf_index`` sees appended vectors as soon as the batch
+    commits, with partition pruning intact. Single ingest pipeline per
+    index (don't mix with concurrent batch appends).
+
+    Returns the ``DataStreamWriter`` (caller sets checkpoint/trigger
+    and calls ``start()``)."""
+    from petk_spark.operators.similarity import (
+        _write_ivf_generation,
+        load_ivf_centroids,
+    )
+
+    centroids = load_ivf_centroids(sdf.sparkSession, index_path)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _write_ivf_generation(
+            batch_df, centroids, index_path, f"stream-{batch_id}",
+            id_col, vec_col,
+        )
+
+    return sdf.writeStream.foreachBatch(write_batch)
+
+
 def profile_from_store(spark, store_path: str) -> DataFrame:
     """Finalized profile over every partial in a
     :func:`streaming_partial_store` directory: read the (tiny) store,

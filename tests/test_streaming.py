@@ -704,3 +704,62 @@ def test_compact_store_half_written_manifest_is_debris(spark, tmp_path):
     for c in ("event_type", "value"):
         for k in ("n", "n_null", "min", "max", "sum", "mean"):
             assert after[c][k] == before[c][k], (c, k)
+
+
+def test_streaming_ivf_append_matches_batch_assignment(spark, tmp_path):
+    """Vectors streamed into a stored IVF index (per-micro-batch
+    ingest generations, stored centroids, no retraining) yield query
+    results row-identical to a batch assignment of the full corpus
+    with the same centroids."""
+    from pyspark.sql import functions as F
+
+    from petk_spark.operators.similarity import (
+        _probe_frame,
+        _score_buckets,
+        build_ivf_index,
+        ivf_assign,
+        load_ivf_centroids,
+        query_ivf_index,
+    )
+    from petk_spark.streaming.profile import streaming_ivf_append
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(half_a, idx, n_centroids=8)
+
+    feed = str(tmp_path / "feed")
+    half_b.repartition(2).write.parquet(feed)
+    sdf = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = (
+        streaming_ivf_append(sdf, idx)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = load_ivf_centroids(spark, idx)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], round(r["cosine"], 12))
+        for r in query_ivf_index(
+            spark, idx, queries, k=10, n_probes=2
+        ).collect()
+    )
+    full = ivf_assign(emb, cents).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("cv"),
+        "centroid_id",
+    )
+    pq = _probe_frame(queries, cents, 2, "vec_id", "embedding")
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], round(r["cosine"], 12))
+        for r in _score_buckets(full, pq, 10).collect()
+    )
+    assert got == want and len(got) > 0
