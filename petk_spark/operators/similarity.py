@@ -556,6 +556,35 @@ def append_to_ivf_index(
     return generation
 
 
+def compact_ivf_index(spark, path: str) -> int:
+    """Fold every ingest generation of a stored IVF index into ONE
+    (``ingest=base``) — file-count hygiene for long-lived indexes fed
+    by :func:`append_to_ivf_index` / streaming micro-batches (a year
+    of 1-minute streaming generations is ~525k directories; queries
+    stay correct but planning and listing degrade). Pure rewrite, no
+    re-assignment: vectors keep their stored centroid cells.
+
+    Crash safety: the shared write-ahead-manifest fold protocol in
+    ``sources/swap.py`` — unlike the partial store's fold, the
+    replacement data here is corpus-sized, so it is written to the
+    hidden temp directory DISTRIBUTED (partitionBy centroid_id), never
+    collected. Returns the number of generations folded (0 = nothing
+    to do). Single-writer contract: don't run concurrently with
+    ingest."""
+    from petk_spark.sources import swap
+
+    swap.recover_pending_swap(spark, path)
+    gens = swap.list_children(spark, path, "ingest=")
+    if len(gens) <= 1:
+        return 0
+    tmp = swap.clear_tmp(spark, path)
+    spark.read.parquet(path).drop("ingest").write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(tmp)
+    swap.committed_swap(spark, path, gens, "ingest=base")
+    return len(gens)
+
+
 def query_ivf_index(
     spark,
     path: str,

@@ -548,52 +548,16 @@ def compact_store(spark, store_path: str) -> int:
     :func:`profile_from_store` before and after compaction agree
     (equality pinned by the soak test in tests/test_streaming.py).
 
-    Crash safety (single-writer contract — run compaction from the
-    same maintenance loop as the sink, never concurrently with it):
-    the merged partial is first written to a ``_``-prefixed temp
-    directory (invisible to parquet partition discovery, so readers
-    are never affected), then a WRITE-AHEAD MANIFEST listing the
-    folded batch ids commits the operation, then the folded
-    directories are deleted and the temp renamed into place. A crash
-    at any point either leaves the store untouched (before the
-    manifest) or is completed by the recovery sweep at the next
-    ``compact_store`` call (after it) — the store never double-counts
-    and never loses a committed fold. Directory ops go through the
-    Hadoop FileSystem API, so the same protocol holds on HDFS/S3A
-    paths, not just local disk."""
-    import json
-
+    Crash safety: the shared write-ahead-manifest fold protocol in
+    ``sources/swap.py`` (single-writer contract; a crash at any point
+    either leaves the store untouched or is completed by the recovery
+    sweep at the next call — the store never double-counts and never
+    loses a committed fold; Hadoop FS API, so the protocol holds on
+    HDFS/S3A)."""
     from petk_spark.operators.incremental import merge_partials
+    from petk_spark.sources import swap
 
-    jvm = spark._jvm
-    hadoop_path = jvm.org.apache.hadoop.fs.Path
-    fs = hadoop_path(store_path).getFileSystem(
-        spark._jsc.hadoopConfiguration()
-    )
-    tmp_dir = f"{store_path}/_compact_tmp"
-    man_dir = f"{store_path}/_compact_manifest"
-
-    def _finish(folded: list[int], target: str) -> None:
-        for i in folded:
-            fs.delete(hadoop_path(f"{store_path}/batch_id={i}"), True)
-        if fs.exists(hadoop_path(tmp_dir)):
-            fs.rename(
-                hadoop_path(tmp_dir), hadoop_path(f"{store_path}/{target}")
-            )
-        fs.delete(hadoop_path(man_dir), True)
-
-    # recovery sweep: a manifest without a completed fold means the
-    # previous compaction crashed after its commit point — finish it.
-    # An EMPTY manifest dir (crash mid-write, before the text commit)
-    # means the commit point was never reached: the store is untouched
-    # and the half-written manifest is just debris to clear.
-    if fs.exists(hadoop_path(man_dir)):
-        rows = spark.read.text(man_dir).collect()
-        if rows:
-            m = json.loads(rows[0][0])
-            _finish(m["folded"], m["target"])
-        else:
-            fs.delete(hadoop_path(man_dir), True)
+    swap.recover_pending_swap(spark, store_path)
 
     stored = spark.read.parquet(store_path)
     ids = sorted(r[0] for r in stored.select("batch_id").distinct().collect())
@@ -601,14 +565,14 @@ def compact_store(spark, store_path: str) -> int:
         return 0
     merged = merge_partials(stored.drop("batch_id"))
     rows = merged.collect()  # O(columns × groups) — tiny by construction
-    fs.delete(hadoop_path(tmp_dir), True)
+    tmp = swap.clear_tmp(spark, store_path)
     spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
         "overwrite"
-    ).parquet(tmp_dir)
-    target = f"batch_id={ids[0]}"
-    payload = json.dumps({"folded": ids, "target": target})
-    spark.createDataFrame([(payload,)], "v string").coalesce(1).write.mode(
-        "overwrite"
-    ).text(man_dir)  # ── commit point
-    _finish(ids, target)
+    ).parquet(tmp)
+    swap.committed_swap(
+        spark,
+        store_path,
+        [f"batch_id={i}" for i in ids],
+        f"batch_id={ids[0]}",
+    )
     return len(ids)

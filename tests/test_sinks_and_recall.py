@@ -374,3 +374,43 @@ def test_ivf_index_append_matches_full_assignment(spark, tmp_path):
         for r in _score_buckets(full, q, 10).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_compact_ivf_index_folds_generations(spark, tmp_path):
+    """After base build + two appends (3 generations), compaction
+    folds the index to ONE ingest directory with query results
+    row-identical to before; a second call is a no-op."""
+    import glob
+
+    from petk_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        query_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    thirds = [emb.filter(F.col("vec_id") % 3 == r) for r in range(3)]
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "ivf")
+
+    build_ivf_index(thirds[0], idx, n_centroids=8)
+    assert append_to_ivf_index(thirds[1], idx) == "batch-0"
+    assert append_to_ivf_index(thirds[2], idx) == "batch-1"
+    assert len(glob.glob(f"{idx}/ingest=*")) == 3
+
+    def result():
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"],
+             round(r["cosine"], 12))
+            for r in query_ivf_index(
+                spark, idx, queries, k=10, n_probes=2
+            ).collect()
+        )
+
+    before = result()
+    assert compact_ivf_index(spark, idx) == 3
+    assert glob.glob(f"{idx}/ingest=*") == [f"{idx}/ingest=base"]
+    assert not glob.glob(f"{idx}/_compact_tmp")
+    assert result() == before and len(before) > 0
+    assert compact_ivf_index(spark, idx) == 0

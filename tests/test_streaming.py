@@ -658,7 +658,10 @@ def test_compact_store_crash_recovery(spark, tmp_path):
     spark.createDataFrame(merged.collect(), merged.schema).coalesce(
         1
     ).write.parquet(f"{store}/_compact_tmp")
-    payload = json.dumps({"folded": [0, 1, 2], "target": "batch_id=0"})
+    payload = json.dumps({
+        "folded": ["batch_id=0", "batch_id=1", "batch_id=2"],
+        "target": "batch_id=0",
+    })
     spark.createDataFrame([(payload,)], "v string").coalesce(1).write.text(
         f"{store}/_compact_manifest"
     )
