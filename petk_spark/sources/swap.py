@@ -42,9 +42,21 @@ def _fs(spark, path: str):
 
 def _finish(spark, root: str, folded: list[str], target: str) -> None:
     fs, hp = _fs(spark, root)
+    # Ordering invariant: the temp dir is written BEFORE the manifest
+    # and consumed (renamed to target) as the LAST data step. So with
+    # the manifest present, a missing temp means the rename already
+    # happened — the target directory holds the NEW data and must NOT
+    # be deleted even though it appears in the folded list (it names
+    # both the old child being replaced and the new child replacing
+    # it). Deleting it unconditionally lost the committed fold when a
+    # crash landed between the rename and the manifest delete — caught
+    # by the crash-matrix test.
+    tmp_exists = fs.exists(hp(f"{root}/{TMP_NAME}"))
     for name in folded:
+        if name == target and not tmp_exists:
+            continue
         fs.delete(hp(f"{root}/{name}"), True)
-    if fs.exists(hp(f"{root}/{TMP_NAME}")):
+    if tmp_exists:
         fs.rename(hp(f"{root}/{TMP_NAME}"), hp(f"{root}/{target}"))
     fs.delete(hp(f"{root}/{MANIFEST_NAME}"), True)
 

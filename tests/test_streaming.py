@@ -766,3 +766,62 @@ def test_streaming_ivf_append_matches_batch_assignment(spark, tmp_path):
         for r in _score_buckets(full, pq, 10).collect()
     )
     assert got == want and len(got) > 0
+
+
+@pytest.mark.parametrize("crash_after", ["tmp", "manifest", "deletes", "rename"])
+def test_compact_store_crash_matrix(spark, tmp_path, crash_after):
+    """Every step boundary of the swap protocol, crashed and
+    recovered: after the temp write (pre-commit — fold abandoned,
+    store untouched), after the manifest commit, after the folded-dir
+    deletes, and after the rename (manifest still present). In every
+    case the next compact_store call leaves ONE batch directory, no
+    protocol debris, and a profile equal to the pre-crash whole."""
+    import glob
+    import json
+    import shutil
+
+    from petk_spark.operators.incremental import merge_partials
+    from petk_spark.streaming.profile import compact_store, profile_from_store
+
+    store = str(tmp_path / "store")
+    for b in range(3):
+        _store_batch(spark, store, b)
+    before = {
+        r["column"]: r.asDict()
+        for r in profile_from_store(spark, store).collect()
+    }
+
+    # replay the protocol by hand up to the crash point
+    stored = spark.read.parquet(store)
+    merged = merge_partials(stored.drop("batch_id"))
+    spark.createDataFrame(merged.collect(), merged.schema).coalesce(
+        1
+    ).write.parquet(f"{store}/_compact_tmp")
+    if crash_after != "tmp":
+        payload = json.dumps({
+            "folded": ["batch_id=0", "batch_id=1", "batch_id=2"],
+            "target": "batch_id=0",
+        })
+        spark.createDataFrame([(payload,)], "v string").coalesce(
+            1
+        ).write.text(f"{store}/_compact_manifest")
+    if crash_after in ("deletes", "rename"):
+        for b in range(3):
+            shutil.rmtree(f"{store}/batch_id={b}")
+    if crash_after == "rename":
+        shutil.move(f"{store}/_compact_tmp", f"{store}/batch_id=0")
+
+    folded = compact_store(spark, store)
+    # pre-commit crash: recovery clears debris, then folds for real;
+    # post-commit crashes: recovery completes, nothing left to fold
+    assert folded == (3 if crash_after == "tmp" else 0)
+    assert len(glob.glob(f"{store}/batch_id=*")) == 1
+    assert not glob.glob(f"{store}/_compact_tmp")
+    assert not glob.glob(f"{store}/_compact_manifest")
+    after = {
+        r["column"]: r.asDict()
+        for r in profile_from_store(spark, store).collect()
+    }
+    for c in ("event_type", "value"):
+        for k in ("n", "n_null", "min", "max", "sum", "mean"):
+            assert after[c][k] == before[c][k], (crash_after, c, k)
