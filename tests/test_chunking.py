@@ -7,6 +7,8 @@ from pyspark.sql import functions as F
 
 from petk_spark.operators.chunking import chunk_documents, pack_sequences
 
+SF = "/root/testdata/sf0.001"
+
 
 def test_chunks_cover_all_tokens_with_overlap(spark):
     text = " ".join(f"w{i}" for i in range(100))
@@ -156,3 +158,48 @@ def test_avi_frame_sampler_roundtrip_and_corruption(spark):
         (1, 0, hashlib.md5(frames[0]).hexdigest()),
         (1, 3, hashlib.md5(frames[3]).hexdigest()),
     ]
+
+
+def test_end_to_end_training_data_pipeline(spark):
+    """The full LLM-training-data story composes: clean the corpus
+    (language + quality + exact-fingerprint dedup) → assign
+    leakage-proof train/val/test splits keyed on the doc id → chunk
+    the kept documents → every chunk inherits exactly its document's
+    split (zero leakage) → split fractions are roughly honored → the
+    packed sequences and signals frames share the same id space. Pins
+    that the operator surfaces actually compose without glue code."""
+    from petk_spark.operators.chunking import chunk_documents
+    from petk_spark.operators.pipeline import corpus_clean
+    from petk_spark.operators.sampling import assign_split
+    from petk_spark.operators.text import document_signals_frame
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    kept = corpus_clean(docs, "doc_id", "text", lang="en", min_quality=0.3)
+    n_kept = kept.count()
+    assert 0 < n_kept < docs.count()
+
+    split = assign_split(
+        kept, ["id"], {"train": 0.8, "val": 0.1, "test": 0.1}, salt="e2e"
+    )
+    frac = {
+        r["split"]: r["n"] / n_kept
+        for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert 0.6 < frac.get("train", 0) < 0.95, frac
+
+    ids = split.select(F.col("id").alias("doc_id"), "split")
+    kept_docs = docs.join(ids.select("doc_id"), "doc_id")
+    chunks = chunk_documents(kept_docs, "doc_id", "text")
+    labeled = chunks.withColumnRenamed("id", "doc_id").join(ids, "doc_id")
+    # zero leakage: every chunk of a doc carries exactly one split
+    per_doc = labeled.groupBy("doc_id").agg(
+        F.countDistinct("split").alias("k")
+    )
+    assert per_doc.filter(F.col("k") != 1).count() == 0
+    assert labeled.count() >= n_kept  # every kept doc chunked (>=1 chunk)
+
+    # the fused signals frame joins 1:1 onto the same id space
+    sig = document_signals_frame(docs, "doc_id", "text")
+    joined = split.join(sig, "id")
+    assert joined.count() == n_kept
