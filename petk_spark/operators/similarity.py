@@ -183,6 +183,43 @@ def cosine_topk_lsh(
 #: dim 768 ≈ 3M literal nodes — Catalyst chokes long before the data).
 _IVF_LITERAL_MAX = 64
 
+#: (SparkContext id, centroid digest) → Broadcast of the normalized
+#: centroid matrix. A long-lived driver issuing many query batches over
+#: the same index would otherwise leak one broadcast per call (round-7
+#: advisory); the cache reuses one broadcast per distinct centroid
+#: list and unpersists evicted entries (unpersist, not destroy — a
+#: still-referenced lazy plan re-fetches on demand).
+_CENTROID_BC_CACHE: dict = {}
+_CENTROID_BC_CACHE_MAX = 8
+
+
+def _centroid_broadcast(spark, centroids: list[list[float]]):
+    import hashlib
+    import json
+
+    import numpy as np
+
+    sc = spark.sparkContext
+    digest = hashlib.md5(
+        json.dumps(centroids).encode("utf-8")
+    ).hexdigest()
+    key = (id(sc), digest)
+    bc = _CENTROID_BC_CACHE.get(key)
+    if bc is None:
+        C = np.asarray(centroids, dtype=np.float64)
+        cn = np.linalg.norm(C, axis=1)
+        cn[cn == 0] = 1.0
+        bc = sc.broadcast(C / cn[:, None])
+        while len(_CENTROID_BC_CACHE) >= _CENTROID_BC_CACHE_MAX:
+            oldest = next(iter(_CENTROID_BC_CACHE))
+            old = _CENTROID_BC_CACHE.pop(oldest)
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # stopped context — nothing to release
+        _CENTROID_BC_CACHE[key] = bc
+    return bc
+
 
 def _topn_centroid_udf(spark, centroids: list[list[float]], n_best: int):
     """Arrow-batched top-``n_best`` centroid assignment for LARGE
@@ -199,18 +236,15 @@ def _topn_centroid_udf(spark, centroids: list[list[float]], n_best: int):
 
     Semantics match :func:`cosine_expr`'s argmax for well-formed
     vectors (cosine = normalized dot; argmax invariant). Malformed
-    rows — NULL, dimension mismatch, zero-norm — get a NULL assignment
-    (the literal path parks them on the last centroid with NULL
-    scores; neither can ever clear a similarity threshold, but NULL is
-    the honest rendering). Ties break toward the LOWER centroid id
-    (stable argsort); the literal path breaks high — k-means centroids
-    are distinct, so exact score ties require degenerate inputs."""
+    rows — NULL, dimension mismatch, zero-norm, NaN — get a NULL
+    assignment, and ties break toward the LOWER centroid id (stable
+    argsort). The literal path shares this exact contract (round-7
+    advisory normalized it), so the same inputs bucket identically on
+    either side of the 64-centroid threshold — pinned, malformed rows
+    included, by ``test_ivf_assign_arrow_equals_literal``."""
     import numpy as np
 
-    C = np.asarray(centroids, dtype=np.float64)
-    cn = np.linalg.norm(C, axis=1)
-    cn[cn == 0] = 1.0
-    bc = spark.sparkContext.broadcast(C / cn[:, None])
+    bc = _centroid_broadcast(spark, centroids)
 
     @F.pandas_udf("array<int>")
     def topn(vs: pd.Series) -> pd.Series:
@@ -237,6 +271,24 @@ def _topn_centroid_udf(spark, centroids: list[list[float]], n_best: int):
     return topn
 
 
+def _well_formed(vec: Column, dim: int) -> Column:
+    """True iff ``vec`` can be assigned a centroid: non-NULL, the
+    index's dimension, positive finite norm. The NaN check is explicit
+    because Spark orders NaN ABOVE every number, so ``sumsq > 0``
+    alone would admit NaN vectors the Arrow path rejects."""
+    sumsq = F.aggregate(
+        vec.cast("array<double>"),
+        F.lit(0.0),
+        lambda acc, v: acc + v * v,
+    )
+    return (
+        vec.isNotNull()
+        & (F.size(vec) == F.lit(dim))
+        & (sumsq > 0)
+        & ~F.isnan(sumsq)
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],
@@ -258,7 +310,13 @@ def ivf_assign(
       took multi-MiB task binaries and ~13 s of codegen for 600 rows.)
     * larger — the broadcast-numpy Arrow path
       (:func:`_topn_centroid_udf`): plan size stays O(1) in
-      n_centroids, per-batch cost is one BLAS matmul."""
+      n_centroids, per-batch cost is one BLAS matmul.
+
+    ONE contract on both sides of the threshold (round-7 advisory):
+    malformed vectors — NULL, wrong dimension, zero-norm, NaN — get a
+    NULL ``centroid_id`` (they land in the index's default partition
+    and are never probed), and exact score ties break toward the
+    LOWER centroid id. Same inputs, same buckets, either path."""
     if method not in (None, "literal", "arrow"):
         raise ValueError(
             f"method must be None, 'literal' or 'arrow', got {method!r}"
@@ -286,7 +344,11 @@ def ivf_assign(
             cosine_expr(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cen])).alias(
                 "score"
             ),
-            F.lit(ci).alias("centroid_id"),
+            # Negated id: reverse(array_sort) walks ties in DESCENDING
+            # struct order, so storing -id makes equal scores resolve
+            # to the LOWEST centroid id — the Arrow path's stable
+            # argsort order.
+            F.lit(-ci).alias("neg_id"),
         )
         for ci, cen in enumerate(centroids)
     ]
@@ -294,7 +356,10 @@ def ivf_assign(
     return df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        best["centroid_id"].alias("centroid_id"),
+        F.when(
+            _well_formed(F.col(vec_col), len(centroids[0])),
+            -best["neg_id"],
+        ).alias("centroid_id"),
     )
 
 
@@ -376,18 +441,26 @@ def _probe_frame(
         probe_entries.append(
             F.struct(
                 cosine_expr(F.col(vec_col), arr).alias("score"),
-                F.lit(ci).alias("centroid_id"),
+                # Same -id tiebreak as ivf_assign: descending walk of
+                # the sorted structs probes tied cells lowest-id-first,
+                # matching the Arrow path's stable argsort.
+                F.lit(-ci).alias("neg_id"),
             )
         )
     ranked = F.slice(
         F.reverse(F.array_sort(F.array(*probe_entries))), 1, n_probes
     )
+    # Malformed query vectors explode a NULL array → zero probe rows,
+    # exactly like the Arrow path's NULL top-n list.
+    gated = F.when(
+        _well_formed(F.col(vec_col), len(centroids[0])), ranked
+    )
     return queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        F.explode(ranked).alias("p"),
+        F.explode(gated).alias("p"),
     ).select(
-        "query_id", "qv", F.col("p.centroid_id").alias("centroid_id")
+        "query_id", "qv", (-F.col("p.neg_id")).alias("centroid_id")
     )
 
 
@@ -537,7 +610,13 @@ def append_to_ivf_index(
     system makes. For a stream of vectors use
     ``streaming.profile.streaming_ivf_append`` (per-micro-batch
     generations keyed by the checkpointed batch id)."""
+    from petk_spark.sources import swap
+
     spark = new_corpus.sparkSession
+    # Complete any crashed fold first: auto-numbering scans the child
+    # directories, and a half-finished fold would make it (and the
+    # write below) see a partially-deleted index.
+    swap.recover_for_read(spark, path)
     centroids = load_ivf_centroids(spark, path)
     if generation is None:
         jvm = spark._jvm
@@ -548,7 +627,14 @@ def append_to_ivf_index(
             for st in fs.listStatus(hp)
             if st.getPath().getName().startswith("ingest=batch-")
         ]
-        nums = [int(n.split("batch-", 1)[1]) for n in existing]
+        # A caller may pin non-numeric generations (e.g. batch-hotfix);
+        # they must not break later auto-numbered appends (round-7
+        # advisory) — only decimal suffixes participate in numbering.
+        nums = [
+            int(s)
+            for n in existing
+            if (s := n.split("batch-", 1)[1]).isdigit()
+        ]
         generation = f"batch-{max(nums) + 1 if nums else 0}"
     _write_ivf_generation(
         new_corpus, centroids, path, generation, id_col, vec_col
@@ -569,20 +655,25 @@ def compact_ivf_index(spark, path: str) -> int:
     replacement data here is corpus-sized, so it is written to the
     hidden temp directory DISTRIBUTED (partitionBy centroid_id), never
     collected. Returns the number of generations folded (0 = nothing
-    to do). Single-writer contract: don't run concurrently with
-    ingest."""
+    to do). Single-writer contract (don't run concurrently with
+    ingest), enforced by the fold lock — a concurrent fold raises
+    ``swap.FoldInProgressError`` instead of corrupting."""
     from petk_spark.sources import swap
 
-    swap.recover_pending_swap(spark, path)
-    gens = swap.list_children(spark, path, "ingest=")
-    if len(gens) <= 1:
-        return 0
-    tmp = swap.clear_tmp(spark, path)
-    spark.read.parquet(path).drop("ingest").write.mode(
-        "overwrite"
-    ).partitionBy("centroid_id").parquet(tmp)
-    swap.committed_swap(spark, path, gens, "ingest=base")
-    return len(gens)
+    swap.acquire_lock(spark, path)
+    try:
+        swap.recover_pending_swap(spark, path)
+        gens = swap.list_children(spark, path, "ingest=")
+        if len(gens) <= 1:
+            return 0
+        tmp = swap.clear_tmp(spark, path)
+        spark.read.parquet(path).drop("ingest").write.mode(
+            "overwrite"
+        ).partitionBy("centroid_id").parquet(tmp)
+        swap.committed_swap(spark, path, gens, "ingest=base")
+        return len(gens)
+    finally:
+        swap.release_lock(spark, path)
 
 
 def query_ivf_index(
@@ -601,6 +692,13 @@ def query_ivf_index(
     probe frame is broadcast and the join key IS the partition
     column, so dynamic partition pruning applies), not a full scan +
     re-assignment."""
+    from petk_spark.sources import swap
+
+    # Complete any crashed compaction before reading — without this a
+    # query between a dead fold's child deletes and its rename would
+    # silently miss the folded cells (round-7 advisory). One exists()
+    # check when nothing is pending.
+    swap.recover_for_read(spark, path)
     centroids = load_ivf_centroids(spark, path)
     if not centroids:
         return spark.createDataFrame(

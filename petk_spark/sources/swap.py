@@ -21,15 +21,34 @@ after 2 is completed by :func:`recover_pending_swap` at the next
 entry. Directory operations go through the Hadoop FileSystem API, so
 the protocol holds on HDFS/S3A paths, not just local disk. Contract:
 SINGLE WRITER — run folds from the same maintenance loop as the sink
-that feeds the root, never concurrently with it.
+that feeds the root, never concurrently with it. The contract is now
+ENFORCED best-effort by a lock file (:func:`acquire_lock`): a second
+concurrent fold errors loudly (:class:`FoldInProgressError`) instead
+of corrupting silently. The lock is a lease — a writer that dies
+without releasing it (kill -9) blocks later writers only until
+``stale_after_s`` elapses, after which the lock is broken and the
+manifest-driven recovery makes the outcome correct either way.
 """
 
 from __future__ import annotations
 
 import json
+import time
 
 TMP_NAME = "_compact_tmp"
 MANIFEST_NAME = "_compact_manifest"
+LOCK_NAME = "_compact_lock"
+
+#: Default lease age (seconds) after which a leftover lock file is
+#: presumed to belong to a dead writer and may be broken. Folds are
+#: maintenance-loop operations measured in seconds-to-minutes; an hour
+#: is conservatively past any live fold on the declared deployments.
+DEFAULT_LOCK_STALE_S = 3600.0
+
+
+class FoldInProgressError(RuntimeError):
+    """Another fold holds the lock on this root (or a crashed writer's
+    lock has not yet aged past the lease)."""
 
 
 def _fs(spark, path: str):
@@ -55,9 +74,28 @@ def _finish(spark, root: str, folded: list[str], target: str) -> None:
     for name in folded:
         if name == target and not tmp_exists:
             continue
-        fs.delete(hp(f"{root}/{name}"), True)
+        # Hadoop FileSystem reports many failures by RETURNING FALSE
+        # rather than raising (round-7 advisory). A false delete is
+        # fine when the path is already gone (idempotent recovery
+        # redo); a false delete that leaves the path in place must
+        # abort BEFORE the manifest is removed, or the fold would
+        # half-apply and then be forgotten.
+        p = hp(f"{root}/{name}")
+        if not fs.delete(p, True) and fs.exists(p):
+            raise IOError(
+                f"fold aborted: could not delete {root}/{name}; "
+                "manifest left in place for recover_pending_swap"
+            )
     if tmp_exists:
-        fs.rename(hp(f"{root}/{TMP_NAME}"), hp(f"{root}/{target}"))
+        # Same false-return trap for rename: deleting the manifest
+        # after a silently-failed rename would let the next
+        # clear_tmp() wipe the committed fold's replacement data.
+        if not fs.rename(hp(f"{root}/{TMP_NAME}"), hp(f"{root}/{target}")):
+            raise IOError(
+                f"fold aborted: rename {root}/{TMP_NAME} -> "
+                f"{root}/{target} failed; manifest left in place for "
+                "recover_pending_swap"
+            )
     fs.delete(hp(f"{root}/{MANIFEST_NAME}"), True)
 
 
@@ -97,6 +135,73 @@ def clear_tmp(spark, root: str) -> str:
     fs, hp = _fs(spark, root)
     fs.delete(hp(f"{root}/{TMP_NAME}"), True)
     return f"{root}/{TMP_NAME}"
+
+
+def acquire_lock(
+    spark, root: str, stale_after_s: float = DEFAULT_LOCK_STALE_S
+) -> None:
+    """Take the fold lock on ``root`` or raise
+    :class:`FoldInProgressError`. The lock is an atomic
+    create-fail-if-exists file through the Hadoop FS API (the same
+    primitive HDFS/S3A-backed job committers use), so two concurrent
+    folds cannot both win. A leftover lock older than
+    ``stale_after_s`` is presumed orphaned by a dead writer and
+    broken — the write-ahead manifest, not the lock, is what makes
+    the fold itself crash-safe; the lock only turns CONCURRENT folds
+    from silent corruption into a loud error."""
+    fs, hp = _fs(spark, root)
+    lock = hp(f"{root}/{LOCK_NAME}")
+    if fs.exists(lock):
+        age_s = (
+            time.time() * 1000.0 - fs.getFileStatus(lock).getModificationTime()
+        ) / 1000.0
+        if age_s < stale_after_s:
+            raise FoldInProgressError(
+                f"another fold holds {root}/{LOCK_NAME} "
+                f"(age {age_s:.1f}s < lease {stale_after_s:.0f}s); "
+                "folds are single-writer — if the previous writer is "
+                "dead, wait out the lease or delete the lock file"
+            )
+        fs.delete(lock, False)
+    try:
+        # create(path, overwrite=False) throws if the file appeared
+        # between the exists() check and here — the atomic tiebreak.
+        out = fs.create(lock, False)
+        out.close()
+    except Exception as exc:  # Py4J wraps FileAlreadyExistsException
+        raise FoldInProgressError(
+            f"lost the race for {root}/{LOCK_NAME}: {exc}"
+        ) from None
+
+
+def release_lock(spark, root: str) -> None:
+    """Drop the fold lock (no-op if absent)."""
+    fs, hp = _fs(spark, root)
+    fs.delete(hp(f"{root}/{LOCK_NAME}"), False)
+
+
+def recover_for_read(
+    spark, root: str, stale_after_s: float = DEFAULT_LOCK_STALE_S
+) -> None:
+    """Reader-side recovery: called at the top of read paths
+    (``profile_from_store``, ``query_ivf_index``, …) so a crashed
+    writer's committed-but-unfinished fold is completed BEFORE the
+    root is read — without it a reader between the child deletes and
+    the rename would silently undercount (round-7 advisory). Cost when
+    nothing is pending: one ``exists()`` check. If a manifest exists
+    while a LIVE writer holds the lock, the writer is mid-commit and
+    racing it would double-apply the finish steps — the reader raises
+    :class:`FoldInProgressError` instead (retry after the fold's
+    seconds-long window). Recovery itself runs under the lock so two
+    concurrent readers cannot both replay the finish."""
+    fs, hp = _fs(spark, root)
+    if not fs.exists(hp(f"{root}/{MANIFEST_NAME}")):
+        return
+    acquire_lock(spark, root, stale_after_s)
+    try:
+        recover_pending_swap(spark, root)
+    finally:
+        release_lock(spark, root)
 
 
 def list_children(spark, root: str, prefix: str) -> list[str]:

@@ -533,6 +533,12 @@ def profile_from_store(spark, store_path: str) -> DataFrame:
         merge_partials,
     )
 
+    from petk_spark.sources import swap
+
+    # A crashed fold between its commit point and completion leaves the
+    # store partially deleted; finish it before reading (cheap exists()
+    # check when nothing is pending).
+    swap.recover_for_read(spark, store_path)
     stored = spark.read.parquet(store_path)
     return finalize_profile(merge_partials(stored.drop("batch_id")))
 
@@ -549,30 +555,45 @@ def compact_store(spark, store_path: str) -> int:
     (equality pinned by the soak test in tests/test_streaming.py).
 
     Crash safety: the shared write-ahead-manifest fold protocol in
-    ``sources/swap.py`` (single-writer contract; a crash at any point
-    either leaves the store untouched or is completed by the recovery
-    sweep at the next call — the store never double-counts and never
-    loses a committed fold; Hadoop FS API, so the protocol holds on
-    HDFS/S3A)."""
+    ``sources/swap.py`` (a crash at any point either leaves the store
+    untouched or is completed by the recovery sweep at the next call —
+    the store never double-counts and never loses a committed fold;
+    Hadoop FS API, so the protocol holds on HDFS/S3A). The
+    single-writer contract is enforced by the fold lock: a concurrent
+    fold raises ``swap.FoldInProgressError`` instead of corrupting.
+
+    The merged replacement is written DISTRIBUTED into the hidden temp
+    directory (same shape as ``compact_ivf_index``) — there is no
+    driver materialization, so a store with high-cardinality
+    ``group_cols`` (millions of groups) compacts without collecting
+    every group to the driver (round-6 verdict finding)."""
     from petk_spark.operators.incremental import merge_partials
     from petk_spark.sources import swap
 
-    swap.recover_pending_swap(spark, store_path)
+    swap.acquire_lock(spark, store_path)
+    try:
+        swap.recover_pending_swap(spark, store_path)
 
-    stored = spark.read.parquet(store_path)
-    ids = sorted(r[0] for r in stored.select("batch_id").distinct().collect())
-    if len(ids) <= 1:
-        return 0
-    merged = merge_partials(stored.drop("batch_id"))
-    rows = merged.collect()  # O(columns × groups) — tiny by construction
-    tmp = swap.clear_tmp(spark, store_path)
-    spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(tmp)
-    swap.committed_swap(
-        spark,
-        store_path,
-        [f"batch_id={i}" for i in ids],
-        f"batch_id={ids[0]}",
-    )
-    return len(ids)
+        stored = spark.read.parquet(store_path)
+        ids = sorted(
+            r[0] for r in stored.select("batch_id").distinct().collect()
+        )
+        if len(ids) <= 1:
+            return 0
+        tmp = swap.clear_tmp(spark, store_path)
+        # Distributed write of the merged partials: the merge ends in a
+        # hash aggregation, AQE coalesces its output to a handful of
+        # files for the typical tiny store while a huge grouped store
+        # streams through executors, never the driver.
+        merge_partials(stored.drop("batch_id")).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        swap.committed_swap(
+            spark,
+            store_path,
+            [f"batch_id={i}" for i in ids],
+            f"batch_id={ids[0]}",
+        )
+        return len(ids)
+    finally:
+        swap.release_lock(spark, store_path)

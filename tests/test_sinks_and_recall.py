@@ -446,3 +446,114 @@ def test_ivf_arrow_path_recall_floor(spark):
     r16, r32 = recall(16), recall(32)
     assert r16 >= 0.55, f"recall@10(128,16) = {r16:.3f} below pinned floor"
     assert r32 >= max(0.75, r16 + 0.1), f"{r16:.3f} -> {r32:.3f}"
+
+
+def test_ivf_paths_share_one_contract_on_malformed_and_ties(spark):
+    """Round-7 advisory: the literal and Arrow assignment paths share
+    ONE contract — malformed vectors (NULL / ragged / zero-norm / NaN)
+    get NULL assignments and exact score ties break toward the LOWER
+    centroid id — so the same inputs bucket identically on either side
+    of the 64-centroid threshold, no carve-outs."""
+    from petk_spark.operators.similarity import _probe_frame, ivf_assign
+
+    cents = [v for _, v in _pseudo_vecs(5, 8, seed=99)]
+    bad = spark.createDataFrame(
+        [
+            (0, None),
+            (1, [1.0, 2.0]),
+            (2, [0.0] * 8),
+            (3, [1.0] * 8),
+            (4, [float("nan")] * 8),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    lit = {
+        r["id"]: r["centroid_id"]
+        for r in ivf_assign(bad, cents, method="literal").collect()
+    }
+    arrow = {
+        r["id"]: r["centroid_id"]
+        for r in ivf_assign(bad, cents, method="arrow").collect()
+    }
+    assert lit == arrow
+    assert lit[0] is None and lit[1] is None
+    assert lit[2] is None and lit[4] is None
+    assert lit[3] is not None
+
+    # exact tie (duplicated centroid): both paths pick the LOWER id
+    dup = [cents[0], cents[0], cents[1]]
+    one = spark.createDataFrame(
+        [(0, cents[0])], "vec_id long, embedding array<double>"
+    )
+    for method in ("literal", "arrow"):
+        got = ivf_assign(one, dup, method=method).collect()
+        assert got[0]["centroid_id"] == 0, method
+
+    # probe frame: a malformed query explodes to ZERO probe rows (like
+    # the Arrow path's NULL top-n), and tied cells probe lowest-id-first
+    qbad = spark.createDataFrame(
+        [(7, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    assert _probe_frame(qbad, cents, 2, "vec_id", "embedding").count() == 0
+    probes = [
+        r["centroid_id"]
+        for r in _probe_frame(one, dup, 2, "vec_id", "embedding").collect()
+    ]
+    assert probes == [0, 1]
+
+
+def test_ivf_append_tolerates_pinned_non_numeric_generation(spark, tmp_path):
+    """Round-7 advisory: a caller-pinned non-numeric generation (e.g.
+    'batch-hotfix') must not break later auto-numbered appends — only
+    decimal suffixes participate in the numbering."""
+    from petk_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") < 80), idx, n_centroids=4)
+    append_to_ivf_index(
+        emb.filter((F.col("vec_id") >= 80) & (F.col("vec_id") < 90)),
+        idx,
+        generation="batch-hotfix",
+    )
+    # was ValueError before the isdigit guard
+    g1 = append_to_ivf_index(
+        emb.filter((F.col("vec_id") >= 90) & (F.col("vec_id") < 100)), idx
+    )
+    g2 = append_to_ivf_index(
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110)), idx
+    )
+    assert (g1, g2) == ("batch-0", "batch-1")
+    # every generation's vectors are queryable
+    qs = emb.filter(F.col("vec_id") < 3)
+    seen = {
+        r["neighbor_id"]
+        for r in query_ivf_index(
+            spark, idx, qs, k=200, n_probes=4
+        ).collect()
+    }
+    assert seen & set(range(80, 90)), "pinned generation missing"
+    assert seen & set(range(90, 110)), "auto generations missing"
+
+
+def test_centroid_broadcast_cached_and_bounded(spark):
+    """Round-7 advisory: repeated query batches over the same centroid
+    list reuse ONE broadcast (no per-call leak); the cache is bounded
+    and evicts oldest-first."""
+    from petk_spark.operators import similarity as sim
+
+    sim._CENTROID_BC_CACHE.clear()
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    b1 = sim._centroid_broadcast(spark, cents)
+    b2 = sim._centroid_broadcast(spark, cents)
+    assert b1 is b2
+    for i in range(sim._CENTROID_BC_CACHE_MAX + 3):
+        sim._centroid_broadcast(spark, [[float(i + 2), 1.0]])
+    assert len(sim._CENTROID_BC_CACHE) <= sim._CENTROID_BC_CACHE_MAX
+    # the original entry was evicted (oldest-first), its value re-usable
+    b3 = sim._centroid_broadcast(spark, cents)
+    assert b3 is not b1

@@ -825,3 +825,193 @@ def test_compact_store_crash_matrix(spark, tmp_path, crash_after):
     for c in ("event_type", "value"):
         for k in ("n", "n_null", "min", "max", "sum", "mean"):
             assert after[c][k] == before[c][k], (crash_after, c, k)
+
+
+def _stage_committed_fold(spark, store: str, n_batches: int = 3) -> None:
+    """Replay the swap protocol by hand to just after the child deletes
+    (committed, unfinished): tmp + manifest present, children gone."""
+    import json
+    import shutil
+
+    from petk_spark.operators.incremental import merge_partials
+
+    stored = spark.read.parquet(store)
+    merged = merge_partials(stored.drop("batch_id"))
+    spark.createDataFrame(merged.collect(), merged.schema).coalesce(
+        1
+    ).write.parquet(f"{store}/_compact_tmp")
+    payload = json.dumps({
+        "folded": [f"batch_id={b}" for b in range(n_batches)],
+        "target": "batch_id=0",
+    })
+    spark.createDataFrame([(payload,)], "v string").coalesce(1).write.text(
+        f"{store}/_compact_manifest"
+    )
+    for b in range(n_batches):
+        shutil.rmtree(f"{store}/batch_id={b}")
+
+
+def test_compact_store_concurrent_fold_errors_loudly(spark, tmp_path):
+    """Round-6 verdict #5: a second concurrent fold must error loudly
+    (FoldInProgressError) instead of corrupting silently; a crashed
+    writer's lock is a LEASE — broken once it ages past the window."""
+    import os
+    import time
+
+    from petk_spark.sources import swap
+    from petk_spark.streaming.profile import compact_store
+
+    store = str(tmp_path / "store")
+    for b in range(3):
+        _store_batch(spark, store, b)
+
+    swap.acquire_lock(spark, store)  # a live writer holds the fold lock
+    with pytest.raises(swap.FoldInProgressError):
+        compact_store(spark, store)
+    with pytest.raises(swap.FoldInProgressError):
+        swap.acquire_lock(spark, store)
+    # the failed attempts must not have released the holder's lock
+    assert os.path.exists(f"{store}/_compact_lock")
+
+    # crashed writer (kill -9): the lock outlives the process; once it
+    # ages past the lease the next fold breaks it and proceeds
+    lock = f"{store}/_compact_lock"
+    old = time.time() - 2 * swap.DEFAULT_LOCK_STALE_S
+    os.utime(lock, (old, old))
+    assert compact_store(spark, store) == 3
+    assert not os.path.exists(lock)  # released on the way out
+
+
+def test_reader_recovers_crashed_fold(spark, tmp_path):
+    """Round-7 advisory: a reader hitting a store whose fold crashed
+    after the child deletes completes the fold before reading instead
+    of silently undercounting — and refuses (loudly) to race a LIVE
+    writer's mid-commit window."""
+    import glob
+    import os
+    import time
+
+    from petk_spark.sources import swap
+    from petk_spark.streaming.profile import profile_from_store
+
+    store = str(tmp_path / "store")
+    for b in range(3):
+        _store_batch(spark, store, b)
+    before = {
+        r["column"]: r.asDict()
+        for r in profile_from_store(spark, store).collect()
+    }
+
+    _stage_committed_fold(spark, store)
+    # a manifest while a live writer holds the lock = fold mid-commit:
+    # reading now would see a partially-deleted store, so raise instead
+    swap.acquire_lock(spark, store)
+    with pytest.raises(swap.FoldInProgressError):
+        profile_from_store(spark, store)
+    swap.release_lock(spark, store)
+
+    # writer dead (no lock): the read itself completes the fold
+    after = {
+        r["column"]: r.asDict()
+        for r in profile_from_store(spark, store).collect()
+    }
+    assert len(glob.glob(f"{store}/batch_id=*")) == 1
+    assert not glob.glob(f"{store}/_compact_tmp")
+    assert not glob.glob(f"{store}/_compact_manifest")
+    assert not os.path.exists(f"{store}/_compact_lock")
+    for c in ("event_type", "value"):
+        for k in ("n", "n_null", "min", "max", "sum", "mean"):
+            assert after[c][k] == before[c][k], (c, k)
+
+
+def test_finish_aborts_on_false_rename(spark, tmp_path, monkeypatch):
+    """Round-7 advisory (medium): Hadoop FileSystem.rename reports many
+    failures by RETURNING FALSE, not raising. A false rename must abort
+    the fold BEFORE the manifest is deleted — otherwise the next
+    clear_tmp() wipes the committed fold's replacement data."""
+    import os
+
+    from petk_spark.sources import swap
+    from petk_spark.streaming.profile import profile_from_store
+
+    store = str(tmp_path / "store")
+    for b in range(3):
+        _store_batch(spark, store, b)
+    before = {
+        r["column"]: r.asDict()
+        for r in profile_from_store(spark, store).collect()
+    }
+    _stage_committed_fold(spark, store)
+    # remove the manifest so committed_swap below writes its own
+    import shutil
+    shutil.rmtree(f"{store}/_compact_manifest")
+
+    real_fs = swap._fs
+
+    class FalseRenameFS:
+        def __init__(self, fs):
+            self._fs = fs
+
+        def rename(self, a, b):
+            return False  # the Hadoop silent-failure mode
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    def fake(spark_, path):
+        fs, hp = real_fs(spark_, path)
+        return FalseRenameFS(fs), hp
+
+    monkeypatch.setattr(swap, "_fs", fake)
+    with pytest.raises(IOError):
+        swap.committed_swap(
+            spark, store,
+            [f"batch_id={b}" for b in range(3)], "batch_id=0",
+        )
+    monkeypatch.undo()
+
+    # the manifest survived the abort → recovery completes the fold
+    assert os.path.exists(f"{store}/_compact_manifest")
+    after = {
+        r["column"]: r.asDict()
+        for r in profile_from_store(spark, store).collect()
+    }
+    for c in ("event_type", "value"):
+        for k in ("n", "n_null", "min", "max", "sum", "mean"):
+            assert after[c][k] == before[c][k], (c, k)
+
+
+def test_compact_store_high_cardinality_groups(spark, tmp_path):
+    """Round-6 verdict #4: the fold's replacement write is DISTRIBUTED
+    (same shape as compact_ivf_index) — a grouped store with thousands
+    of groups compacts without materializing every group on the driver,
+    and the folded profile equals the pre-fold one group by group."""
+    import glob
+
+    from petk_spark.operators.incremental import partial_profile
+    from petk_spark.streaming.profile import compact_store, profile_from_store
+
+    store = str(tmp_path / "store")
+    for b in range(2):
+        df = spark.range(5000).select(
+            F.concat(F.lit("g"), (F.col("id") % 2500).cast("string")).alias(
+                "grp"
+            ),
+            (F.col("id") * 1.0 + b).alias("value"),
+        )
+        partial_profile(df, ["value"], ["grp"]).write.mode(
+            "overwrite"
+        ).parquet(f"{store}/batch_id={b}")
+
+    before = {
+        r["grp"]: (r["n"], r["sum"], r["min"], r["max"])
+        for r in profile_from_store(spark, store).collect()
+    }
+    assert len(before) == 2500
+    assert compact_store(spark, store) == 2
+    assert len(glob.glob(f"{store}/batch_id=*")) == 1
+    after = {
+        r["grp"]: (r["n"], r["sum"], r["min"], r["max"])
+        for r in profile_from_store(spark, store).collect()
+    }
+    assert after == before
