@@ -1848,7 +1848,21 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     a parser (or synthesizer) bug on any format breaks the hash.
     Nothing here is faked: the bytes are valid WAV / PNG / AVI and the
     decodes are real. (Reference F8/multimodal surface; supersedes r3's
-    wav_metadata by adding the PNG and AVI thirds.)"""
+    wav_metadata by adding the PNG and AVI thirds.)
+
+    Round 7 widens the twin with the two standalone-API behaviors that
+    had no hash check (the F34/F35 consolidation trick, round-6 verdict
+    #2 — positions 51/52 were the only declared queries outside the
+    hash window):
+
+    * kind ``png_bad`` — every payload TRUNCATED to 8+doc_id%24 bytes
+      (magic alone, or magic + a torn IHDR): png_features_frame's
+      corrupt-blob path must yield valid=false/all-NULL rows, never
+      fail the scan. The oracle asserts exactly one such row per doc.
+    * kind ``avi3`` — the same AVI payloads resampled with every_n=2,
+      max_frames=3: the MAX_FRAMES clip now binds (indices {0,2,4}∩n
+      vs the avi third's {0,2,4,6}∩n), so both sampling parameters are
+      hash-pinned, not just the stride."""
     from petk_spark.operators.multimodal import (
         frame_sample,
         png_features_frame,
@@ -1936,7 +1950,47 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         snull.alias("mean_luma"),
         s("frame_index"), "frame_digest",
     )
-    return wav.unionByName(png).unionByName(avi)
+
+    @F.pandas_udf(BinaryType())
+    def make_bad_png(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda i: synth_png(
+                width=16 + int(i) % 32,
+                height=16 + int(i) % 24,
+                base=int(i) % 200,
+                color_type=0 if int(i) % 2 == 0 else 2,
+            )[: 8 + int(i) % 24]
+        )
+
+    png_bad = png_features_frame(
+        docs.select("doc_id", make_bad_png(F.col("doc_id")).alias("payload")),
+        "doc_id", "payload",
+    ).select(
+        F.col("id").alias("doc_id"), F.lit("png_bad").alias("kind"), "valid",
+        snull.alias("sample_rate"), s("n_channels"),
+        snull.alias("bits_per_sample"),
+        snull.alias("n_frames"), snull.alias("duration_ms"),
+        s("width"), s("height"), s("bit_depth"),
+        fmt_sci(F.col("mean_luma")).alias("mean_luma"),
+        snull.alias("frame_index"), snull.alias("frame_digest"),
+    )
+    avi3 = frame_sample(
+        docs.select("doc_id", make_avi(F.col("doc_id")).alias("payload")),
+        "doc_id", "payload", every_n=2, max_frames=3,
+    ).select(
+        F.col("id").alias("doc_id"), F.lit("avi3").alias("kind"),
+        F.lit(True).alias("valid"),
+        snull.alias("sample_rate"), snull.alias("n_channels"),
+        snull.alias("bits_per_sample"),
+        snull.alias("n_frames"), snull.alias("duration_ms"),
+        snull.alias("width"), snull.alias("height"), snull.alias("bit_depth"),
+        snull.alias("mean_luma"),
+        s("frame_index"), "frame_digest",
+    )
+    return (
+        wav.unionByName(png).unionByName(avi)
+        .unionByName(png_bad).unionByName(avi3)
+    )
 
 
 _SQL_MEDIA_METADATA = f"""
@@ -1985,6 +2039,30 @@ SELECT d.doc_id,
        md5(printf('frame-%04d-doc-%d', g.g, d.doc_id)) AS frame_digest
 FROM documents d
 JOIN generate_series(0, 6, 2) AS g(g)
+  ON g.g < 4 + d.doc_id % 9
+UNION ALL
+-- truncated payloads: the corrupt-blob path is exactly one
+-- valid=false all-NULL row per document
+SELECT doc_id,
+       'png_bad' AS kind,
+       false AS valid,
+       NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR,
+       NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR,
+       NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR
+FROM documents
+UNION ALL
+-- every_n=2, max_frames=3 => sampled frame indices {{0,2,4}} ∩ [0, n):
+-- the max_frames clip binds (the 'avi' third above reaches index 6)
+SELECT d.doc_id,
+       'avi3' AS kind,
+       true AS valid,
+       NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR,
+       NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR,
+       NULL::VARCHAR,
+       g.g::VARCHAR AS frame_index,
+       md5(printf('frame-%04d-doc-%d', g.g, d.doc_id)) AS frame_digest
+FROM documents d
+JOIN generate_series(0, 4, 2) AS g(g)
   ON g.g < 4 + d.doc_id % 9
 """
 
@@ -2073,10 +2151,11 @@ FROM area WHERE a < 1000.0
 
 def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode over synthesized payloads (the decode_image_
-    features stub seam remains only for non-PNG formats). The same
-    decoder is hash-checked against the closed-form oracle inside
-    media_metadata; this tail entry exercises the standalone
-    png_features_frame API surface."""
+    features stub seam remains only for non-PNG formats). Since round
+    7 the standalone surface is FULLY hash-covered inside
+    media_metadata — every output column (via the 'png' kind) and the
+    corrupt-blob valid=false path (via the 'png_bad' kind) — so this
+    tail entry only re-exercises the API shape."""
     from petk_spark.operators.multimodal import png_features_frame, synth_png
     from pyspark.sql.types import BinaryType
 
@@ -2097,9 +2176,11 @@ def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL AVI container frame sampling (the movi-LIST walk is also
-    hash-checked against the md5 oracle inside media_metadata; this
-    tail entry exercises the standalone frame_sample API surface)."""
+    """REAL AVI container frame sampling. Since round 7 the standalone
+    surface is FULLY hash-covered inside media_metadata — the movi-LIST
+    walk and md5 digests (the 'avi' kind) plus both sampling parameters
+    (the 'avi3' kind makes the max_frames clip bind) — so this tail
+    entry only re-exercises the API shape."""
     from petk_spark.operators.multimodal import frame_sample, synth_avi
     from pyspark.sql.types import BinaryType
 
