@@ -450,13 +450,17 @@ def test_ivf_arrow_path_recall_floor(spark):
 
 def test_ivf_paths_share_one_contract_on_malformed_and_ties(spark):
     """Round-7 advisory: the literal and Arrow assignment paths share
-    ONE contract — malformed vectors (NULL / ragged / zero-norm / NaN)
-    get NULL assignments and exact score ties break toward the LOWER
-    centroid id — so the same inputs bucket identically on either side
-    of the 64-centroid threshold, no carve-outs."""
+    ONE contract — malformed vectors (NULL / ragged / zero-norm / NaN /
+    ±Inf) get NULL assignments and exact score ties break toward the
+    LOWER centroid id — so the same inputs bucket identically on either
+    side of the 64-centroid threshold, no carve-outs. The Inf rows pin
+    round-7 verdict #4: sumsq of an Inf vector is +Inf (> 0, not NaN),
+    which used to slip past the well-formedness gate into a
+    garbage-score path the two strategies could bucket differently."""
     from petk_spark.operators.similarity import _probe_frame, ivf_assign
 
     cents = [v for _, v in _pseudo_vecs(5, 8, seed=99)]
+    inf = float("inf")
     bad = spark.createDataFrame(
         [
             (0, None),
@@ -464,6 +468,8 @@ def test_ivf_paths_share_one_contract_on_malformed_and_ties(spark):
             (2, [0.0] * 8),
             (3, [1.0] * 8),
             (4, [float("nan")] * 8),
+            (5, [inf] * 8),
+            (6, [1.0] * 7 + [-inf]),
         ],
         "vec_id long, embedding array<double>",
     )
@@ -478,6 +484,7 @@ def test_ivf_paths_share_one_contract_on_malformed_and_ties(spark):
     assert lit == arrow
     assert lit[0] is None and lit[1] is None
     assert lit[2] is None and lit[4] is None
+    assert lit[5] is None and lit[6] is None
     assert lit[3] is not None
 
     # exact tie (duplicated centroid): both paths pick the LOWER id
@@ -495,6 +502,10 @@ def test_ivf_paths_share_one_contract_on_malformed_and_ties(spark):
         [(7, [1.0, 2.0])], "vec_id long, embedding array<double>"
     )
     assert _probe_frame(qbad, cents, 2, "vec_id", "embedding").count() == 0
+    qinf = spark.createDataFrame(
+        [(8, [inf] * 8)], "vec_id long, embedding array<double>"
+    )
+    assert _probe_frame(qinf, cents, 2, "vec_id", "embedding").count() == 0
     probes = [
         r["centroid_id"]
         for r in _probe_frame(one, dup, 2, "vec_id", "embedding").collect()
@@ -601,6 +612,88 @@ def test_ivf_index_health_flags_drift(spark, tmp_path):
         or r["share_now"] > 2.0 * r["share_base"]
         for r in flagged
     )
+
+
+def test_ivf_health_share_floor_ignores_stray_rows(spark, tmp_path):
+    """Round-7 advisory: a cell EMPTY at build time has share_base = 0,
+    so the share-growth condition alone used to flag needs_rebuild the
+    moment ONE appended vector landed in it — one stray row
+    recommending a full index rebuild. The min_flag_share floor
+    (default 1% of the corpus) absorbs strays; min_flag_share=0.0
+    restores the old hair-trigger for contrast."""
+    import json
+
+    from petk_spark.operators.similarity import (
+        _write_ivf_generation,
+        ivf_index_health,
+        write_ivf_health_base,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    corpus = spark.createDataFrame(
+        [(i, [1.0, 0.001 * (i % 7)]) for i in range(500)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "ivf")
+    # hand-built index: every base vector lands in cell 0, so the
+    # health base snapshot has NO row for cell 1 (share_base = 0)
+    _write_ivf_generation(corpus, cents, idx, "base", "vec_id", "embedding")
+    spark.createDataFrame(
+        [(json.dumps(cents),)], "v string"
+    ).coalesce(1).write.mode("overwrite").text(f"{idx}/_ivf_centroids")
+    write_ivf_health_base(spark, idx)
+
+    stray = spark.createDataFrame(
+        [(1000, [0.0, 1.0]), (1001, [0.01, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    _write_ivf_generation(stray, cents, idx, "batch-0", "vec_id", "embedding")
+
+    by_cell = {
+        r["centroid_id"]: r for r in ivf_index_health(spark, idx).collect()
+    }
+    assert by_cell[1]["n_base"] == 0 and by_cell[1]["n_now"] == 2
+    # 2/502 ≈ 0.4% < the 1% floor: share growth alone must not flag
+    assert not any(r["needs_rebuild"] for r in by_cell.values()), by_cell
+    # the floor is what protects it: at 0.0 the old hair-trigger fires
+    hair = {
+        r["centroid_id"]: r
+        for r in ivf_index_health(spark, idx, min_flag_share=0.0).collect()
+    }
+    assert hair[1]["needs_rebuild"] and not hair[0]["needs_rebuild"]
+
+
+def test_rebuild_purges_stale_generations(spark, tmp_path):
+    """Round-8 advisory (medium): build_ivf_index at an existing path
+    must purge stale ingest=batch-* generations. An in-place rebuild
+    that kept them would leave appended rows sitting in centroid_id
+    partitions assigned under the OLD centroids (silent recall loss on
+    every pruned query) and write_ivf_health_base would snapshot the
+    polluted whole-path stats as the new baseline."""
+    import glob
+
+    from petk_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_index_health,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") < 100), idx, n_centroids=4)
+    append_to_ivf_index(
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150)), idx
+    )
+    assert glob.glob(f"{idx}/ingest=batch-*")
+
+    # rebuild on the FULL corpus: stale generations purged, the index
+    # holds exactly the rebuild corpus, fresh health base = zero drift
+    full = emb.filter(F.col("vec_id") < 150)
+    build_ivf_index(full, idx, n_centroids=4)
+    assert not glob.glob(f"{idx}/ingest=batch-*")
+    assert spark.read.parquet(idx).count() == full.count()
+    for r in ivf_index_health(spark, idx).collect():
+        assert not r["needs_rebuild"], r
 
 
 def test_ivf_index_health_arrow_path(spark, tmp_path):

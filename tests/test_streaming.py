@@ -882,6 +882,76 @@ def test_compact_store_concurrent_fold_errors_loudly(spark, tmp_path):
     assert not os.path.exists(lock)  # released on the way out
 
 
+def test_stale_lock_break_single_winner(spark, tmp_path):
+    """Round-7 verdict #3: breaking a stale lock is an ATOMIC RENAME to
+    a unique tombstone with exactly one winner — not delete-then-create,
+    where a slow second breaker's delete could remove the first
+    breaker's FRESHLY created lock and leave two live folds. Both loser
+    interleavings back off loudly and leave the winner's lease intact."""
+    import os
+    import time
+
+    from petk_spark.sources import swap
+
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    lock = f"{root}/_compact_lock"
+    fs, hp = swap._fs(spark, root)
+
+    # a >lease-old orphan lock from a dead writer
+    open(lock, "w").close()
+    old = time.time() - 2 * swap.DEFAULT_LOCK_STALE_S
+    os.utime(lock, (old, old))
+
+    # breaker A observes it stale and wins the whole break+create
+    swap.acquire_lock(spark, root)
+    assert os.path.exists(lock)
+
+    # breaker B also observed the stale lock but runs its break step
+    # AFTER A re-created a fresh one: the tombstone age re-check
+    # catches the steal, RESTORES A's lock, and B backs off
+    with pytest.raises(swap.FoldInProgressError):
+        swap._break_stale_lock(fs, hp, root, swap.DEFAULT_LOCK_STALE_S)
+    assert os.path.exists(lock), "A's lease must survive B's attempt"
+    assert not [f for f in os.listdir(root) if ".stale-" in f]
+
+    # breaker C runs in the exact verdict window: the lock path is
+    # EMPTY (a rival renamed the stale lock away and hasn't created
+    # yet) — C's rename returns False and C backs off instead of
+    # blowing away what the rival is about to create
+    swap.release_lock(spark, root)
+    with pytest.raises(swap.FoldInProgressError):
+        swap._break_stale_lock(fs, hp, root, swap.DEFAULT_LOCK_STALE_S)
+
+
+def test_lock_create_failure_classification(spark, tmp_path):
+    """Round-7 advisory: only already-exists outcomes become
+    FoldInProgressError; genuine IO failures (permissions, quota,
+    network) must surface as themselves, not be dressed up as a lease
+    conflict telling the operator to wait."""
+    from petk_spark.sources import swap
+
+    # the real Py4J path: a second create on an existing lock raises a
+    # Java exception whose cause chain names FileAlreadyExists
+    root = str(tmp_path / "store")
+    fs, hp = swap._fs(spark, root)
+    out = fs.create(hp(f"{root}/_compact_lock"), False)
+    out.close()
+    try:
+        fs.create(hp(f"{root}/_compact_lock"), False)
+        raise AssertionError("expected create(overwrite=False) to throw")
+    except AssertionError:
+        raise
+    except Exception as exc:
+        assert swap._exc_is_already_exists(exc), exc
+
+    # non-already-exists failures are NOT classified as lease conflicts
+    assert not swap._exc_is_already_exists(RuntimeError("Disk quota exceeded"))
+    assert swap._exc_is_already_exists(
+        RuntimeError("File already exists: /x/_compact_lock")
+    )
+
+
 def test_reader_recovers_crashed_fold(spark, tmp_path):
     """Round-7 advisory: a reader hitting a store whose fold crashed
     after the child deletes completes the fold before reading instead
