@@ -2663,7 +2663,29 @@ def _q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         0.48–0.52 across scale factors).
 
     The oracle enumerates the query ids from the table, so row coverage
-    (exactly one verdict per existing query) is also driver-checked."""
+    (exactly one verdict per existing query) is also driver-checked.
+
+    Round-8 widening (round-7 verdict #2): the twin now also covers
+    ``ivf_index_health`` inside the hashed window. A real index is
+    built on the whole table (8 centroids), health-checked fresh, then
+    appended with a TABLE-SIZED pile of copies of vector 0 — an
+    absorbing-cell drift whose outcome is scale-invariant: vector 0's
+    cell holds > 1/2 of the doubled corpus afterwards, so its share
+    MUST exceed ``2 × share_base`` (base shares are ≈ 1/8) at every
+    SF, while every other cell's share only shrinks and its membership
+    (hence mean score) is unchanged — exactly one deterministic flag
+    class. (A negated-vector append — the unit test's drift — is NOT
+    used here: at 8 centroids a negated near-isotropic vector still
+    finds a weakly-aligned centroid, and the mean-score drop lands
+    under the 0.05 threshold.) The hashed rows pin BOTH the exact
+    occupancy arithmetic (``n_base``/``n_now`` totals — DuckDB replays
+    them as plain counts, every embedding being well-formed at all
+    SFs) and the flag logic as verdict bands (fresh build → zero
+    flags, score_drop ≈ 0, n_now = n_base; after the pile → at least
+    one cell flags and every flagged cell has a documented reason).
+    The two health frames are tiny n_centroids-row aggregates
+    collected eagerly so the temp index directory can be removed
+    before the frame is returned."""
     emb = read_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 10)
     exact = similarity.cosine_topk(emb, qs, "vec_id", "embedding", k=10)
@@ -2708,7 +2730,76 @@ def _q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
-    return per_q.unionAll(overall)
+
+    # --- ivf_index_health coverage (round-7 verdict #2) -------------
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="petk_ivf_health_twin_")
+    try:
+        idx = f"{tmp}/idx"
+        similarity.build_ivf_index(emb, idx, n_centroids=8)
+        fresh = similarity.ivf_index_health(spark, idx).collect()
+        # absorbing-cell drift: one appended copy of vector 0 per
+        # existing row (broadcast 1-row combine), so its cell ends up
+        # holding over half the doubled corpus at any scale factor
+        pile = (
+            emb.select((F.col("vec_id") + 10_000_000).alias("vec_id"))
+            .crossJoin(
+                F.broadcast(
+                    emb.filter(F.col("vec_id") == 0).select(
+                        F.col("embedding").alias("pile_vec")
+                    )
+                )
+            )
+            .select("vec_id", F.col("pile_vec").alias("embedding"))
+        )
+        similarity.append_to_ivf_index(pile, idx)
+        drifted = similarity.ivf_index_health(spark, idx).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    fresh_ok = (
+        all(not r["needs_rebuild"] for r in fresh)
+        and all(abs(r["score_drop"] or 0.0) < 1e-9 for r in fresh)
+        and all(r["n_now"] == r["n_base"] for r in fresh)
+    )
+    flagged = [r for r in drifted if r["needs_rebuild"]]
+    drift_ok = bool(flagged) and all(
+        (r["score_drop"] is not None and r["score_drop"] > 0.05)
+        or (
+            r["share_now"] > 2.0 * r["share_base"] + 1e-9
+            and r["share_now"] >= 0.01
+        )
+        for r in flagged
+    )
+    share_sum = sum(r["share_now"] for r in drifted)
+    health = spark.createDataFrame(
+        [
+            (
+                "HEALTH fresh_no_flags",
+                "ok" if fresh_ok else f"BAD {fresh}",
+            ),
+            (
+                "HEALTH drift_flags",
+                "ok" if drift_ok else f"BAD {drifted}",
+            ),
+            (
+                "HEALTH n_base_total",
+                str(sum(int(r["n_base"]) for r in fresh)),
+            ),
+            (
+                "HEALTH n_now_total",
+                str(sum(int(r["n_now"]) for r in drifted)),
+            ),
+            (
+                "HEALTH share_now_sums_to_one",
+                "ok" if abs(share_sum - 1.0) < 1e-9 else f"BAD {share_sum}",
+            ),
+        ],
+        "query_id string, verdict string",
+    )
+    return per_q.unionAll(overall).unionAll(health)
 
 
 _SQL_COSINE_IVF_RECALL = """
@@ -2716,6 +2807,16 @@ SELECT vec_id::VARCHAR AS query_id, 'ok' AS verdict
 FROM embeddings WHERE vec_id < 10
 UNION ALL
 SELECT 'ALL', 'ok'
+UNION ALL
+SELECT 'HEALTH fresh_no_flags', 'ok'
+UNION ALL
+SELECT 'HEALTH drift_flags', 'ok'
+UNION ALL
+SELECT 'HEALTH n_base_total', (SELECT count(*) FROM embeddings)::VARCHAR
+UNION ALL
+SELECT 'HEALTH n_now_total', (SELECT 2 * count(*) FROM embeddings)::VARCHAR
+UNION ALL
+SELECT 'HEALTH share_now_sums_to_one', 'ok'
 """
 
 
