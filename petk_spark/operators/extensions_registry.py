@@ -2803,6 +2803,22 @@ def _q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_COSINE_IVF_RECALL = """
+WITH dim AS (
+  SELECT len(embedding) AS d FROM embeddings WHERE embedding IS NOT NULL
+  GROUP BY 1 ORDER BY count(*) DESC, 1 LIMIT 1
+), wf AS (
+  -- the assignment well-formedness predicate (_well_formed): non-NULL,
+  -- the index's (modal) dimension, positive FINITE squared norm; rows
+  -- failing it get NULL centroid_id and are invisible to cell counts
+  SELECT count(*) AS c FROM embeddings, dim
+  WHERE embedding IS NOT NULL AND len(embedding) = dim.d
+    AND list_aggregate(
+          list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum'
+        ) > 0
+    AND isfinite(list_aggregate(
+          list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum'
+        ))
+)
 SELECT vec_id::VARCHAR AS query_id, 'ok' AS verdict
 FROM embeddings WHERE vec_id < 10
 UNION ALL
@@ -2812,9 +2828,10 @@ SELECT 'HEALTH fresh_no_flags', 'ok'
 UNION ALL
 SELECT 'HEALTH drift_flags', 'ok'
 UNION ALL
-SELECT 'HEALTH n_base_total', (SELECT count(*) FROM embeddings)::VARCHAR
+SELECT 'HEALTH n_base_total', (SELECT c FROM wf)::VARCHAR
 UNION ALL
-SELECT 'HEALTH n_now_total', (SELECT 2 * count(*) FROM embeddings)::VARCHAR
+SELECT 'HEALTH n_now_total',
+       (SELECT c + (SELECT count(*) FROM embeddings) FROM wf)::VARCHAR
 UNION ALL
 SELECT 'HEALTH share_now_sums_to_one', 'ok'
 """
