@@ -244,28 +244,65 @@ def acquire_lock(
     fs, hp = _fs(spark, root)
     lock = hp(f"{root}/{LOCK_NAME}")
     if fs.exists(lock):
-        age_s = (
-            time.time() * 1000.0 - fs.getFileStatus(lock).getModificationTime()
-        ) / 1000.0
-        if age_s < stale_after_s:
+        try:
+            age_s = (
+                time.time() * 1000.0
+                - fs.getFileStatus(lock).getModificationTime()
+            ) / 1000.0
+        except Exception as exc:
+            # the lock vanished between exists() and getFileStatus()
+            # (its holder released) — treat as absent and fall through
+            # to the atomic create, which still decides the winner
+            # (found by the thread-contention stress test)
+            if not _exc_is_not_found(exc):
+                raise
+            age_s = None
+        if age_s is not None and age_s < stale_after_s:
             raise FoldInProgressError(
                 f"another fold holds {root}/{LOCK_NAME} "
                 f"(age {age_s:.1f}s < lease {stale_after_s:.0f}s); "
                 "folds are single-writer — if the previous writer is "
                 "dead, wait out the lease or delete the lock file"
             )
-        _break_stale_lock(fs, hp, root, stale_after_s)
+        if age_s is not None:
+            _break_stale_lock(fs, hp, root, stale_after_s)
+    if not _atomic_create(spark, fs, lock):
+        raise FoldInProgressError(
+            f"lost the race for {root}/{LOCK_NAME}: "
+            "another fold created it first"
+        )
+
+
+def _atomic_create(spark, fs, lock) -> bool:
+    """Create ``lock`` exclusively; True iff WE created it. Scheme
+    dispatch because exclusivity comes from different primitives:
+
+    * ``file`` — Hadoop's ``RawLocalFileSystem.create(overwrite=False)``
+      is CHECK-then-act (an ``exists()`` probe, then a plain open), so
+      under real contention multiple creators all pass the probe — the
+      thread-contention stress test measured 8 simultaneous "winners".
+      ``java.io.File.createNewFile`` is the POSIX ``O_CREAT|O_EXCL``
+      primitive: exactly one creator returns true.
+    * everything else (``hdfs`` etc.) — ``create(overwrite=False)`` is
+      atomic at the metadata service and throws AlreadyExists for
+      losers. (On object stores without atomic create-if-absent the
+      lock degrades to best-effort — the write-ahead manifest, not the
+      lock, is what keeps a lost race recoverable.)"""
+    uri = lock.toUri()
+    if uri.getScheme() in (None, "file"):
+        jfile = spark._jvm.java.io.File(uri.getPath())
+        parent = jfile.getParentFile()
+        if parent is not None:
+            parent.mkdirs()  # idempotent; createNewFile needs the dir
+        return bool(jfile.createNewFile())
     try:
-        # create(path, overwrite=False) throws if the file appeared
-        # between the exists() check and here — the atomic tiebreak.
         out = fs.create(lock, False)
         out.close()
+        return True
     except Exception as exc:  # Py4J wraps the Java exception
         if not _exc_is_already_exists(exc):
             raise
-        raise FoldInProgressError(
-            f"lost the race for {root}/{LOCK_NAME}: {exc}"
-        ) from None
+        return False
 
 
 def release_lock(spark, root: str) -> None:

@@ -924,6 +924,58 @@ def test_stale_lock_break_single_winner(spark, tmp_path):
         swap._break_stale_lock(fs, hp, root, swap.DEFAULT_LOCK_STALE_S)
 
 
+def test_lock_mutual_exclusion_under_thread_contention(spark, tmp_path):
+    """Stress the whole acquire/release protocol with real concurrent
+    threads (the Py4J gateway is thread-safe): 8 threads hammer the
+    same root; a shared counter inside the critical section must never
+    observe a second holder. Complements the deterministic
+    interleaving tests — this one exercises the ACTUAL races the
+    create-fail-if-exists primitive must win."""
+    import os
+    import threading
+    import time as _t
+
+    from petk_spark.sources import swap
+
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    active = [0]
+    max_active = [0]
+    acquired = [0]
+    errors: list = []
+    guard = threading.Lock()
+
+    def worker():
+        for _ in range(15):
+            try:
+                swap.acquire_lock(spark, root)
+            except swap.FoldInProgressError:
+                _t.sleep(0.002)
+                continue
+            except Exception as exc:  # pragma: no cover - diagnostics
+                errors.append(exc)
+                return
+            try:
+                with guard:
+                    active[0] += 1
+                    acquired[0] += 1
+                    max_active[0] = max(max_active[0], active[0])
+                _t.sleep(0.003)
+                with guard:
+                    active[0] -= 1
+            finally:
+                swap.release_lock(spark, root)
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert acquired[0] > 0, "no thread ever acquired the lock"
+    assert max_active[0] == 1, f"two concurrent holders: {max_active[0]}"
+
+
 def test_lock_create_failure_classification(spark, tmp_path):
     """Round-7 advisory: only already-exists outcomes become
     FoldInProgressError; genuine IO failures (permissions, quota,
