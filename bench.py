@@ -21,7 +21,7 @@ Self-adjudication (round 8): three consecutive rounds burned a
 flag-and-adjudicate cycle on host noise (r5 sessionize_events, r6
 correlation_lineitem, r7's 24-query uniform drift), so the run now
 measures the HOST alongside the engine. A fixed CONTROL query —
-frozen engine-independent pure-CPU Spark (range → avg(xxhash64), 40M
+frozen engine-independent pure-CPU Spark (range → avg(xxhash64), 150M
 rows per configured core), never to be edited — runs after warmup and
 again after every
 $SPARK_GRAFT_BENCH_CONTROL_EVERY (default 10) registry entries; its

@@ -705,25 +705,279 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
 
+def _pii_synth_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PII-bearing corpus synthesized from customer
+    columns (the documents table carries no PII — same trick as the
+    media twin's synthesized blobs): every email/phone/SSN/card/IP/URL
+    is pure integer-and-string arithmetic on ``c_custkey``/``c_name``,
+    replayed verbatim by the DuckDB twin, and which classes appear
+    varies by key residue so zero-count and NULL paths stay covered."""
+    df = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 10 < 2
+    )
+    k = F.col("c_custkey")
+
+    def lp(e, n):
+        return F.lpad(e.cast("string"), n, "0")
+
+    email = F.concat(
+        F.lower(F.regexp_replace(F.col("c_name"), "[^A-Za-z0-9]", "")),
+        F.lit("@example.com"),
+    )
+    phone = F.concat(
+        lp(k * 7 % 1000, 3), F.lit("-"),
+        lp(k * 13 % 1000, 3), F.lit("-"), lp(k * 17 % 10000, 4),
+    )
+    ssn = F.concat(
+        lp(k % 1000, 3), F.lit("-"),
+        lp(k % 100, 2), F.lit("-"), lp(k * 3 % 10000, 4),
+    )
+    card = F.concat(
+        F.lit("4"), lp(k % 1000, 3), F.lit("-"),
+        lp(k * 11 % 10000, 4), F.lit("-"),
+        lp(k * 19 % 10000, 4), F.lit("-"), lp(k * 23 % 10000, 4),
+    )
+    ip = F.concat(
+        (k % 223 + 1).cast("string"), F.lit("."),
+        (k % 256).cast("string"), F.lit("."),
+        (k * 3 % 256).cast("string"), F.lit("."),
+        (k * 7 % 254 + 1).cast("string"),
+    )
+    url = F.concat(
+        F.lit("https://www.site-"), (k % 50).cast("string"),
+        F.lit(".example."),
+        F.when(k % 2 == 0, F.lit("com")).otherwise(F.lit("org")),
+        F.lit("/item/"), k.cast("string"),
+    )
+
+    def piece(cond, prefix, e):
+        return F.when(cond, F.concat(F.lit(prefix), e)).otherwise(
+            F.lit("none")
+        )
+
+    txt = F.concat(
+        F.lit("Contact "), F.col("c_name"), F.lit(" at "), email,
+        F.lit(" "), piece(k % 3 == 0, "call ", phone),
+        F.lit(" "), piece(k % 4 == 1, "ssn ", ssn),
+        F.lit(" "), piece(k % 5 == 2, "card ", card),
+        F.lit(" "), piece(k % 2 == 0, "ip ", ip),
+        F.lit(" "), piece(k % 6 < 4, "visit ", url),
+    )
+    return df.select(k.alias("id"), txt.alias("text"))
+
+
+def _boiler_synth_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-paragraph corpus from documents (the raw
+    texts have no newlines): two halves of each text wrap a shared
+    boilerplate paragraph on ⅔ of the docs and a doc-unique paragraph
+    on the rest."""
+    df = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    boiler = (
+        F.when(d % 3 == 0, F.lit("SUBSCRIBE to our newsletter"))
+        .when(d % 3 == 1, F.lit("Copyright 2026 Example Corp"))
+        .otherwise(F.concat(F.lit("unique para "), d.cast("string")))
+    )
+    txt = F.concat(
+        F.substring(F.col("text"), 1, 80), F.lit("\n\n"),
+        boiler, F.lit("\n\n"), F.substring(F.col("text"), 81, 80),
+    )
+    return df.select(d.alias("id"), txt.alias("text"))
+
+
 def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F13 composite cleaning pipeline — the kept-document set is the
-    correctness claim (language filter, quality threshold, and
-    fingerprint keep-first dedup all replayed by the oracle)."""
+    """F13 + F36 + F37 + F38 on one ``(family, k1..k4)`` spine
+    (round-8 consolidation — window stays at 50):
+
+    * ``kept`` — the F13 cleaning pipeline's kept-document set
+      (language filter, quality threshold, fingerprint keep-first
+      dedup), unchanged semantics from rounds 1–7;
+    * ``pii`` / ``pii_red`` — per-doc per-class PII match counts and
+      the md5 of the redacted text over the synthesized customer
+      corpus (pins detection counts AND the full canonical-order
+      redaction chain);
+    * ``url`` — corpus domain-frequency table over the same corpus;
+    * ``boiler_freq`` / ``boiler_clean`` — paragraph-frequency table
+      and the boilerplate-removed rewrite (md5 of each rebuilt text
+      plus kept/total paragraph counts) over the synthesized
+      multi-paragraph corpus.
+
+    All payload cells are VARCHAR on both engines (nullable numerics
+    are fetch-path-sensitive under the driver's pandas hash model)."""
+    from petk_spark.operators import paragraphs, pii
     from petk_spark.operators.pipeline import corpus_clean
 
+    null_s = F.lit(None).cast("string")
+
     df = read_table(spark, sf_dir, "documents")
-    out = corpus_clean(df, "doc_id", "text", lang="en", min_quality=0.5)
-    return out.select(
-        "id", "lang_pred", fmt_sci(F.col("quality")).alias("quality"),
-        "fingerprint",
+    kept = corpus_clean(
+        df, "doc_id", "text", lang="en", min_quality=0.5
+    ).select(
+        F.lit("kept").alias("family"),
+        F.col("id").cast("string").alias("k1"),
+        F.col("lang_pred").alias("k2"),
+        fmt_sci(F.col("quality")).alias("k3"),
+        F.col("fingerprint").alias("k4"),
+    )
+
+    synth = _pii_synth_frame(spark, sf_dir)
+    sig = pii.pii_signals_frame(synth, "id", "text")
+    entries = [
+        F.struct(
+            F.lit(c).alias("k2"),
+            F.col(f"n_{c}").cast("string").alias("k3"),
+        )
+        for c in pii.PII_CLASSES
+    ]
+    pii_rows = sig.select(
+        F.col("id").cast("string").alias("k1"),
+        F.explode(F.array(*entries)).alias("e"),
+    ).select(
+        F.lit("pii").alias("family"), "k1",
+        F.col("e.k2").alias("k2"), F.col("e.k3").alias("k3"),
+        null_s.alias("k4"),
+    )
+    red_rows = pii.redact_pii(synth, "text", out_col="red").select(
+        F.lit("pii_red").alias("family"),
+        F.col("id").cast("string").alias("k1"),
+        F.lit("fp").alias("k2"), null_s.alias("k3"),
+        F.md5(F.col("red")).alias("k4"),
+    )
+    url_rows = pii.domain_frequency(synth, "id", "text").select(
+        F.lit("url").alias("family"),
+        F.col("domain").alias("k1"),
+        F.col("n_docs").cast("string").alias("k2"),
+        F.col("n_urls").cast("string").alias("k3"),
+        null_s.alias("k4"),
+    )
+
+    bsynth = _boiler_synth_frame(spark, sf_dir)
+    bf_rows = paragraphs.paragraph_frequency(bsynth, "id", "text").select(
+        F.lit("boiler_freq").alias("family"),
+        F.col("para_hash").alias("k1"),
+        F.col("n_docs").cast("string").alias("k2"),
+        F.col("n_occurrences").cast("string").alias("k3"),
+        null_s.alias("k4"),
+    )
+    bc_rows = paragraphs.remove_boilerplate(
+        bsynth, "id", "text", min_docs=5
+    ).select(
+        F.lit("boiler_clean").alias("family"),
+        F.col("id").cast("string").alias("k1"),
+        F.col("n_paragraphs").cast("string").alias("k2"),
+        F.col("n_paragraphs_kept").cast("string").alias("k3"),
+        F.md5(F.col("text")).alias("k4"),
+    )
+    return (
+        kept.unionAll(pii_rows).unionAll(red_rows).unionAll(url_rows)
+        .unionAll(bf_rows).unionAll(bc_rows)
     )
 
 
+#: DuckDB mirror of _pii_synth_frame (same integer/string arithmetic).
+_PII_SYNTH_CTE = r"""
+psrc AS MATERIALIZED (
+  SELECT c_custkey AS id,
+    'Contact ' || c_name || ' at ' ||
+    lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) || '@example.com' ||
+    ' ' || CASE WHEN c_custkey % 3 = 0 THEN 'call ' ||
+        lpad((c_custkey*7 % 1000)::VARCHAR, 3, '0') || '-' ||
+        lpad((c_custkey*13 % 1000)::VARCHAR, 3, '0') || '-' ||
+        lpad((c_custkey*17 % 10000)::VARCHAR, 4, '0') ELSE 'none' END ||
+    ' ' || CASE WHEN c_custkey % 4 = 1 THEN 'ssn ' ||
+        lpad((c_custkey % 1000)::VARCHAR, 3, '0') || '-' ||
+        lpad((c_custkey % 100)::VARCHAR, 2, '0') || '-' ||
+        lpad((c_custkey*3 % 10000)::VARCHAR, 4, '0') ELSE 'none' END ||
+    ' ' || CASE WHEN c_custkey % 5 = 2 THEN 'card ' || '4' ||
+        lpad((c_custkey % 1000)::VARCHAR, 3, '0') || '-' ||
+        lpad((c_custkey*11 % 10000)::VARCHAR, 4, '0') || '-' ||
+        lpad((c_custkey*19 % 10000)::VARCHAR, 4, '0') || '-' ||
+        lpad((c_custkey*23 % 10000)::VARCHAR, 4, '0') ELSE 'none' END ||
+    ' ' || CASE WHEN c_custkey % 2 = 0 THEN 'ip ' ||
+        (c_custkey % 223 + 1)::VARCHAR || '.' ||
+        (c_custkey % 256)::VARCHAR || '.' ||
+        (c_custkey*3 % 256)::VARCHAR || '.' ||
+        (c_custkey*7 % 254 + 1)::VARCHAR ELSE 'none' END ||
+    ' ' || CASE WHEN c_custkey % 6 < 4 THEN 'visit ' ||
+        'https://www.site-' || (c_custkey % 50)::VARCHAR || '.example.' ||
+        CASE WHEN c_custkey % 2 = 0 THEN 'com' ELSE 'org' END ||
+        '/item/' || c_custkey::VARCHAR ELSE 'none' END AS text
+  FROM customer WHERE c_custkey % 10 < 2
+)"""
+
+#: DuckDB mirror of _boiler_synth_frame + paragraphs.paragraph_frame.
+_BOILER_CTE = r"""
+bsrc AS MATERIALIZED (
+  SELECT doc_id AS id,
+    substr(text, 1, 80) || chr(10) || chr(10) ||
+    CASE WHEN doc_id % 3 = 0 THEN 'SUBSCRIBE to our newsletter'
+         WHEN doc_id % 3 = 1 THEN 'Copyright 2026 Example Corp'
+         ELSE 'unique para ' || doc_id::VARCHAR END ||
+    chr(10) || chr(10) || substr(text, 81, 80) AS text
+  FROM documents
+),
+bps AS MATERIALIZED (
+  SELECT id, e['pos'] AS pos, e['p'] AS paragraph,
+         md5(trim(regexp_replace(lower(e['p']), '\s+', ' ', 'g'))) AS para_hash
+  FROM (
+    SELECT id, unnest(list_transform(range(1, len(ps) + 1),
+                 i -> {'pos': i - 1, 'p': ps[i]})) AS e
+    FROM (SELECT id, string_split_regex(text, '\n[ \t]*\n+') AS ps FROM bsrc)
+  ) WHERE trim(e['p']) <> ''
+),
+bfreq AS MATERIALIZED (
+  SELECT para_hash, count(DISTINCT id) AS n_docs, count(*) AS n_occ
+  FROM bps GROUP BY 1
+),
+brebuilt AS (
+  SELECT id, string_agg(paragraph, chr(10) || chr(10) ORDER BY pos) AS text_kept,
+         count(*) AS n_kept
+  FROM bps
+  WHERE para_hash NOT IN (SELECT para_hash FROM bfreq WHERE n_docs >= 5)
+  GROUP BY id
+),
+btotals AS (SELECT id, count(*) AS n_paras FROM bps GROUP BY id)"""
+
+
+def _pii_families_sql() -> str:
+    """The pii/pii_red/url family SELECTs, patterns taken from
+    pii.PII_PATTERNS so the twin can never drift from the operator."""
+    from petk_spark.operators.pii import PII_PATTERNS, URL_PATTERN
+
+    counts = "\nUNION ALL\n".join(
+        f"SELECT 'pii' AS family, id::VARCHAR AS k1, '{cls}' AS k2,\n"
+        f"       len(regexp_extract_all(text, '{pat}'))::VARCHAR AS k3,\n"
+        f"       NULL::VARCHAR AS k4 FROM psrc"
+        for cls, pat, _ in PII_PATTERNS
+    )
+    red = "text"
+    for _, pat, placeholder in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{placeholder}', 'g')"
+    return f"""
+{counts}
+UNION ALL
+SELECT 'pii_red', id::VARCHAR, 'fp', NULL::VARCHAR, md5({red})
+FROM psrc
+UNION ALL
+SELECT 'url', domain, count(DISTINCT id)::VARCHAR, count(*)::VARCHAR,
+       NULL::VARCHAR
+FROM (
+  SELECT id, lower(unnest(regexp_extract_all(text, '{URL_PATTERN}', 1))) AS domain
+  FROM psrc
+) GROUP BY domain
+"""
+
+
 def _corpus_clean_sql(lang: str = "en", min_quality: float = 0.5) -> str:
-    """DuckDB twin of pipeline.corpus_clean: same marker-word language
-    argmax (reverse-lex fold ≡ first-lang-wins CASE), same fixed-order
-    quality arithmetic, same md5 fingerprint, same keep-lowest-id
-    window."""
+    """DuckDB twin of the consolidated corpus_clean spine. Family
+    ``kept``: same marker-word language argmax (reverse-lex fold ≡
+    first-lang-wins CASE), same fixed-order quality arithmetic, same
+    md5 fingerprint, same keep-lowest-id window as rounds 1–7.
+    Families ``pii``/``pii_red``/``url``/``boiler_*`` (round 8):
+    regex detection, canonical-order redaction, domain frequency, and
+    the paragraph split/normalize/md5/frequency/rebuild chain — every
+    pattern is in the Java∩RE2 subset (parity pinned per-pattern by
+    tests/test_pii_paragraphs.py)."""
     langs = sorted(text.LANG_MARKERS)
     scores = ", ".join(
         f"len(list_filter(tk, t -> list_contains({_duck_list(text.LANG_MARKERS[lg])}, t))) AS s_{lg}"
@@ -756,12 +1010,27 @@ kept AS (
   SELECT id, CASE {cases} ELSE 'und' END AS lang_pred, quality, fingerprint
   FROM scored
   WHERE (CASE {cases} ELSE 'und' END) = '{lang}' AND quality >= {min_quality}
-)
-SELECT id, lang_pred, {dfmt('quality')} AS quality, fingerprint
+),
+{_PII_SYNTH_CTE},
+{_BOILER_CTE}
+SELECT 'kept' AS family, id::VARCHAR AS k1, lang_pred AS k2,
+       {dfmt('quality')} AS k3, fingerprint AS k4
 FROM (
   SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY id) AS rn
   FROM kept
 ) WHERE rn = 1
+UNION ALL
+{_pii_families_sql()}
+UNION ALL
+SELECT 'boiler_freq', para_hash, n_docs::VARCHAR, n_occ::VARCHAR,
+       NULL::VARCHAR
+FROM bfreq
+UNION ALL
+SELECT 'boiler_clean', s.id::VARCHAR,
+       coalesce(t.n_paras, 0)::VARCHAR, coalesce(r.n_kept, 0)::VARCHAR,
+       CASE WHEN s.text IS NULL THEN NULL
+            ELSE md5(coalesce(r.text_kept, '')) END
+FROM bsrc s LEFT JOIN btotals t USING (id) LEFT JOIN brebuilt r USING (id)
 """
 
 

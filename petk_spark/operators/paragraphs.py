@@ -1,0 +1,137 @@
+"""Paragraph-level dedup / boilerplate removal (SURVEY §2.F37) —
+beyond-reference LLM-pipeline operator (no counterpart in petk).
+
+The RefinedWeb/Dolma-style sub-document pass: web corpora repeat the
+same navigation footers, cookie banners, and subscribe prompts across
+millions of pages; document-level dedup never sees them. This module
+splits documents into paragraphs, fingerprints each one, measures
+corpus-wide paragraph frequency, and rewrites documents with the hot
+("boilerplate") paragraphs removed.
+
+Scale design (100 TB): the split/normalize/hash stage is a row-local
+projection (posexplode + md5 — JVM, no Python); frequency is ONE hash
+aggregation on the 16-byte paragraph hash (map-side partials absorb
+per-doc repeats); the boilerplate SET (paragraphs above the doc-count
+threshold) is small by construction — hot paragraphs are few, that is
+what makes them boilerplate — so removal is a BROADCAST anti-join, and
+reassembly is one shuffle on the doc id. Two data-proportional
+shuffles total, no driver materialization, no all-pairs stage.
+
+Cross-engine contract: the split regex, whitespace normalization, and
+md5 hex fingerprints stay in the Java∩RE2 subset, so DuckDB
+(string_split_regex / regexp_replace / md5) replays every stage for
+the driver oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Paragraph separator: one-or-more blank lines (optionally carrying
+#: horizontal whitespace), the standard plain-text convention.
+PARAGRAPH_SEP = r"\n[ \t]*\n+"
+
+
+def _normalized(para: Column) -> Column:
+    """Canonical form a paragraph is fingerprinted under: lowercased,
+    inner whitespace collapsed, trimmed — the same normalization the
+    document-level fingerprint uses, so near-identical boilerplate
+    (trailing spaces, case drift) folds onto one hash."""
+    return F.trim(F.regexp_replace(F.lower(para), r"\s+", " "))
+
+
+def paragraph_frame(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """One row per non-empty paragraph: ``(id, pos, paragraph,
+    para_hash)`` with ``pos`` the 0-based position among the document's
+    SPLIT pieces (gaps where empty pieces were dropped keep the
+    original relative order, which is all reassembly needs). Row-local:
+    split + posexplode + md5, zero shuffles. NULL text yields no rows
+    (explode of NULL array)."""
+    pieces = F.posexplode(
+        F.split(F.col(text_col), PARAGRAPH_SEP)
+    )
+    long = df.select(
+        F.col(id_col).alias("id"), pieces.alias("pos", "paragraph")
+    ).filter(F.trim(F.col("paragraph")) != "")
+    return long.withColumn(
+        "para_hash", F.md5(_normalized(F.col("paragraph")))
+    )
+
+
+def paragraph_frequency(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Corpus paragraph-frequency table: ``(para_hash, n_docs,
+    n_occurrences)`` — the curation input for choosing a boilerplate
+    threshold. One hash aggregate on the paragraph hash."""
+    paras = paragraph_frame(df, id_col, text_col)
+    return paras.groupBy("para_hash").agg(
+        F.count_distinct("id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 10,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Rewrite each document with boilerplate paragraphs removed:
+    every paragraph whose normalized hash appears in ≥ ``min_docs``
+    DISTINCT documents is dropped, survivors are rejoined in original
+    order by ``sep``. Returns ``(id, text, n_paragraphs,
+    n_paragraphs_kept)`` — a document that was ALL boilerplate keeps a
+    row with empty text (the caller's length filter is the right place
+    to drop it; silently losing rows here would corrupt id joins).
+    Documents with NULL text keep NULL text and zero counts.
+
+    Physical plan: paragraph frame → frequency agg (shuffle 1) →
+    filter to the small hot set → **broadcast** left-anti join →
+    re-group by doc id (shuffle 2) with order restored by
+    ``array_sort`` over (pos, paragraph) structs; the original frame
+    re-joins only to resurrect zero-paragraph/NULL documents."""
+    paras = paragraph_frame(df, id_col, text_col)
+    hot = (
+        paragraph_frequency(df, id_col, text_col)
+        .filter(F.col("n_docs") >= F.lit(min_docs))
+        .select("para_hash")
+    )
+    kept = paras.join(F.broadcast(hot), "para_hash", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "paragraph"))
+                ),
+                lambda s: s["paragraph"],
+            ),
+            sep,
+        ).alias("__text_kept"),
+        F.count(F.lit(1)).alias("n_paragraphs_kept"),
+    )
+    totals = paras.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_paragraphs")
+    )
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col))
+    return (
+        base.join(totals, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.when(
+                F.col(text_col).isNotNull(),
+                F.coalesce(F.col("__text_kept"), F.lit("")),
+            ).alias("text"),
+            F.coalesce("n_paragraphs", F.lit(0))
+            .cast("long")
+            .alias("n_paragraphs"),
+            F.coalesce("n_paragraphs_kept", F.lit(0))
+            .cast("long")
+            .alias("n_paragraphs_kept"),
+        )
+    )

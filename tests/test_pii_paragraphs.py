@@ -1,0 +1,295 @@
+"""Unit tests for the PII / URL-domain (F36+F38) and paragraph
+boilerplate (F37) operators, including DuckDB regex-parity checks for
+every pattern the oracle twin replays."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from petk_spark.operators import paragraphs, pii
+
+
+# ---------------------------------------------------------------------------
+# PII detection
+# ---------------------------------------------------------------------------
+
+PII_DOC = (
+    "Write to jane.doe+x@sub.example.co.uk or call (415)-555-0188; "
+    "backup 212.555.0199 and 212-555-0199 both count. "
+    "SSN 078-05-1120, card 4111-1111-1111-1111, host 10.0.254.3."
+)
+
+
+def test_pii_counts_crafted(spark):
+    df = spark.createDataFrame(
+        [(1, PII_DOC), (2, "no pii here at all"), (3, None)],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in pii.pii_signals_frame(df, "id", "text").collect()
+    }
+    r = rows[1]
+    assert r["n_email"] == 1
+    assert r["n_ssn"] == 1
+    assert r["n_credit_card"] == 1
+    # 10.0.254.3 only: 212.555.0199 has 3 groups, not 4, and the
+    # credit card's 4-digit groups fail \d{1,3}\b
+    assert r["n_ipv4"] == 1
+    # (415)-555-0188, 212.555.0199 (dot separators), 212-555-0199;
+    # the SSN's 2-digit middle group and the card's 4-digit groups
+    # don't satisfy the 3-3-4 shape
+    assert r["n_phone"] == 3
+    assert r["n_pii"] == 7 and r["has_pii"] is True
+    r2 = rows[2]
+    assert r2["n_pii"] == 0 and r2["has_pii"] is False
+    r3 = rows[3]
+    assert r3["n_pii"] is None and r3["has_pii"] is None
+
+
+def test_redaction_order_and_idempotence(spark):
+    df = spark.createDataFrame([(1, PII_DOC)], "id long, text string")
+    red = pii.redact_pii(df, "text", out_col="redacted")
+    out = red.select("redacted").first()[0]
+    assert "<EMAIL>" in out and "<SSN>" in out and "<PHONE>" in out
+    assert "<CREDIT_CARD>" in out and "<IPV4>" in out
+    # the credit card must be ONE placeholder, not phone fragments
+    assert "4111" not in out and "078-05-1120" not in out
+    # idempotence: a second pass changes nothing
+    again = pii.redact_pii(red, "redacted", out_col="redacted2")
+    r = again.select("redacted", "redacted2").first()
+    assert r["redacted"] == r["redacted2"]
+
+
+def test_redact_subset_classes(spark):
+    df = spark.createDataFrame([(1, PII_DOC)], "id long, text string")
+    out = (
+        pii.redact_pii(df, "text", classes=["email"])
+        .select("text")
+        .first()[0]
+    )
+    assert "<EMAIL>" in out and "<SSN>" not in out
+    with pytest.raises(ValueError, match="unknown PII classes"):
+        pii.redact_pii(df, "text", classes=["passport"])
+
+
+def test_pii_report_shares(spark):
+    df = spark.createDataFrame(
+        [(1, PII_DOC), (2, "clean"), (3, "a@b.io x"), (4, None)],
+        "id long, text string",
+    )
+    rep = {
+        r["class"]: r
+        for r in pii.pii_report(df, "id", "text").collect()
+    }
+    assert set(rep) == set(pii.PII_CLASSES)
+    assert rep["email"]["n_docs"] == 2
+    assert rep["email"]["n_matches"] == 2
+    # NULL-text doc is excluded from the denominator (3 scanned)
+    assert rep["email"]["p_docs"] == pytest.approx(2 / 3)
+    assert rep["ssn"]["n_docs"] == 1
+
+
+def test_pii_patterns_match_duckdb_re2(spark):
+    """Every pattern + placeholder replay bit-identically in DuckDB
+    (RE2) — the exact seam the widened corpus_clean twin rides on."""
+    texts = [
+        PII_DOC,
+        "edge: 1.2.3.4.5 and 999-99-9999 and x@y.z not-an-email@",
+        "a@b.cd 0.0.0.0 (000) 000 0000 4000-0000-0000-0002",
+        "",
+    ]
+    con = duckdb.connect()
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for cls, pat, placeholder in pii.PII_PATTERNS:
+        got = [
+            r[0]
+            for r in df.select(
+                F.regexp_count("text", F.lit(pat))
+            ).collect()
+        ]
+        want = [
+            con.execute(
+                "SELECT len(regexp_extract_all(?, ?))", [t, pat]
+            ).fetchone()[0]
+            for t in texts
+        ]
+        assert got == want, f"count parity broke for {cls}"
+        got_r = [
+            r[0]
+            for r in df.select(
+                F.regexp_replace("text", pat, placeholder)
+            ).collect()
+        ]
+        want_r = [
+            con.execute(
+                "SELECT regexp_replace(?, ?, ?, 'g')",
+                [t, pat, placeholder],
+            ).fetchone()[0]
+            for t in texts
+        ]
+        assert got_r == want_r, f"replace parity broke for {cls}"
+
+
+# ---------------------------------------------------------------------------
+# URL / domain signals
+# ---------------------------------------------------------------------------
+
+def test_url_signals_and_domain_frequency(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "see https://Docs.Example.com/a?q=1 and http://cdn.example.com/x"),
+            (2, "plain text"),
+            (3, "again https://docs.example.com/b"),
+            (4, None),
+        ],
+        "id long, text string",
+    )
+    sig = {r["id"]: r for r in pii.url_signals_frame(df, "id", "text").collect()}
+    assert sig[1]["n_urls"] == 2
+    assert sig[1]["domains"] == ["docs.example.com", "cdn.example.com"]
+    assert sig[2]["n_urls"] == 0 and sig[2]["domains"] == []
+    assert sig[4]["domains"] is None
+    freq = {
+        r["domain"]: (r["n_docs"], r["n_urls"])
+        for r in pii.domain_frequency(df, "id", "text").collect()
+    }
+    assert freq["docs.example.com"] == (2, 2)
+    assert freq["cdn.example.com"] == (1, 1)
+
+
+def test_domain_blocklist_filter(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://spam.bad.example/z"),
+            (2, "https://bad.example/y"),
+            (3, "https://good.example/ok and https://fine.org"),
+            (4, "no urls"),
+            (5, None),
+        ],
+        "id long, text string",
+    )
+    kept = sorted(
+        r["id"]
+        for r in pii.filter_by_domain_blocklist(
+            df, "text", ["bad.example"]
+        ).collect()
+    )
+    # exact match AND dot-suffix subdomain blocked; others pass,
+    # including the no-URL and NULL-text docs
+    assert kept == [3, 4, 5]
+
+
+# ---------------------------------------------------------------------------
+# paragraph boilerplate
+# ---------------------------------------------------------------------------
+
+BP = "SUBSCRIBE  to our\tnewsletter"  # normalization target
+BP_VARIANT = "subscribe to our newsletter"  # same hash after normalize
+
+
+def _mk_docs(spark):
+    rows = [
+        (1, f"intro one\n\n{BP}\n\nbody one"),
+        (2, f"intro two\n\n{BP_VARIANT}\n\nbody two"),
+        (3, f"{BP}\n\nbody three"),
+        (4, BP),  # all boilerplate
+        (5, "unique only"),
+        (6, None),
+        (7, "   "),  # whitespace-only: zero paragraphs
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_paragraph_frame_positions_and_hashes(spark):
+    df = _mk_docs(spark)
+    pf = paragraphs.paragraph_frame(df, "doc_id", "text")
+    rows = pf.filter(F.col("id") == 1).orderBy("pos").collect()
+    assert [r["pos"] for r in rows] == [0, 1, 2]
+    assert rows[0]["paragraph"] == "intro one"
+    # normalization folds case/whitespace drift onto one hash
+    h = {r["para_hash"] for r in pf.collect() if r["paragraph"] in (BP, BP_VARIANT)}
+    assert len(h) == 1
+    # NULL and whitespace-only docs contribute no rows
+    assert pf.filter(F.col("id").isin(6, 7)).count() == 0
+
+
+def test_paragraph_frequency(spark):
+    df = _mk_docs(spark)
+    freq = paragraphs.paragraph_frequency(df, "doc_id", "text")
+    top = freq.orderBy(F.desc("n_docs")).first()
+    assert top["n_docs"] == 4 and top["n_occurrences"] == 4
+
+
+def test_remove_boilerplate(spark):
+    df = _mk_docs(spark)
+    out = {
+        r["id"]: r
+        for r in paragraphs.remove_boilerplate(
+            df, "doc_id", "text", min_docs=3
+        ).collect()
+    }
+    assert len(out) == 7  # every doc keeps a row
+    assert out[1]["text"] == "intro one\n\nbody one"
+    assert out[1]["n_paragraphs"] == 3 and out[1]["n_paragraphs_kept"] == 2
+    assert out[2]["text"] == "intro two\n\nbody two"
+    assert out[3]["text"] == "body three"
+    # all-boilerplate doc: empty text, row preserved
+    assert out[4]["text"] == "" and out[4]["n_paragraphs_kept"] == 0
+    assert out[5]["text"] == "unique only"
+    assert out[6]["text"] is None and out[6]["n_paragraphs"] == 0
+    assert out[7]["text"] == "" and out[7]["n_paragraphs"] == 0
+
+
+def test_remove_boilerplate_high_threshold_is_identityish(spark):
+    """With an unreachable threshold nothing is removed: the rebuilt
+    text equals the original up to separator canonicalization (the
+    split/rejoin round-trip normalizes blank-line runs to one sep)."""
+    df = _mk_docs(spark).filter(F.col("doc_id") == 1)
+    out = paragraphs.remove_boilerplate(
+        df, "doc_id", "text", min_docs=10_000
+    ).first()
+    assert out["text"] == f"intro one\n\n{BP}\n\nbody one"
+    assert out["n_paragraphs"] == out["n_paragraphs_kept"] == 3
+
+
+def test_remove_boilerplate_plan_has_broadcast_antijoin(spark):
+    df = _mk_docs(spark)
+    plan = paragraphs.remove_boilerplate(
+        df, "doc_id", "text", min_docs=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_paragraph_split_parity_with_duckdb(spark):
+    """The split regex + normalization + md5 replay identically in
+    DuckDB — the seam the widened twin's boiler family rides on."""
+    texts = [
+        "a\n\nb", "a\n \t\n\n\nb\n\nc", "solo", "x\n\n\n", "\n\na",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = [
+        (r["id"], r["pos"], r["para_hash"])
+        for r in paragraphs.paragraph_frame(df, "id", "text")
+        .orderBy("id", "pos")
+        .collect()
+    ]
+    con = duckdb.connect()
+    want = []
+    for i, t in enumerate(texts):
+        pieces = con.execute(
+            r"SELECT string_split_regex(?, '\n[ \t]*\n+')", [t]
+        ).fetchone()[0]
+        for pos, p in enumerate(pieces):
+            if p.strip():
+                h = con.execute(
+                    r"SELECT md5(trim(regexp_replace(lower(?), '\s+', ' ', 'g')))",
+                    [p],
+                ).fetchone()[0]
+                want.append((i, pos, h))
+    assert got == want
