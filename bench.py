@@ -126,6 +126,51 @@ def main() -> None:
 
     registry["document_signals_fused"] = _fused_signals
 
+    # Bench-only timing entries (round 8): price the F36/F37 pipeline
+    # passes at corpus scale. pii_scrub = detection + full redaction
+    # chain over every document text (one scan, pure JVM regex — the
+    # number a 100 TB scrub pass extrapolates from). boilerplate_rewrite
+    # = the TWO-scan frequency+rewrite shape on the synthesized
+    # multi-paragraph corpus (the twin's families pin correctness; this
+    # prices the operator alone, reduced to a checksum aggregate).
+    def _pii_scrub(s, d):
+        from pyspark.sql import functions as BF
+
+        from petk_spark.operators.pii import pii_signals_frame, redact_pii
+        from petk_spark.sources.tables import read_table
+
+        docs = read_table(s, d, "documents")
+        sig = pii_signals_frame(docs, "doc_id", "text")
+        red = redact_pii(docs, "text", out_col="red").select(
+            BF.sum(BF.length("red")).alias("red_chars")
+        )
+        return sig.agg(
+            BF.sum("n_pii").alias("n_pii"),
+            BF.sum("n_email").alias("n_email"),
+        ).crossJoin(red)  # 1-row × 1-row combine
+
+    registry["pii_scrub"] = _pii_scrub
+
+    def _boiler_rewrite(s, d):
+        from pyspark.sql import functions as BF
+
+        from petk_spark.operators.extensions_registry import (
+            _boiler_synth_frame,
+        )
+        from petk_spark.operators.paragraphs import remove_boilerplate
+
+        out = remove_boilerplate(
+            _boiler_synth_frame(s, d), "id", "text", min_docs=5
+        )
+        return out.agg(
+            BF.count(BF.lit(1)).alias("n_docs"),
+            BF.sum("n_paragraphs").alias("n_paras"),
+            BF.sum("n_paragraphs_kept").alias("n_kept"),
+            BF.sum(BF.length("text")).alias("chars"),
+        )
+
+    registry["boilerplate_rewrite"] = _boiler_rewrite
+
     # Bench-only timing entries (round-6 verdict #6): price the
     # persistent-index query path against the single-shot form. The
     # driver's cosine_topk_ivf entry is the RECALL-VERDICT contract

@@ -80,6 +80,7 @@ def remove_boilerplate(
     text_col: str,
     min_docs: int = 10,
     sep: str = "\n\n",
+    hot: DataFrame | None = None,
 ) -> DataFrame:
     """Rewrite each document with boilerplate paragraphs removed:
     every paragraph whose normalized hash appears in ≥ ``min_docs``
@@ -90,48 +91,65 @@ def remove_boilerplate(
     to drop it; silently losing rows here would corrupt id joins).
     Documents with NULL text keep NULL text and zero counts.
 
-    Physical plan: paragraph frame → frequency agg (shuffle 1) →
-    filter to the small hot set → **broadcast** left-anti join →
-    re-group by doc id (shuffle 2) with order restored by
-    ``array_sort`` over (pos, paragraph) structs; the original frame
-    re-joins only to resurrect zero-paragraph/NULL documents."""
-    paras = paragraph_frame(df, id_col, text_col)
-    hot = (
-        paragraph_frequency(df, id_col, text_col)
-        .filter(F.col("n_docs") >= F.lit(min_docs))
-        .select("para_hash")
-    )
-    kept = paras.join(F.broadcast(hot), "para_hash", "left_anti")
-    rebuilt = kept.groupBy("id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "paragraph"))
-                ),
-                lambda s: s["paragraph"],
-            ),
-            sep,
-        ).alias("__text_kept"),
-        F.count(F.lit(1)).alias("n_paragraphs_kept"),
-    )
-    totals = paras.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_paragraphs")
-    )
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col))
-    return (
-        base.join(totals, "id", "left")
-        .join(rebuilt, "id", "left")
-        .select(
-            "id",
-            F.when(
-                F.col(text_col).isNotNull(),
-                F.coalesce(F.col("__text_kept"), F.lit("")),
-            ).alias("text"),
-            F.coalesce("n_paragraphs", F.lit(0))
-            .cast("long")
-            .alias("n_paragraphs"),
-            F.coalesce("n_paragraphs_kept", F.lit(0))
-            .cast("long")
-            .alias("n_paragraphs_kept"),
+    Physical plan — built for the fat-text-column scan to be the unit
+    of cost: ``posexplode_outer`` keeps NULL-text and zero-paragraph
+    documents IN BAND (one (NULL pos) row each), so there is no
+    re-join against the original frame; the hot set (small by
+    construction — hot paragraphs are few, that is what makes them
+    boilerplate) comes back as a **broadcast** left join marking each
+    piece, and ONE ``groupBy(id)`` (shuffle on the doc id) produces
+    the counts and the order-restored rebuilt text together. Total:
+    TWO scans (frequency + rewrite) and one data-proportional shuffle.
+    Pass a precomputed ``hot`` frame (one ``para_hash`` column, e.g.
+    yesterday's :func:`paragraph_frequency` output filtered to the
+    threshold) to skip the frequency pass — the production shape at
+    100 TB is frequency once, rewrite many, ONE scan per rewrite."""
+    if hot is None:
+        hot = (
+            paragraph_frequency(df, id_col, text_col)
+            .filter(F.col("n_docs") >= F.lit(min_docs))
+            .select("para_hash")
         )
+    else:
+        hot = hot.select("para_hash")
+    pieces = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode_outer(
+            F.split(F.col(text_col), PARAGRAPH_SEP)
+        ).alias("pos", "paragraph"),
+    )
+    # real = a non-empty paragraph; empty split pieces and the NULL
+    # marker row fall out of every count below but keep the doc's
+    # group alive (pos NULL ⇔ the document's text was NULL)
+    real = F.trim(F.col("paragraph")) != ""
+    marked = pieces.withColumn(
+        "para_hash",
+        F.when(real, F.md5(_normalized(F.col("paragraph")))),
+    ).join(
+        F.broadcast(hot.withColumn("__hot", F.lit(True))),
+        "para_hash",
+        "left",
+    )
+    keep = F.col("para_hash").isNotNull() & F.col("__hot").isNull()
+    return marked.groupBy("id").agg(
+        F.when(
+            F.max("pos").isNotNull(),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("pos", "paragraph"))
+                        )
+                    ),
+                    lambda s: s["paragraph"],
+                ),
+                sep,
+            ),
+        ).alias("text"),
+        F.count(F.when(F.col("para_hash").isNotNull(), F.lit(1)))
+        .cast("long")
+        .alias("n_paragraphs"),
+        F.count(F.when(keep, F.lit(1)))
+        .cast("long")
+        .alias("n_paragraphs_kept"),
     )

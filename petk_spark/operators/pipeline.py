@@ -30,6 +30,70 @@ from pyspark.sql import functions as F
 from petk_spark.operators.text import fingerprint, language_id, quality_score
 
 
+def prepare_training_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang: str = "en",
+    min_quality: float = 0.5,
+    boilerplate_min_docs: int | None = 10,
+    redact: bool = True,
+) -> DataFrame:
+    """The full pre-training scrub+clean pass, stages in the order a
+    production pipeline wants them (round 8, composing F37 → F36 →
+    F13):
+
+    1. **boilerplate removal** (cross-document repeated paragraphs;
+       skipped when ``boilerplate_min_docs`` is None) — FIRST, so
+       shared footers don't drag every page's quality score down and
+       don't collide distinct pages onto one dedup fingerprint;
+    2. **PII redaction** (canonical-order typed placeholders) —
+       before dedup, so two pages differing only in the PII they leak
+       fold together;
+    3. **language / quality / fingerprint-dedup filter**
+       (:func:`corpus_clean`) on the scrubbed text.
+
+    Returns the kept rows as ``(id, text, lang_pred, quality,
+    fingerprint)`` — ``text`` is the scrubbed form the filters were
+    computed on, ready for tokenization. Scale: stage 1 is two scans +
+    one doc-id shuffle (or one scan with a precomputed hot set —
+    see :func:`petk_spark.operators.paragraphs.remove_boilerplate`),
+    stages 2–3 fuse into row-local projections + the fingerprint
+    window's single shuffle."""
+    from petk_spark.operators.paragraphs import remove_boilerplate
+    from petk_spark.operators.pii import redact_pii
+
+    if boilerplate_min_docs is not None:
+        scrubbed = remove_boilerplate(
+            df, id_col, text_col, min_docs=boilerplate_min_docs
+        ).select("id", "text")
+    else:
+        scrubbed = df.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("text")
+        )
+    if redact:
+        scrubbed = redact_pii(scrubbed, "text")
+    # corpus_clean's stages inlined WITH the text column retained — a
+    # join-back against `scrubbed` would re-execute the whole scrub
+    # chain a second time (lineage, not a materialized table).
+    t = F.col("text")
+    scored = scrubbed.select(
+        "id", "text",
+        language_id(t).alias("lang_pred"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+    )
+    kept = scored.filter(
+        (F.col("lang_pred") == lang) & (F.col("quality") >= min_quality)
+    )
+    w = Window.partitionBy("fingerprint").orderBy("id")
+    return (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def corpus_clean(
     df: DataFrame,
     id_col: str,

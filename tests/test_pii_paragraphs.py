@@ -133,6 +133,60 @@ def test_pii_patterns_match_duckdb_re2(spark):
         assert got_r == want_r, f"replace parity broke for {cls}"
 
 
+def test_pii_patterns_fuzz_parity_duckdb(spark):
+    """Seeded fuzz over PII-shaped character soup: 300 strings built
+    from digits, separators, '@', dots, letters and boundary
+    characters, pushed through BOTH engines for every pattern (count
+    AND replace). This is the widest practical net for a Java-vs-RE2
+    semantic divergence (greediness, \\b at string edges, char-class
+    quirks) — any mismatch here would eventually hit the driver hash
+    via the corpus_clean twin."""
+    import random
+
+    rng = random.Random(8)
+    alphabet = list("0123456789") * 4 + list(
+        "-. ()@abcXYZ_%+\n\t/:"
+    )
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        for _ in range(300)
+    ]
+    # salt with structured fragments at random offsets
+    frags = [
+        "a@b.co", "1.2.3.4", "123-45-6789", "(123) 456 7890",
+        "4000-1111-2222-3333", "https://x.y", "@", "...", "---",
+        "999-999-9999", "12.34.56.789", "0-0-0",
+    ]
+    for i in range(0, 300, 3):
+        t = texts[i]
+        k = rng.randint(0, len(t))
+        texts[i] = t[:k] + rng.choice(frags) + t[k:]
+    con = duckdb.connect()
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for cls, pat, placeholder in pii.PII_PATTERNS:
+        got = [
+            (r[0], r[1])
+            for r in df.select(
+                F.regexp_count("text", F.lit(pat)),
+                F.regexp_replace("text", pat, placeholder),
+            ).collect()
+        ]
+        want = [
+            con.execute(
+                "SELECT len(regexp_extract_all(?, ?)),"
+                " regexp_replace(?, ?, ?, 'g')",
+                [t, pat, t, pat, placeholder],
+            ).fetchone()
+            for t in texts
+        ]
+        mism = [
+            (t, g, tuple(w))
+            for t, g, w in zip(texts, got, want)
+            if g != tuple(w)
+        ]
+        assert not mism, f"{cls}: {mism[:3]}"
+
+
 # ---------------------------------------------------------------------------
 # URL / domain signals
 # ---------------------------------------------------------------------------
@@ -255,13 +309,88 @@ def test_remove_boilerplate_high_threshold_is_identityish(spark):
     assert out["n_paragraphs"] == out["n_paragraphs_kept"] == 3
 
 
-def test_remove_boilerplate_plan_has_broadcast_antijoin(spark):
+def test_remove_boilerplate_plan_shape(spark):
+    """Scan economy is the operator's contract: the hot set joins back
+    BROADCAST, and the whole rewrite costs TWO scans of the fat text
+    column (frequency + marked rewrite) — or ONE when the hot set is
+    precomputed."""
     df = _mk_docs(spark)
     plan = paragraphs.remove_boilerplate(
         df, "doc_id", "text", min_docs=3
     )._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
-    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert plan.count("Scan ExistingRDD") <= 2  # createDataFrame source
+    pre = spark.createDataFrame([("deadbeef",)], "para_hash string")
+    plan1 = paragraphs.remove_boilerplate(
+        df, "doc_id", "text", hot=pre
+    )._jdf.queryExecution().executedPlan().toString()
+    # precomputed hot set: the corpus appears exactly once
+    assert plan1.count("Scan ExistingRDD") <= 2  # corpus + hot literal
+
+
+def test_remove_boilerplate_precomputed_hot_matches_inline(spark):
+    df = _mk_docs(spark)
+    hot = paragraphs.paragraph_frequency(df, "doc_id", "text").filter(
+        F.col("n_docs") >= 3
+    )
+    a = sorted(
+        map(tuple, paragraphs.remove_boilerplate(
+            df, "doc_id", "text", min_docs=3
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, paragraphs.remove_boilerplate(
+            df, "doc_id", "text", hot=hot
+        ).collect())
+    )
+    assert a == b
+
+
+def test_prepare_training_corpus_composition(spark):
+    """The composed scrub+clean pass equals running the stages by
+    hand, and its output text is the scrubbed (boilerplate-free,
+    redacted) form."""
+    from petk_spark.operators.pipeline import (
+        corpus_clean, prepare_training_corpus,
+    )
+
+    base = "the data of a table is on the scan and it is a fast plan"
+    rows = [
+        # two docs identical after scrub (shared boiler + same body,
+        # PII differs) -> one survives dedup
+        (1, f"{base} a@b.co\n\nJOIN OUR LIST\n\nmore of the data"),
+        (2, f"{base} z@q.io\n\nJOIN OUR LIST\n\nmore of the data"),
+        (3, f"{base}\n\nJOIN OUR LIST"),
+        (4, "JOIN OUR LIST"),  # all boilerplate -> empty -> filtered
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_training_corpus(
+        df, "doc_id", "text", min_quality=0.1, boilerplate_min_docs=3
+    )
+    got = {r["id"]: r for r in out.collect()}
+    # doc 1 wins the fingerprint window over doc 2 (lowest id)
+    assert set(got) == {1, 3}
+    assert "<EMAIL>" in got[1]["text"]
+    assert "JOIN OUR LIST" not in got[1]["text"]
+    # manual staging reproduces it
+    from petk_spark.operators.paragraphs import remove_boilerplate
+    from petk_spark.operators.pii import redact_pii
+
+    manual = corpus_clean(
+        redact_pii(
+            remove_boilerplate(df, "doc_id", "text", min_docs=3)
+            .select("id", "text"),
+            "text",
+        ),
+        "id", "text", min_quality=0.1,
+    )
+    want = {r["id"]: r for r in manual.collect()}
+    assert set(want) == set(got)
+    for i in got:
+        assert got[i]["fingerprint"] == want[i]["fingerprint"]
+        assert got[i]["quality"] == want[i]["quality"]
 
 
 def test_paragraph_split_parity_with_duckdb(spark):
