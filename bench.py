@@ -308,12 +308,27 @@ def main() -> None:
             # reclamation let storage/GC pressure inflate the
             # alphabetically-late queries by 2x in a pile-up run.
             spark.catalog.clearCache()
-        # Untimed: force a driver GC so the ContextCleaner reclaims this
-        # query's dead broadcast/shuffle blocks NOW, not minutes later —
-        # clearCache alone leaves broadcasts behind, and their pile-up
-        # (not engine code) was the r3 validate-family "regression".
+        # Untimed SETTLE step: force a driver GC so the ContextCleaner
+        # reclaims this query's dead broadcast/shuffle blocks NOW, not
+        # minutes later — clearCache alone leaves broadcasts behind,
+        # and their pile-up (not engine code) was the r3
+        # validate-family "regression". Round 8 hardened this into
+        # gc → drain pause → gc → pause: the ContextCleaner is ASYNC
+        # (System.gc only enqueues the references; the cleaner thread
+        # processes them while the NEXT query already runs), and the
+        # round-8 heavy twins (a real IVF index built per sample, the
+        # six-family corpus_clean union) left enough deferred cleanup
+        # that the next query's first sample absorbed it — measured
+        # 38 s on describe_lineitem straight after the IVF twin vs
+        # 8.5 s with this settle step (SCALE.md R8 §6); the roving
+        # multi-second spikes in the first two r8 records were exactly
+        # this debt landing on whoever ran next.
         try:
-            spark.sparkContext._jvm.System.gc()
+            jvm = spark.sparkContext._jvm
+            jvm.System.gc()
+            time.sleep(1.0)
+            jvm.System.gc()
+            time.sleep(0.5)
         except Exception:  # pragma: no cover - bench robustness
             pass
         if ts:
