@@ -723,3 +723,92 @@ def embedding_near_dup_lsh(
         .distinct()
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup over embedding cells (SURVEY §2.F39)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]] | None = None,
+    n_centroids: int = 64,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Semantic near-duplicate candidate pairs, SemDeDup-style
+    (Abbas et al. 2023, arXiv:2303.09540): cluster every vector to its
+    nearest centroid, then compare pairs ONLY within a cell —
+    semantically-duplicate pairs land in the same cell with
+    overwhelming probability, so the all-pairs O(N²) collapses to
+    Σ cellᵢ² without any recall-free hashing trick. Returns
+    ``(cell, id_a, id_b, cosine)`` for same-cell pairs with
+    ``cosine ≥ threshold`` and ``id_a < id_b``.
+
+    Scale design: assignment is the map-only :func:`ivf_assign`
+    projection (literal expressions ≤64 centroids, broadcast-numpy
+    Arrow beyond); the self-join shuffles BOTH sides once on the cell
+    id and compares within partitions — size ``n_centroids`` ∝
+    N/target_cell_size so cells stay bounded (the published recipe:
+    √N-ish cells), and a skewed hot cell is split by AQE's skew-join
+    handling (same property the near-dup suite relies on). Malformed
+    vectors (NULL centroid) can't be compared and never pair.
+
+    Pass ``centroids`` explicitly for cross-run reproducibility (e.g.
+    the stored sidecar of a built IVF index, or fixed literals as the
+    oracle twin does); otherwise they are trained with the seeded
+    :func:`~petk_spark.operators.similarity.sample_centroids`."""
+    from petk_spark.operators.similarity import ivf_assign, sample_centroids
+
+    if centroids is None:
+        centroids = sample_centroids(df, n_centroids, vec_col, id_col)
+    assigned = ivf_assign(df, centroids, id_col, vec_col).filter(
+        F.col("centroid_id").isNotNull()
+    )
+    a = assigned.select(
+        F.col("centroid_id").alias("cell"),
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("va"),
+    )
+    b = assigned.select(
+        F.col("centroid_id").alias("cell"),
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vb"),
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("cell", "id_a", "id_b", "cosine")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]] | None = None,
+    n_centroids: int = 64,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Rows surviving semantic dedup: drop a row iff its cell holds a
+    LOWER-id row within ``threshold`` cosine — the deterministic
+    per-pair keep rule (every retained row is a local id-minimum among
+    its semantic duplicates; order-free, replayable in plain SQL).
+    This is deliberately NOT transitive closure: a chain A~B~C with
+    A≁C keeps only A — use ``near_dup_clusters`` (connected
+    components) when group-level resolution semantics are wanted.
+    Rows whose vector cannot be assigned (NULL/ragged/zero-norm/
+    non-finite) have no comparison basis and are KEPT — route them to
+    a validation rule, don't silently drop data.
+
+    The drop set can be corpus-sized (dedup routinely removes half a
+    crawl), so the final step is a hash anti-join on the id — NOT a
+    broadcast."""
+    pairs = semantic_dedup_pairs(
+        df, id_col, vec_col, centroids, n_centroids, threshold
+    )
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")

@@ -1673,10 +1673,101 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def _sem_centroids() -> list[list[float]]:
+    """Fixed literal centroids (4 × dim 64) for the semantic-dedup
+    twin: a deterministic small-integer pattern with non-degenerate
+    spread. LITERAL, not trained — data-dependent k-means is the one
+    thing no SQL engine can replay, so the twin pins the full SemDeDup
+    chain (assignment → within-cell pairs → keep rule) on centroids
+    both engines hold verbatim; trained-centroid behavior is pinned by
+    the seeded-determinism unit test."""
+    return [
+        [float(((i * (j + 2) + j) % 7) - 3) for i in range(64)]
+        for j in range(4)
+    ]
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3-adjacent exact near-dup pairs + F39 SemDeDup chain on one
+    ``(family, k1..k4)`` spine (round-8 consolidation #3 — window
+    stays at 50): ``neardup`` is the unchanged all-pairs contract;
+    ``sem_pair`` pins cell assignment (literal centroids, tie-low,
+    malformed → NULL cell) and the within-cell pair set; ``sem_kept``
+    pins the keep rule (drop iff a lower-id same-cell row is within
+    threshold; unassignable rows kept)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    out = dedup.embedding_near_dup(emb, "vec_id", "embedding", threshold=0.4)
-    return out.select("id_a", "id_b", fmt_sci(F.col("cosine")).alias("cosine"))
+    null_s = F.lit(None).cast("string")
+    nd = dedup.embedding_near_dup(
+        emb, "vec_id", "embedding", threshold=0.4
+    ).select(
+        F.lit("neardup").alias("family"),
+        F.col("id_a").cast("string").alias("k1"),
+        F.col("id_b").cast("string").alias("k2"),
+        fmt_sci(F.col("cosine")).alias("k3"),
+        null_s.alias("k4"),
+    )
+    cen = _sem_centroids()
+    sp = dedup.semantic_dedup_pairs(
+        emb, "vec_id", "embedding", centroids=cen, threshold=0.4
+    ).select(
+        F.lit("sem_pair").alias("family"),
+        F.col("id_a").cast("string").alias("k1"),
+        F.col("id_b").cast("string").alias("k2"),
+        fmt_sci(F.col("cosine")).alias("k3"),
+        F.col("cell").cast("string").alias("k4"),
+    )
+    sk = dedup.semantic_dedup(
+        emb, "vec_id", "embedding", centroids=cen, threshold=0.4
+    ).select(
+        F.lit("sem_kept").alias("family"),
+        F.col("vec_id").cast("string").alias("k1"),
+        null_s.alias("k2"), null_s.alias("k3"), null_s.alias("k4"),
+    )
+    return nd.unionAll(sp).unionAll(sk)
+
+
+def _sem_families_sql() -> str:
+    """sem_pair/sem_kept twin fragments: literal-centroid assignment
+    with the _well_formed gate replayed (non-NULL, dim 64, positive
+    finite squared norm — the gate must come FIRST: a ragged vector
+    still produces numeric cosines against 64-wide literals, and an
+    ungated CASE argmax would fall through to the last cell instead
+    of NULL), argmax tie-broken toward the LOWER cell id exactly like
+    ivf_assign's reverse(array_sort) on (score, -id)."""
+    cen = _sem_centroids()
+    lits = [
+        "[" + ", ".join(f"{x:.1f}" for x in c) + "]" for c in cen
+    ]
+    scores = ", ".join(
+        f"{_cosine_sql('embedding', lits[j])} AS s{j}" for j in range(4)
+    )
+    sumsq = (
+        "list_aggregate(list_transform(embedding,"
+        " x -> CAST(x AS DOUBLE) * x), 'sum')"
+    )
+    argmax = (
+        "CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0 "
+        "WHEN s1 >= s2 AND s1 >= s3 THEN 1 "
+        "WHEN s2 >= s3 THEN 2 ELSE 3 END"
+    )
+    return f"""
+sasg AS MATERIALIZED (
+  SELECT id, v,
+    CASE WHEN wf THEN {argmax} END AS cell
+  FROM (
+    SELECT vec_id AS id, embedding AS v, {scores},
+           embedding IS NOT NULL AND len(embedding) = 64
+             AND {sumsq} > 0 AND isfinite({sumsq}) AS wf
+    FROM embeddings
+  )
+),
+spairs AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT x.cell AS cell, x.id AS id_a, y.id AS id_b,
+           {_cosine_sql('x.v', 'y.v')} AS cosine
+    FROM sasg x JOIN sasg y ON x.cell = y.cell AND x.id < y.id
+  ) WHERE cosine >= 0.4
+)"""
 
 
 _SQL_EMBEDDING_NEAR_DUP = f"""
@@ -1685,8 +1776,19 @@ b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings),
 scored AS (
   SELECT id_a, id_b, {_cosine_sql('va', 'vb')} AS cosine
   FROM a JOIN b ON id_a < id_b
-)
-SELECT id_a, id_b, {dfmt('cosine')} AS cosine FROM scored WHERE cosine >= 0.4
+),
+{_sem_families_sql()}
+SELECT 'neardup' AS family, id_a::VARCHAR AS k1, id_b::VARCHAR AS k2,
+       {dfmt('cosine')} AS k3, NULL::VARCHAR AS k4
+FROM scored WHERE cosine >= 0.4
+UNION ALL
+SELECT 'sem_pair', id_a::VARCHAR, id_b::VARCHAR, {dfmt('cosine')},
+       cell::VARCHAR
+FROM spairs
+UNION ALL
+SELECT 'sem_kept', vec_id::VARCHAR, NULL::VARCHAR, NULL::VARCHAR,
+       NULL::VARCHAR
+FROM embeddings WHERE vec_id NOT IN (SELECT id_b FROM spairs)
 """
 
 

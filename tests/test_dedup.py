@@ -192,3 +192,87 @@ def test_document_signals_frame_fused_one_scan(spark):
                 assert g == v or math.isclose(g, v, rel_tol=1e-12), (i, k)
             else:
                 assert g == v, (i, k)
+
+
+# ---------------------------------------------------------------------------
+# F39 — SemDeDup-style semantic dedup over embedding cells
+# ---------------------------------------------------------------------------
+
+def _sem_fixture(spark):
+    """Two well-separated clusters along axes 0 and 1 (dim 4), plus
+    malformed rows. Within cluster 0: ids 1,2,3 are near-identical
+    (cosine ≈ 1) and id 4 is orthogonal-ish; cluster 1: ids 10,11
+    near-identical."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),
+        (3, [0.98, 0.02, 0.0, 0.0]),
+        (4, [0.7, 0.0, 0.7, 0.1]),     # same cell, not a dup
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.0, 0.99, 0.01, 0.0]),
+        (90, None),                     # malformed: NULL
+        (91, [1.0, 0.0]),               # malformed: ragged
+        (92, [0.0, 0.0, 0.0, 0.0]),     # malformed: zero norm
+        (93, [float("nan"), 1.0, 0.0, 0.0]),  # malformed: NaN
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+_SEM_CENTROIDS = [
+    [1.0, 0.0, 0.0, 0.0],
+    [0.0, 1.0, 0.0, 0.0],
+]
+
+
+def test_semantic_dedup_pairs_and_keep(spark):
+    from petk_spark.operators.dedup import semantic_dedup, semantic_dedup_pairs
+
+    df = _sem_fixture(spark)
+    pairs = semantic_dedup_pairs(
+        df, "vec_id", "embedding", centroids=_SEM_CENTROIDS, threshold=0.95
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # only same-cell high-cosine pairs; cross-cluster and the
+    # orthogonal-ish id 4 never pair; malformed ids never appear
+    assert got == {(1, 2), (1, 3), (2, 3), (10, 11)}
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", centroids=_SEM_CENTROIDS, threshold=0.95
+        ).collect()
+    )
+    # lowest id per duplicate group survives; non-dups and ALL
+    # malformed rows are kept
+    assert kept == [1, 4, 10, 90, 91, 92, 93]
+
+
+def test_semantic_dedup_trained_centroids_deterministic(spark):
+    from petk_spark.operators.dedup import semantic_dedup
+
+    df = _sem_fixture(spark)
+    a = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", n_centroids=2, threshold=0.95
+        ).collect()
+    )
+    b = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", n_centroids=2, threshold=0.95
+        ).collect()
+    )
+    assert a == b  # seeded sample_centroids -> same result every run
+    assert 1 in a and 90 in a  # group minima and malformed rows kept
+
+
+def test_semantic_dedup_plan_no_cartesian(spark):
+    from petk_spark.operators.dedup import semantic_dedup_pairs
+
+    df = _sem_fixture(spark)
+    plan = semantic_dedup_pairs(
+        df, "vec_id", "embedding", centroids=_SEM_CENTROIDS
+    )._jdf.queryExecution().executedPlan().toString()
+    # the whole point: a CELL-keyed equi-join, never an all-pairs product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
