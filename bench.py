@@ -171,6 +171,23 @@ def main() -> None:
 
     registry["boilerplate_rewrite"] = _boiler_rewrite
 
+    # Bench-only timing entry (round 8): the F39 SemDeDup pass with
+    # trained centroids at production shape — assignment projection +
+    # one cell-keyed equi-join + id anti-join, reduced to a count.
+    def _semantic_dedup(s, d):
+        from pyspark.sql import functions as BF
+
+        from petk_spark.operators.dedup import semantic_dedup
+        from petk_spark.sources.tables import read_table
+
+        kept = semantic_dedup(
+            read_table(s, d, "embeddings"), "vec_id", "embedding",
+            n_centroids=16, threshold=0.4,
+        )
+        return kept.agg(BF.count(BF.lit(1)).alias("n_kept"))
+
+    registry["semantic_dedup"] = _semantic_dedup
+
     # Bench-only timing entries (round-6 verdict #6): price the
     # persistent-index query path against the single-shot form. The
     # driver's cosine_topk_ivf entry is the RECALL-VERDICT contract

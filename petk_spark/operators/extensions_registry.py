@@ -1707,8 +1707,16 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_s.alias("k4"),
     )
     cen = _sem_centroids()
+    # sem families run on the vec_id % 5 == 0 subset with the "expr"
+    # strategy: expr is the bit-identical DuckDB-replayable path but
+    # its interpreted fold is ~100× the Arrow matmul, and pinning the
+    # chain needs a sample of cells, not the whole corpus — the full
+    # corpus through the production Arrow path is priced separately
+    # by the semantic_dedup bench entry.
+    sub = emb.filter(F.col("vec_id") % 5 == 0)
     sp = dedup.semantic_dedup_pairs(
-        emb, "vec_id", "embedding", centroids=cen, threshold=0.4
+        sub, "vec_id", "embedding", centroids=cen, threshold=0.4,
+        method="expr",
     ).select(
         F.lit("sem_pair").alias("family"),
         F.col("id_a").cast("string").alias("k1"),
@@ -1717,7 +1725,8 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").cast("string").alias("k4"),
     )
     sk = dedup.semantic_dedup(
-        emb, "vec_id", "embedding", centroids=cen, threshold=0.4
+        sub, "vec_id", "embedding", centroids=cen, threshold=0.4,
+        method="expr",
     ).select(
         F.lit("sem_kept").alias("family"),
         F.col("vec_id").cast("string").alias("k1"),
@@ -1758,7 +1767,7 @@ sasg AS MATERIALIZED (
     SELECT vec_id AS id, embedding AS v, {scores},
            embedding IS NOT NULL AND len(embedding) = 64
              AND {sumsq} > 0 AND isfinite({sumsq}) AS wf
-    FROM embeddings
+    FROM embeddings WHERE vec_id % 5 = 0
   )
 ),
 spairs AS MATERIALIZED (
@@ -1788,7 +1797,8 @@ FROM spairs
 UNION ALL
 SELECT 'sem_kept', vec_id::VARCHAR, NULL::VARCHAR, NULL::VARCHAR,
        NULL::VARCHAR
-FROM embeddings WHERE vec_id NOT IN (SELECT id_b FROM spairs)
+FROM embeddings
+WHERE vec_id % 5 = 0 AND vec_id NOT IN (SELECT id_b FROM spairs)
 """
 
 

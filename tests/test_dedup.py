@@ -276,3 +276,48 @@ def test_semantic_dedup_plan_no_cartesian(spark):
     # the whole point: a CELL-keyed equi-join, never an all-pairs product
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_pairs_arrow_equals_expr(spark):
+    """The production Arrow-BLAS path and the oracle's expr path
+    produce the SAME pair set (fixture scores are far from the
+    threshold, so last-ulp summation differences can't flap it), and
+    cosines agree to float tolerance."""
+    from petk_spark.operators.dedup import semantic_dedup_pairs
+
+    df = _sem_fixture(spark)
+    ex = {
+        (r["cell"], r["id_a"], r["id_b"]): r["cosine"]
+        for r in semantic_dedup_pairs(
+            df, "vec_id", "embedding", centroids=_SEM_CENTROIDS,
+            threshold=0.95, method="expr",
+        ).collect()
+    }
+    ar = {
+        (r["cell"], r["id_a"], r["id_b"]): r["cosine"]
+        for r in semantic_dedup_pairs(
+            df, "vec_id", "embedding", centroids=_SEM_CENTROIDS,
+            threshold=0.95, method="arrow",
+        ).collect()
+    }
+    assert set(ex) == set(ar)
+    for k in ex:
+        assert abs(ex[k] - ar[k]) < 1e-12
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="method"):
+        semantic_dedup_pairs(
+            df, "vec_id", "embedding", centroids=_SEM_CENTROIDS,
+            method="blas",
+        )
+
+
+def test_semantic_pairs_arrow_plan_is_grouped_pandas(spark):
+    from petk_spark.operators.dedup import semantic_dedup_pairs
+
+    df = _sem_fixture(spark)
+    plan = semantic_dedup_pairs(
+        df, "vec_id", "embedding", centroids=_SEM_CENTROIDS
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
