@@ -851,6 +851,24 @@ def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_s.alias("k4"),
     )
 
+    # F40 line-dedup family: duplicate the first 40-char line of each
+    # document, run the within-doc dedup, pin counts + rebuilt md5
+    ldoc = df.select(
+        F.col("doc_id").alias("id"),
+        F.concat(
+            F.substring(F.col("text"), 1, 40), F.lit("\n"),
+            F.substring(F.col("text"), 1, 40), F.lit("\n"),
+            F.substring(F.col("text"), 41, 40),
+        ).alias("text"),
+    )
+    ld_rows = paragraphs.dedupe_lines(ldoc, "id", "text").select(
+        F.lit("line_dedup").alias("family"),
+        F.col("id").cast("string").alias("k1"),
+        F.col("n_lines").cast("string").alias("k2"),
+        F.col("n_lines_kept").cast("string").alias("k3"),
+        F.md5(F.col("text")).alias("k4"),
+    )
+
     bsynth = _boiler_synth_frame(spark, sf_dir)
     bf_rows = paragraphs.paragraph_frequency(bsynth, "id", "text").select(
         F.lit("boiler_freq").alias("family"),
@@ -870,7 +888,7 @@ def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         kept.unionAll(pii_rows).unionAll(red_rows).unionAll(url_rows)
-        .unionAll(bf_rows).unionAll(bc_rows)
+        .unionAll(ld_rows).unionAll(bf_rows).unionAll(bc_rows)
     )
 
 
@@ -937,6 +955,27 @@ brebuilt AS (
   GROUP BY id
 ),
 btotals AS (SELECT id, count(*) AS n_paras FROM bps GROUP BY id)"""
+
+#: DuckDB mirror of the F40 line-dedup family: same synthesized
+#: dup-line corpus; the keep test is first-occurrence-by-normalized-
+#: form via list_position — proven ≡ the Spark fold by
+#: tests/test_pii_paragraphs.py::test_dedupe_lines_parity_with_duckdb.
+_LINE_DEDUP_CTE = r"""
+lsrc AS (
+  SELECT doc_id AS id,
+    substr(text, 1, 40) || chr(10) || substr(text, 1, 40) ||
+    chr(10) || substr(text, 41, 40) AS text
+  FROM documents
+),
+ldd AS (
+  SELECT id, text, ls,
+    list_filter(ls, (x, k) -> trim(x) = '' OR list_position(nm, nm[k]) = k) AS kept
+  FROM (
+    SELECT id, text, ls,
+      list_transform(ls, x -> trim(regexp_replace(lower(x), '\s+', ' ', 'g'))) AS nm
+    FROM (SELECT id, text, string_split(text, chr(10)) AS ls FROM lsrc)
+  )
+)"""
 
 
 def _pii_families_sql() -> str:
@@ -1012,7 +1051,8 @@ kept AS (
   WHERE (CASE {cases} ELSE 'und' END) = '{lang}' AND quality >= {min_quality}
 ),
 {_PII_SYNTH_CTE},
-{_BOILER_CTE}
+{_BOILER_CTE},
+{_LINE_DEDUP_CTE}
 SELECT 'kept' AS family, id::VARCHAR AS k1, lang_pred AS k2,
        {dfmt('quality')} AS k3, fingerprint AS k4
 FROM (
@@ -1021,6 +1061,12 @@ FROM (
 ) WHERE rn = 1
 UNION ALL
 {_pii_families_sql()}
+UNION ALL
+SELECT 'line_dedup', id::VARCHAR, coalesce(len(ls), 0)::VARCHAR,
+       coalesce(len(kept), 0)::VARCHAR,
+       CASE WHEN text IS NULL THEN NULL
+            ELSE md5(array_to_string(kept, chr(10))) END
+FROM ldd
 UNION ALL
 SELECT 'boiler_freq', para_hash, n_docs::VARCHAR, n_occ::VARCHAR,
        NULL::VARCHAR

@@ -153,3 +153,66 @@ def remove_boilerplate(
         .cast("long")
         .alias("n_paragraphs_kept"),
     )
+
+
+def dedupe_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+) -> DataFrame:
+    """WITHIN-document line dedup: keep the FIRST occurrence of each
+    normalized line, drop later repeats — the removal counterpart of
+    the F34 repetition *signals* (a chat scrape's repeated menu rows,
+    a log's repeated status line). Returns ``(id, text, n_lines,
+    n_lines_kept)``; NULL text stays NULL with zero counts.
+
+    Entirely ROW-LOCAL — zero shuffles, zero joins: a left fold
+    (``F.aggregate``) walks the lines once, appending a line iff no
+    earlier KEPT line shares its normalized form — first-occurrence
+    semantics, O(L²) worst case per document, bounded by line count,
+    embarrassingly parallel: at 100 TB this is pure scan work like
+    the quality signals. (An index-based ``filter`` over
+    ``array_position(norm, norm[i])`` would be the direct encoding,
+    but two outer-array references inside the lambda mis-scope under
+    subexpression elimination on multi-row batches with differing
+    line counts — the fold form references only its own accumulator.)
+    Whitespace-only lines are exempt (kept verbatim): they are
+    layout, not content, and folding every blank separator onto its
+    first occurrence would destroy paragraph structure. The fold's
+    keep test is the same first-occurrence semantics DuckDB replays
+    with ``list_position``."""
+    lines = F.split(F.col(text_col), sep)
+    entries = F.transform(
+        lines,
+        lambda x: F.struct(
+            x.alias("l"),
+            _normalized(x).alias("n"),
+            (F.trim(x) == "").alias("b"),
+        ),
+    )
+    kept_entries = F.aggregate(
+        entries,
+        F.array().cast(
+            "array<struct<l:string,n:string,b:boolean>>"
+        ),
+        lambda acc, e: F.when(
+            e["b"] | ~F.exists(acc, lambda a: a["n"] == e["n"]),
+            F.concat(acc, F.array(e)),
+        ).otherwise(acc),
+    )
+    kept = F.transform(kept_entries, lambda e: e["l"])
+    n_lines = F.size(lines)
+    n_kept = F.size(kept)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_join(kept, sep).alias("text"),
+        F.when(F.col(text_col).isNotNull(), n_lines)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_lines"),
+        F.when(F.col(text_col).isNotNull(), n_kept)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_lines_kept"),
+    )

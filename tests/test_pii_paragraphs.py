@@ -422,3 +422,68 @@ def test_paragraph_split_parity_with_duckdb(spark):
                 ).fetchone()[0]
                 want.append((i, pos, h))
     assert got == want
+
+
+def test_dedupe_lines_within_doc(spark):
+    rows = [
+        (1, "alpha\nbeta\nAlpha  \ngamma\nbeta\nalpha"),
+        (2, "x\n\n\nx\n\ny"),   # blank lines exempt, dup x dropped
+        (3, "only"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r
+        for r in paragraphs.dedupe_lines(df, "doc_id", "text").collect()
+    }
+    # normalization folds 'Alpha  ' onto 'alpha'; first form survives
+    assert out[1]["text"] == "alpha\nbeta\ngamma"
+    assert out[1]["n_lines"] == 6 and out[1]["n_lines_kept"] == 3
+    # blank lines all kept (layout), second 'x' dropped
+    assert out[2]["text"] == "x\n\n\n\ny"
+    assert out[2]["n_lines"] == 6 and out[2]["n_lines_kept"] == 5
+    assert out[3]["text"] == "only"
+    assert out[4]["text"] is None and out[4]["n_lines"] == 0
+    assert out[5]["text"] == "" and out[5]["n_lines"] == 1
+
+
+def test_dedupe_lines_row_local_plan(spark):
+    df = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    plan = paragraphs.dedupe_lines(
+        df, "doc_id", "text"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero shuffles: pure projection
+
+
+def test_dedupe_lines_parity_with_duckdb(spark):
+    """first-occurrence keep test replays via DuckDB list_position
+    with the identical normalization — the seam the twin family
+    rides on."""
+    texts = [
+        "a\nA\nb\n a \nc\nb", "x\n\nx\n\nX", "q", "", "dup\ndup\ndup",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        r["id"]: (r["text"], r["n_lines"], r["n_lines_kept"])
+        for r in paragraphs.dedupe_lines(df, "id", "text").collect()
+    }
+    con = duckdb.connect()
+    sql = r"""
+    WITH t AS (SELECT i, string_split(txt, chr(10)) AS ls FROM
+               (SELECT unnest(range(5)) AS i, unnest(?) AS txt)),
+    n AS (SELECT i, ls,
+          list_transform(ls, x -> trim(regexp_replace(lower(x), '\s+', ' ', 'g'))) AS nm
+          FROM t)
+    SELECT i,
+      array_to_string(list_filter(ls, (x, k) -> trim(x) = '' OR list_position(nm, nm[k]) = k), chr(10)),
+      len(ls), len(list_filter(ls, (x, k) -> trim(x) = '' OR list_position(nm, nm[k]) = k))
+    FROM n ORDER BY i
+    """
+    for i, txt, nl, nk in [
+        (r[0], r[1], r[2], r[3])
+        for r in con.execute(sql, [texts]).fetchall()
+    ]:
+        assert got[i] == (txt, nl, nk), (i, got[i], (txt, nl, nk))
