@@ -97,6 +97,32 @@ def read_orc(spark: SparkSession, path: str, schema: dict | None = None) -> Data
     return canonicalize_nulls(spark.read.orc(path), schema or {})
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    struct: T.StructType | str | None = None,
+    schema: dict | None = None,
+    **options,
+) -> DataFrame:
+    """XML ingest via Spark 4's NATIVE xml source (the spark-xml
+    package was merged upstream in 4.0 — no extra jars). ``row_tag``
+    names the repeating element that becomes a row. Same
+    explicit-schema contract as read_csv/read_json: pass ``struct`` to
+    skip the inference pass (inference reads the data once before the
+    real job — at 100 TB that is a full extra scan). XML files are NOT
+    splittable within a row element, so at scale parallelism comes
+    from file count — many medium files beat one giant document, and
+    the reader's per-file work streams (documented trade, same class
+    as read_text(whole_file=True))."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if struct is not None:
+        reader = reader.schema(struct)
+    return canonicalize_nulls(reader.load(path), schema or {})
+
+
 def read_text(
     spark: SparkSession,
     path: str,

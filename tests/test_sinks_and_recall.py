@@ -710,3 +710,31 @@ def test_ivf_index_health_arrow_path(spark, tmp_path):
     for r in rows:
         assert not r["needs_rebuild"], r
         assert r["score_drop"] is None or abs(r["score_drop"]) < 1e-9
+
+
+def test_read_xml_native(spark, tmp_path):
+    """Spark 4's native xml source through the reader contract:
+    explicit schema skips inference; null canonicalization applies on
+    top; attribute + element fields both land."""
+    from petk_spark.sources.readers import read_xml
+
+    p = tmp_path / "cat.xml"
+    p.write_text(
+        "<catalog>"
+        "<item id=\"1\"><name>widget</name><price>9.5</price></item>"
+        "<item id=\"2\"><name>null</name><price>3.25</price></item>"
+        "<item id=\"3\"><name>gadget</name></item>"
+        "</catalog>"
+    )
+    back = read_xml(
+        spark, str(p), row_tag="item",
+        struct="_id long, name string, price double",
+        schema={"name": {"nulls": []}},
+    )
+    rows = {r["_id"]: r for r in back.collect()}
+    assert len(rows) == 3
+    assert rows[1]["name"] == "widget" and rows[1]["price"] == 9.5
+    # canonicalize_nulls folds the 'null' sentinel string to NULL
+    assert rows[2]["name"] is None
+    # missing element under explicit schema -> NULL, not a crash
+    assert rows[3]["price"] is None
