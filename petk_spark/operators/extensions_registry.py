@@ -940,7 +940,7 @@ bps AS MATERIALIZED (
   FROM (
     SELECT id, unnest(list_transform(range(1, len(ps) + 1),
                  i -> {'pos': i - 1, 'p': ps[i]})) AS e
-    FROM (SELECT id, string_split_regex(text, '\n[ \t]*\n+') AS ps FROM bsrc)
+    FROM (SELECT id, string_split_regex(text, '(?:\r?\n)[ \t]*(?:\r?\n)+') AS ps FROM bsrc)
   ) WHERE trim(e['p']) <> ''
 ),
 bfreq AS MATERIALIZED (

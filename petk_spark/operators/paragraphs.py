@@ -25,12 +25,35 @@ the driver oracle.
 
 from __future__ import annotations
 
+import re
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Paragraph separator: one-or-more blank lines (optionally carrying
-#: horizontal whitespace), the standard plain-text convention.
-PARAGRAPH_SEP = r"\n[ \t]*\n+"
+#: horizontal whitespace), the standard plain-text convention. The
+#: ``\r?`` arms accept Windows CRLF paragraph breaks (round-8
+#: advisory); non-capturing groups keep the pattern inside the
+#: Java∩RE2 subset the DuckDB twin replays verbatim.
+PARAGRAPH_SEP = r"(?:\r?\n)[ \t]*(?:\r?\n)+"
+
+
+def _regex_literal(s: str) -> str:
+    """Quote ``s`` so a regex engine treats it as a LITERAL string.
+    ``F.split`` interprets its separator as a Java regex while
+    ``array_join`` re-assembles literally — an unquoted caller
+    separator containing metacharacters (``|``, ``.``, …) would
+    silently mis-split and rebuild corrupted text (round-8 advisory).
+    Per-metacharacter escaping (not ``\\Q…\\E``) because RE2 — the
+    DuckDB side of the cross-engine contract — handles escaped
+    punctuation identically to Java but has no ``\\E``-embedding rule;
+    non-metacharacters (including control characters like ``\\n``)
+    already match themselves in both engines."""
+    return "".join(
+        "\\" + ch if ch in "\\.^$|?*+()[]{}" else ch for ch in s
+    )
 
 
 def _normalized(para: Column) -> Column:
@@ -111,7 +134,13 @@ def remove_boilerplate(
             .select("para_hash")
         )
     else:
-        hot = hot.select("para_hash")
+        # caller-supplied hot sets may carry duplicate hashes (e.g. a
+        # union of two days' frequency tables); without distinct the
+        # broadcast left join would multiply matched piece rows and
+        # inflate the paragraph counts (round-8 advisory). The
+        # internally-computed branch above is already distinct (it is
+        # the frequency groupBy's key set).
+        hot = hot.select("para_hash").distinct()
     pieces = df.select(
         F.col(id_col).alias("id"),
         F.posexplode_outer(
@@ -155,34 +184,118 @@ def remove_boilerplate(
     )
 
 
+#: Python twin of :func:`_normalized` for the Arrow kernel. ``re.ASCII``
+#: pins ``\s`` to Java's default char class ([ \t\n\x0B\f\r]); the
+#: trailing ``.strip(" ")`` matches Spark's space-only ``trim``.
+_PY_WS = re.compile(r"\s+", re.ASCII)
+
+
+def _py_normalized(line: str) -> str:
+    return _PY_WS.sub(" ", line.lower()).strip(" ")
+
+
+def _dedupe_lines_arrow(
+    df: DataFrame, id_col: str, text_col: str, sep: str
+) -> DataFrame:
+    """O(L)-per-document production kernel: Arrow-batched
+    ``mapInPandas`` with a per-document seen-SET of normalized forms —
+    identical first-occurrence / blank-exempt semantics to the
+    expression fold (pair-equivalence unit + hypothesis-tested), but
+    each line costs one hash probe instead of a scan of every earlier
+    kept line. A 100k-line scraped log is ~10⁵ probes, not ~10¹⁰
+    string compares in one task (round-8 verdict #1)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"id {id_type}, text string, n_lines long, n_lines_kept long"
+    )
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, texts, nl, nk = [], [], [], []
+            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+                ids.append(doc_id)
+                if t is None or (not isinstance(t, str) and pd.isna(t)):
+                    texts.append(None)
+                    nl.append(0)
+                    nk.append(0)
+                    continue
+                lines = t.split(sep)
+                seen: set[str] = set()
+                kept: list[str] = []
+                for line in lines:
+                    norm = _py_normalized(line)
+                    # blank-exempt lines are KEPT but still enter the
+                    # seen set — the fold's accumulator holds them too,
+                    # so a later tab-only line (non-blank under the
+                    # space-only trim, normalized form "") folds onto
+                    # an earlier blank exactly as the expression does
+                    if line.strip(" ") == "" or norm not in seen:
+                        kept.append(line)
+                        seen.add(norm)
+                texts.append(sep.join(kept))
+                nl.append(len(lines))
+                nk.append(len(kept))
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "text": pd.array(texts, dtype=object),
+                    "n_lines": nl,
+                    "n_lines_kept": nk,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(kern, schema)
+
+
 def dedupe_lines(
     df: DataFrame,
     id_col: str,
     text_col: str,
     sep: str = "\n",
+    method: str | None = None,
 ) -> DataFrame:
     """WITHIN-document line dedup: keep the FIRST occurrence of each
     normalized line, drop later repeats — the removal counterpart of
     the F34 repetition *signals* (a chat scrape's repeated menu rows,
     a log's repeated status line). Returns ``(id, text, n_lines,
     n_lines_kept)``; NULL text stays NULL with zero counts.
-
-    Entirely ROW-LOCAL — zero shuffles, zero joins: a left fold
-    (``F.aggregate``) walks the lines once, appending a line iff no
-    earlier KEPT line shares its normalized form — first-occurrence
-    semantics, O(L²) worst case per document, bounded by line count,
-    embarrassingly parallel: at 100 TB this is pure scan work like
-    the quality signals. (An index-based ``filter`` over
-    ``array_position(norm, norm[i])`` would be the direct encoding,
-    but two outer-array references inside the lambda mis-scope under
-    subexpression elimination on multi-row batches with differing
-    line counts — the fold form references only its own accumulator.)
     Whitespace-only lines are exempt (kept verbatim): they are
     layout, not content, and folding every blank separator onto its
-    first occurrence would destroy paragraph structure. The fold's
-    keep test is the same first-occurrence semantics DuckDB replays
-    with ``list_position``."""
-    lines = F.split(F.col(text_col), sep)
+    first occurrence would destroy paragraph structure. ``sep`` is a
+    LITERAL separator on both the split and the rejoin (metacharacters
+    are quoted before the regex split).
+
+    Two physical strategies (``method``; None → "arrow", the
+    production default — the same split as F39's semantic dedup):
+
+    * **"arrow"** — Arrow-batched ``mapInPandas`` with a per-document
+      hash set: O(L) per document, so the pathological corpora this
+      operator exists for (a 100k-line scraped table or log dump)
+      cost ~10⁵ set probes per doc instead of ~10¹⁰ interpreted
+      string compares. Still row-local: zero shuffles, zero joins,
+      embarrassingly parallel scan work at 100 TB.
+    * **"expr"** — the JVM expression left fold (``F.aggregate`` +
+      ``F.exists`` over the accumulator): appends a line iff no
+      earlier KEPT line shares its normalized form. O(L²) worst case
+      per document and CodegenFallback-interpreted — fine on prose,
+      a straggler risk on degenerate line counts — but expressible in
+      plain SQL, which is why it is the ORACLE contract the DuckDB
+      twin replays with ``list_position``. (An index-based ``filter``
+      over ``array_position(norm, norm[i])`` would be the direct
+      encoding, but two outer-array references inside the lambda
+      mis-scope under subexpression elimination on multi-row batches
+      with differing line counts — the fold references only its own
+      accumulator.)
+
+    Same output either way (string equality, no float drift) —
+    equivalence is unit- and hypothesis-pinned."""
+    if method not in (None, "arrow", "expr"):
+        raise ValueError(
+            f"method must be None, 'arrow' or 'expr', got {method!r}"
+        )
+    if method != "expr":
+        return _dedupe_lines_arrow(df, id_col, text_col, sep)
+    lines = F.split(F.col(text_col), _regex_literal(sep))
     entries = F.transform(
         lines,
         lambda x: F.struct(
