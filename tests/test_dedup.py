@@ -321,3 +321,111 @@ def test_semantic_pairs_arrow_plan_is_grouped_pandas(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_hot_cell_fallback(spark):
+    """An artificially hot cell (> max_cell_rows) warns and is routed
+    through the distributed expr join; the pair set is identical to
+    the unguarded arrow path and to the pure expr path (round-8
+    verdict #2). Cold cells keep riding the Arrow kernel."""
+    import warnings as _w
+
+    from petk_spark.operators.dedup import semantic_dedup_pairs
+
+    # hot cell 0: 60 near-identical vectors; cold cell 1: 3 vectors
+    rows = [
+        (i, [1.0, i * 1e-6, 0.0, 0.0]) for i in range(60)
+    ] + [
+        (100, [0.0, 1.0, 0.0, 0.0]),
+        (101, [0.0, 0.999, 0.001, 0.0]),
+        (102, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def pairset(**kw):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in semantic_dedup_pairs(
+                df, "vec_id", "embedding", centroids=_SEM_CENTROIDS,
+                threshold=0.99, **kw,
+            ).collect()
+        }
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        guarded = pairset(max_cell_rows=50)
+    assert any(
+        "max_cell_rows" in str(c.message) for c in caught
+    ), "hot-cell routing must warn"
+    unguarded = pairset(max_cell_rows=None)
+    expr = pairset(method="expr")
+    assert guarded == unguarded == expr
+    assert (100, 101) in guarded  # the cold cell's pair survived
+    # and no warning when every cell is under the threshold
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        pairset(max_cell_rows=1000)
+    assert not any("max_cell_rows" in str(c.message) for c in caught)
+
+
+def test_semantic_pairs_string_ids(spark):
+    """Non-integer id columns flow through the arrow path (the output
+    schema is derived from the input id type — round-8 advisory) and
+    agree with the expr path."""
+    from petk_spark.operators.dedup import semantic_dedup, semantic_dedup_pairs
+
+    rows = [
+        ("doc-a", [1.0, 0.0, 0.0, 0.0]),
+        ("doc-b", [0.99, 0.01, 0.0, 0.0]),
+        ("doc-c", [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    ar = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(
+            df, "vec_id", "embedding", centroids=_SEM_CENTROIDS,
+            threshold=0.95,
+        ).collect()
+    }
+    ex = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(
+            df, "vec_id", "embedding", centroids=_SEM_CENTROIDS,
+            threshold=0.95, method="expr",
+        ).collect()
+    }
+    assert ar == ex == {("doc-a", "doc-b")}
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", centroids=_SEM_CENTROIDS,
+            threshold=0.95,
+        ).collect()
+    )
+    assert kept == ["doc-a", "doc-c"]
+
+
+def test_semantic_pairs_chunked_matmul_equiv(spark, monkeypatch):
+    """Force a tiny matmul block so a single cell spans many blocks:
+    the blocked upper-triangle emission must equal the expr join's
+    pair set exactly (the memory guard can't change results)."""
+    from petk_spark.operators import dedup as _d
+
+    monkeypatch.setattr(_d, "_SEM_MATMUL_BLOCK", 4)
+    rows = [(i, [1.0, (i % 7) * 0.002, 0.0, 0.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ar = {
+        (r["id_a"], r["id_b"])
+        for r in _d.semantic_dedup_pairs(
+            df, "vec_id", "embedding", centroids=_SEM_CENTROIDS,
+            threshold=0.9999, max_cell_rows=None,
+        ).collect()
+    }
+    ex = {
+        (r["id_a"], r["id_b"])
+        for r in _d.semantic_dedup_pairs(
+            df, "vec_id", "embedding", centroids=_SEM_CENTROIDS,
+            threshold=0.9999, method="expr",
+        ).collect()
+    }
+    assert ar == ex and len(ar) > 10
