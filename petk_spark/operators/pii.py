@@ -49,7 +49,15 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     ),
     (
         "ipv4",
-        r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+        # octet-range alternation (0-255, no leading zeros) instead of
+        # \d{1,3}: "999.999.999.999" and zero-padded version strings
+        # no longer match (round-8 verdict #5). Longest-first
+        # alternatives, each fixed-form, so Java and RE2 agree on
+        # leftmost-first matching; still no lookaround, so a bare
+        # "1.2.3.4" version string — textually a valid address —
+        # remains a documented match.
+        r"\b(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+        r"(?:\.(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}\b",
         "<IPV4>",
     ),
 ]

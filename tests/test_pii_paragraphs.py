@@ -135,6 +135,44 @@ def test_pii_patterns_match_duckdb_re2(spark):
         assert got_r == want_r, f"replace parity broke for {cls}"
 
 
+def test_ipv4_octet_range_false_positives(spark):
+    """The octet-range alternation kills the \\d{1,3} false-positive
+    class (round-8 verdict #5): out-of-range and zero-padded octets no
+    longer match. A bare '1.2.3.4' version string is textually a valid
+    address and REMAINS a match by documented design (no lookaround in
+    the Java∩RE2 subset to disambiguate context)."""
+    cases = [
+        ("999.999.999.999", 0),        # out-of-range octets
+        ("312.45.6.7", 0),             # first octet > 255
+        ("256.1.1.1", 0),
+        ("192.068.001.001", 0),        # zero-padded octets
+        ("v1.2.3.4", 0),               # no word boundary after 'v1'
+        ("1.2.3.4", 1),                # version-or-IP: match by design
+        ("10.0.254.3", 1),
+        ("0.0.0.0", 1),
+        ("255.255.255.255", 1),
+        ("ip 172.16.0.1 ok", 1),
+        ("1.2.3.4.5", 1),              # leftmost 4 octets still match
+    ]
+    pat = dict((c, p) for c, p, _ in pii.PII_PATTERNS)["ipv4"]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "id long, text string"
+    )
+    got = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id", F.regexp_count("text", F.lit(pat)).alias("n")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, (t, want) in enumerate(cases):
+        assert got[i] == want, (t, got[i], want)
+        duck = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [t, pat]
+        ).fetchone()[0]
+        assert duck == want, ("duckdb", t, duck, want)
+
+
 def test_pii_patterns_fuzz_parity_duckdb(spark):
     """Seeded fuzz over PII-shaped character soup: 300 strings built
     from digits, separators, '@', dots, letters and boundary
