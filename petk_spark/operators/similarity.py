@@ -595,7 +595,7 @@ def ivf_index_health(
     path: str,
     score_drop_threshold: float = 0.05,
     share_growth_threshold: float = 2.0,
-    min_flag_share: float = 0.01,
+    min_flag_share: float | None = None,
 ) -> DataFrame:
     """Per-cell drift diagnosis of a stored IVF index — the measured
     rebuild trigger :func:`append_to_ivf_index` points at (round-6
@@ -617,10 +617,18 @@ def ivf_index_health(
       outgrew ``share_growth_threshold`` × its base share (an
       absorbing cell = a centroid the drifted data piles onto). The
       share condition additionally requires ``share_now ≥
-      min_flag_share`` (default 1% of the corpus): without the floor,
-      a cell EMPTY at build time (share_base = 0) would flag the
-      moment a single appended vector landed in it — one stray row
-      recommending a full rebuild (round-7 advisory).
+      min_flag_share``: without the floor, a cell EMPTY at build time
+      (share_base = 0) would flag the moment a single appended vector
+      landed in it — one stray row recommending a full rebuild
+      (round-7 advisory). The floor SCALES with the index (round-8
+      advisory): cell shares go as ~1/n_centroids, so a fixed 1%
+      would silently disable the share rule for every typical cell
+      once n_centroids ≥ ~100 — the default (``min_flag_share=None``)
+      is ``min(0.01, 0.5 / n_centroids)``, i.e. half the uniform
+      share, which still suppresses stray single rows (a lone vector
+      reaches half-uniform only in a toy corpus) while keeping
+      genuine absorbing-cell drift flaggable at any index size. Pass
+      an explicit float to pin an absolute floor.
 
     Rebuild guidance: re-run :func:`build_ivf_index` with the FULL
     corpus (base + all appended batches — it purges stale generations
@@ -634,6 +642,8 @@ def ivf_index_health(
 
     swap.recover_for_read(spark, path)
     centroids = load_ivf_centroids(spark, path)
+    if min_flag_share is None:
+        min_flag_share = min(0.01, 0.5 / max(len(centroids), 1))
     index = spark.read.parquet(path).drop("ingest")
     now = _cell_stats(spark, index, centroids).select(
         "centroid_id",
@@ -716,7 +726,7 @@ def build_ivf_index(
 
     Rebuild semantics: building at a path that already holds an index
     REPLACES it with exactly ``corpus`` — every stale ``ingest=*``
-    generation is purged first. Without the purge, an in-place rebuild
+    generation is purged. Without the purge, an in-place rebuild
     would overwrite only ``ingest=base`` and leave ``ingest=batch-*``
     rows sitting in ``centroid_id`` partitions assigned under the OLD
     centroids — silent recall loss on every later pruned query, and
@@ -725,6 +735,22 @@ def build_ivf_index(
     appends must therefore pass the FULL corpus (base + appended),
     which is also what retraining centroids on the drifted data
     requires.
+
+    Crash safety (round-8 advisory): the purge+write is the SAME
+    write-ahead-manifest fold ``compact_ivf_index`` uses — the new
+    base is staged DISTRIBUTED into the hidden temp directory, then
+    one :func:`~petk_spark.sources.swap.committed_swap` deletes every
+    stale generation and renames the temp into place. A crash at any
+    point leaves readers on the complete OLD index or the complete
+    NEW one (recovery replays the commit), never the no-index /
+    partially-purged states the bare delete loop could expose; the
+    fold lock turns a concurrent rebuild/compaction/append into a
+    loud ``FoldInProgressError`` instead of silent pollution.
+    Residual (documented): the centroid sidecar and health snapshot
+    are rewritten AFTER the data swap while still under the lock — a
+    crash inside that sub-second window leaves a fresh index with a
+    stale sidecar, detectable by the held lock plus the sidecar's
+    older mtime, and fixed by re-running the build.
 
     Returns the trained centroids (also what the sidecar stores)."""
     import json
@@ -735,29 +761,34 @@ def build_ivf_index(
         corpus, n_centroids, vec_col, id_col, iterations
     )
     spark = corpus.sparkSession
-    # Complete any crashed fold, then purge stale generations so the
-    # rebuilt index holds exactly `corpus` under the NEW centroids.
-    swap.recover_for_read(spark, path)
-    jvm = spark._jvm
-    hp = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(hp):
-        for st in fs.listStatus(hp):
-            name = st.getPath().getName()
-            if name.startswith("ingest="):
-                p = jvm.org.apache.hadoop.fs.Path(f"{path}/{name}")
-                if not fs.delete(p, True) and fs.exists(p):
-                    raise IOError(
-                        f"rebuild aborted: could not purge stale "
-                        f"generation {path}/{name}"
-                    )
-    _write_ivf_generation(corpus, centroids, path, "base", id_col, vec_col)
-    spark.createDataFrame(
-        [(json.dumps(centroids),)], "v string"
-    ).coalesce(1).write.mode("overwrite").text(f"{path}/_ivf_centroids")
-    # Snapshot the per-cell assignment profile of the fresh build — the
-    # reference point ivf_index_health measures drift against.
-    write_ivf_health_base(spark, path)
+    swap.acquire_lock(spark, path)
+    try:
+        # Complete any crashed fold so the stale-generation listing
+        # below sees a consistent index.
+        swap.recover_pending_swap(spark, path)
+        jvm = spark._jvm
+        hp = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+        gens = (
+            swap.list_children(spark, path, "ingest=")
+            if fs.exists(hp)
+            else []
+        )
+        tmp = swap.clear_tmp(spark, path)
+        _write_ivf_generation(
+            corpus, centroids, path, "base", id_col, vec_col, out_dir=tmp
+        )
+        swap.committed_swap(
+            spark, path, sorted(set(gens) | {"ingest=base"}), "ingest=base"
+        )
+        spark.createDataFrame(
+            [(json.dumps(centroids),)], "v string"
+        ).coalesce(1).write.mode("overwrite").text(f"{path}/_ivf_centroids")
+        # Snapshot the per-cell assignment profile of the fresh build —
+        # the reference point ivf_index_health measures drift against.
+        write_ivf_health_base(spark, path)
+    finally:
+        swap.release_lock(spark, path)
     return centroids
 
 
@@ -768,16 +799,19 @@ def _write_ivf_generation(
     generation: str,
     id_col: str,
     vec_col: str,
+    out_dir: str | None = None,
 ) -> None:
     """Assign ``corpus`` with ``centroids`` and overwrite ONE ingest
-    generation directory of the index (bucketed by centroid inside)."""
+    generation directory of the index (bucketed by centroid inside).
+    ``out_dir`` redirects the write (the rebuild stages the new base
+    into the swap temp directory instead of the live layout)."""
     assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
         F.col("id").alias("neighbor_id"),
         F.col("vec").alias("cv"),
         "centroid_id",
     )
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        f"{path}/ingest={generation}"
+        out_dir if out_dir is not None else f"{path}/ingest={generation}"
     )
 
 
@@ -816,32 +850,44 @@ def append_to_ivf_index(
     from petk_spark.sources import swap
 
     spark = new_corpus.sparkSession
-    # Complete any crashed fold first: auto-numbering scans the child
-    # directories, and a half-finished fold would make it (and the
-    # write below) see a partially-deleted index.
-    swap.recover_for_read(spark, path)
-    centroids = load_ivf_centroids(spark, path)
-    if generation is None:
-        jvm = spark._jvm
-        hp = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
-        existing = [
-            st.getPath().getName()
-            for st in fs.listStatus(hp)
-            if st.getPath().getName().startswith("ingest=batch-")
-        ]
-        # A caller may pin non-numeric generations (e.g. batch-hotfix);
-        # they must not break later auto-numbered appends (round-7
-        # advisory) — only decimal suffixes participate in numbering.
-        nums = [
-            int(s)
-            for n in existing
-            if (s := n.split("batch-", 1)[1]).isdigit()
-        ]
-        generation = f"batch-{max(nums) + 1 if nums else 0}"
-    _write_ivf_generation(
-        new_corpus, centroids, path, generation, id_col, vec_col
-    )
+    # Appends are WRITERS: they hold the fold lock for the duration
+    # (round-8 advisory), so an append can no longer interleave with a
+    # rebuild's purge window (its new generation would survive the
+    # swap carrying OLD-centroid assignments) or a compaction, and two
+    # concurrent auto-numbered appends can no longer race to the same
+    # batch number and silently overwrite each other. A concurrent
+    # writer now gets a loud FoldInProgressError instead.
+    swap.acquire_lock(spark, path)
+    try:
+        # Complete any crashed fold first: auto-numbering scans the
+        # child directories, and a half-finished fold would make it
+        # (and the write below) see a partially-deleted index.
+        swap.recover_pending_swap(spark, path)
+        centroids = load_ivf_centroids(spark, path)
+        if generation is None:
+            jvm = spark._jvm
+            hp = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+            existing = [
+                st.getPath().getName()
+                for st in fs.listStatus(hp)
+                if st.getPath().getName().startswith("ingest=batch-")
+            ]
+            # A caller may pin non-numeric generations (e.g.
+            # batch-hotfix); they must not break later auto-numbered
+            # appends (round-7 advisory) — only decimal suffixes
+            # participate in numbering.
+            nums = [
+                int(s)
+                for n in existing
+                if (s := n.split("batch-", 1)[1]).isdigit()
+            ]
+            generation = f"batch-{max(nums) + 1 if nums else 0}"
+        _write_ivf_generation(
+            new_corpus, centroids, path, generation, id_col, vec_col
+        )
+    finally:
+        swap.release_lock(spark, path)
     return generation
 
 

@@ -712,6 +712,116 @@ def test_ivf_index_health_arrow_path(spark, tmp_path):
         assert r["score_drop"] is None or abs(r["score_drop"]) < 1e-9
 
 
+def test_ivf_health_floor_scales_with_index(spark, tmp_path):
+    """Round-8 advisory (medium): cell shares go as ~1/n_centroids, so
+    the old fixed 1% floor silently disabled the share-growth rule for
+    every typical cell once n_centroids ≥ ~100. The default floor now
+    scales as min(0.01, 0.5/n_centroids): a cell with genuine 5×
+    absorbing-cell growth at 0.8% corpus share flags under the scaled
+    default but is invisible under an explicit 0.01 (the old
+    behavior), while the stray-single-row guard still holds."""
+    import json
+
+    from petk_spark.operators.similarity import (
+        _write_ivf_generation,
+        ivf_index_health,
+        write_ivf_health_base,
+    )
+
+    n_cells, dim = 125, 125
+    cents = [
+        [1.0 if j == i else 0.0 for j in range(dim)]
+        for i in range(n_cells)
+    ]
+
+    def one_hot(k):
+        return [1.0 if j == k else 0.0 for j in range(dim)]
+
+    # base: 10 rows per cell except cell 7 (2 rows) → share_base 0.16%
+    rows, vid = [], 0
+    for c in range(n_cells):
+        for _ in range(2 if c == 7 else 10):
+            rows.append((vid, one_hot(c)))
+            vid += 1
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    idx = str(tmp_path / "ivf125")
+    _write_ivf_generation(corpus, cents, idx, "base", "vec_id", "embedding")
+    spark.createDataFrame(
+        [(json.dumps(cents),)], "v string"
+    ).coalesce(1).write.mode("overwrite").text(f"{idx}/_ivf_centroids")
+    write_ivf_health_base(spark, idx)
+
+    # drift: cell 7 absorbs 8 more rows → n_now 10, share_now ≈ 0.8%,
+    # 5× its base share; perfect self-score so the score rule is silent
+    extra = spark.createDataFrame(
+        [(100000 + i, one_hot(7)) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    _write_ivf_generation(extra, cents, idx, "batch-0", "vec_id", "embedding")
+
+    scaled = {
+        r["centroid_id"]: r for r in ivf_index_health(spark, idx).collect()
+    }
+    assert scaled[7]["needs_rebuild"], scaled[7]
+    assert sum(r["needs_rebuild"] for r in scaled.values()) == 1
+    # the old fixed floor never sees it: share_now < 1%
+    fixed = {
+        r["centroid_id"]: r
+        for r in ivf_index_health(spark, idx, min_flag_share=0.01).collect()
+    }
+    assert not fixed[7]["needs_rebuild"]
+
+
+def test_rebuild_is_lock_protected_atomic_swap(spark, tmp_path):
+    """Round-8 advisory (medium): the rebuild's purge+write rides the
+    shared write-ahead-manifest swap. A concurrent writer's lock makes
+    build_ivf_index (and append_to_ivf_index) fail LOUDLY with the
+    index untouched; a successful rebuild leaves no lock, no temp, no
+    manifest, and exactly one generation."""
+    import glob
+
+    import pytest
+
+    from petk_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from petk_spark.sources import swap
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") < 100), idx, n_centroids=4)
+    before = spark.read.parquet(idx).count()
+
+    swap.acquire_lock(spark, idx)  # a rival writer holds the fold lock
+    try:
+        with pytest.raises(swap.FoldInProgressError):
+            build_ivf_index(
+                emb.filter(F.col("vec_id") < 150), idx, n_centroids=4
+            )
+        with pytest.raises(swap.FoldInProgressError):
+            append_to_ivf_index(
+                emb.filter(F.col("vec_id") >= 150).limit(10), idx
+            )
+    finally:
+        swap.release_lock(spark, idx)
+    # loud failure, zero mutation
+    assert spark.read.parquet(idx).count() == before
+
+    # successful rebuild: clean root, single generation, queryable
+    build_ivf_index(emb.filter(F.col("vec_id") < 150), idx, n_centroids=4)
+    names = {p.split("/")[-1] for p in glob.glob(f"{idx}/*")}
+    assert not {
+        swap.LOCK_NAME, swap.TMP_NAME, swap.MANIFEST_NAME
+    } & names, names
+    assert [n for n in names if n.startswith("ingest=")] == ["ingest=base"]
+    probe = emb.filter(F.col("vec_id") < 5)
+    assert query_ivf_index(spark, idx, probe, k=3).count() > 0
+
+
 def test_read_xml_native(spark, tmp_path):
     """Spark 4's native xml source through the reader contract:
     explicit schema skips inference; null canonicalization applies on
