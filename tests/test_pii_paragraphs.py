@@ -647,3 +647,56 @@ def test_dedupe_lines_parity_with_duckdb(spark, method):
         for r in con.execute(sql, [texts]).fetchall()
     ]:
         assert got[i] == (txt, nl, nk), (i, got[i], (txt, nl, nk))
+
+
+def test_corpus_clean_twin_round9_families_nonempty(spark):
+    """Round-9 twin widening guard: a family that silently returns
+    ZERO rows would still hash-match an equally-empty oracle — pin
+    that `prep` (the composed prepare_training_corpus) and `xml_rt`
+    (the write→read_xml round trip) actually produce rows, that the
+    xml family covers the exact customer slice, and that the sentinel
+    canonicalization path is genuinely exercised (BUILDING → NULL)."""
+    from petk_spark.operators.extensions_registry import _q_corpus_clean
+
+    sf = "/root/testdata/sf0.001"
+    fam = (
+        _q_corpus_clean(spark, sf)
+        .groupBy("family")
+        .count()
+        .collect()
+    )
+    counts = {r["family"]: r["count"] for r in fam}
+    assert counts.get("prep", 0) >= 1, counts
+    slice_n = (
+        spark.read.parquet(f"{sf}/customer.parquet")
+        .filter(F.col("c_custkey") % 10 == 3)
+        .count()
+    )
+    assert counts.get("xml_rt") == slice_n, (counts, slice_n)
+    xml = (
+        _q_corpus_clean(spark, sf)
+        .filter(F.col("family") == "xml_rt")
+        .collect()
+    )
+    segs = {r["k4"] for r in xml}
+    assert "BUILDING" not in segs
+    # prep really ran all three stages: its kept set must be a subset
+    # of the document ids and its k4 differ from the boiler_clean md5
+    # for at least one shared id (redaction changed the bytes for the
+    # PII-carrying docs).
+    prep = {
+        r["k1"]: r["k4"]
+        for r in _q_corpus_clean(spark, sf)
+        .filter(F.col("family") == "prep")
+        .collect()
+    }
+    boiler = {
+        r["k1"]: r["k4"]
+        for r in _q_corpus_clean(spark, sf)
+        .filter(F.col("family") == "boiler_clean")
+        .collect()
+    }
+    assert set(prep) <= set(boiler)
+    pii_docs = [k for k in prep if int(k) % 4 == 0]
+    assert pii_docs, "no PII-carrying doc survived the filters"
+    assert any(prep[k] != boiler[k] for k in pii_docs)
