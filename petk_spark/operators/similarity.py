@@ -761,7 +761,7 @@ def build_ivf_index(
         corpus, n_centroids, vec_col, id_col, iterations
     )
     spark = corpus.sparkSession
-    swap.acquire_lock(spark, path)
+    lock_tok = swap.acquire_lock(spark, path)
     try:
         # Complete any crashed fold so the stale-generation listing
         # below sees a consistent index.
@@ -788,7 +788,7 @@ def build_ivf_index(
         # the reference point ivf_index_health measures drift against.
         write_ivf_health_base(spark, path)
     finally:
-        swap.release_lock(spark, path)
+        swap.release_lock(spark, path, lock_tok)
     return centroids
 
 
@@ -857,7 +857,7 @@ def append_to_ivf_index(
     # concurrent auto-numbered appends can no longer race to the same
     # batch number and silently overwrite each other. A concurrent
     # writer now gets a loud FoldInProgressError instead.
-    swap.acquire_lock(spark, path)
+    lock_tok = swap.acquire_lock(spark, path)
     try:
         # Complete any crashed fold first: auto-numbering scans the
         # child directories, and a half-finished fold would make it
@@ -887,7 +887,7 @@ def append_to_ivf_index(
             new_corpus, centroids, path, generation, id_col, vec_col
         )
     finally:
-        swap.release_lock(spark, path)
+        swap.release_lock(spark, path, lock_tok)
     return generation
 
 
@@ -909,7 +909,7 @@ def compact_ivf_index(spark, path: str) -> int:
     ``swap.FoldInProgressError`` instead of corrupting."""
     from petk_spark.sources import swap
 
-    swap.acquire_lock(spark, path)
+    lock_tok = swap.acquire_lock(spark, path)
     try:
         swap.recover_pending_swap(spark, path)
         gens = swap.list_children(spark, path, "ingest=")
@@ -922,7 +922,7 @@ def compact_ivf_index(spark, path: str) -> int:
         swap.committed_swap(spark, path, gens, "ingest=base")
         return len(gens)
     finally:
-        swap.release_lock(spark, path)
+        swap.release_lock(spark, path, lock_tok)
 
 
 def query_ivf_index(

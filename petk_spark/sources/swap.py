@@ -230,9 +230,10 @@ def _break_stale_lock(
 
 def acquire_lock(
     spark, root: str, stale_after_s: float = DEFAULT_LOCK_STALE_S
-) -> None:
+) -> str:
     """Take the fold lock on ``root`` or raise
-    :class:`FoldInProgressError`. The lock is an atomic
+    :class:`FoldInProgressError`; returns an OWNER TOKEN the caller
+    passes back to :func:`release_lock`. The lock is an atomic
     create-fail-if-exists file through the Hadoop FS API (the same
     primitive HDFS/S3A-backed job committers use), so two concurrent
     folds cannot both win. A leftover lock older than
@@ -240,7 +241,19 @@ def acquire_lock(
     broken (via :func:`_break_stale_lock`'s single-winner rename) —
     the write-ahead manifest, not the lock, is what makes the fold
     itself crash-safe; the lock only turns CONCURRENT folds from
-    silent corruption into a loud error."""
+    silent corruption into a loud error.
+
+    Owner token (round-9, shrinking the documented triple-breaker
+    residual): the winner stamps a uuid into the lock file and
+    token-verified release refuses to delete a lock it does not own.
+    In the two-lease interleaving (a breaker steals a FRESH lock,
+    its restore collides with a third create) the victim's eventual
+    ``release_lock(token)`` now leaves the innocent third holder's
+    lease intact instead of cascading the theft — the residual's
+    damage is bounded to the two racers, whose manifests keep the
+    outcome recoverable. The steal itself remains possible (closing
+    it needs an FS compare-and-swap no Hadoop scheme offers); it is
+    still documented in :func:`_break_stale_lock`."""
     fs, hp = _fs(spark, root)
     lock = hp(f"{root}/{LOCK_NAME}")
     if fs.exists(lock):
@@ -271,6 +284,20 @@ def acquire_lock(
             f"lost the race for {root}/{LOCK_NAME}: "
             "another fold created it first"
         )
+    import uuid
+
+    token = uuid.uuid4().hex
+    try:
+        # Overwrite-stamp is safe: the file exists (we just created
+        # it), so no rival can win an exclusive create meanwhile, and
+        # a breaker only touches locks past the lease age.
+        out = fs.create(lock, True)
+        out.write(bytearray(token.encode("ascii")))
+        out.close()
+    except Exception:
+        fs.delete(lock, False)  # best-effort: do not strand the lease
+        raise
+    return token
 
 
 def _atomic_create(spark, fs, lock) -> bool:
@@ -305,10 +332,49 @@ def _atomic_create(spark, fs, lock) -> bool:
         return False
 
 
-def release_lock(spark, root: str) -> None:
-    """Drop the fold lock (no-op if absent)."""
+def _read_owner(fs, lock) -> str | None:
+    """The owner token stamped in ``lock``, '' if unstamped (a rival
+    mid-acquire), None if the lock is gone."""
+    try:
+        stream = fs.open(lock)
+    except Exception as exc:
+        if _exc_is_not_found(exc):
+            return None
+        raise
+    try:
+        out = bytearray()
+        b = stream.read()
+        while b != -1 and len(out) < 64:  # tokens are 32 hex chars
+            out.append(b)
+            b = stream.read()
+        return out.decode("ascii", errors="replace")
+    except Exception:
+        # unreadable content (torn write, checksum mismatch) — owner
+        # unknown, so a token-verified release must NOT delete it; the
+        # lease ages out via the stale break like any orphan
+        return ""
+    finally:
+        stream.close()
+
+
+def release_lock(spark, root: str, token: str | None = None) -> bool:
+    """Drop the fold lock; True iff it is gone afterwards. With a
+    ``token`` (what :func:`acquire_lock` returned) the delete is
+    OWNER-VERIFIED: a lock stamped with someone else's token is left
+    in place and False is returned — so a writer whose lease was
+    stolen by the documented triple-breaker interleaving cannot
+    cascade the theft onto the current holder. ``token=None`` deletes
+    unconditionally (an operator manually clearing a dead lock)."""
     fs, hp = _fs(spark, root)
-    fs.delete(hp(f"{root}/{LOCK_NAME}"), False)
+    lock = hp(f"{root}/{LOCK_NAME}")
+    if token is not None:
+        owner = _read_owner(fs, lock)
+        if owner is None:
+            return True
+        if owner != token:
+            return False
+    fs.delete(lock, False)
+    return True
 
 
 def recover_for_read(
@@ -328,11 +394,11 @@ def recover_for_read(
     fs, hp = _fs(spark, root)
     if not fs.exists(hp(f"{root}/{MANIFEST_NAME}")):
         return
-    acquire_lock(spark, root, stale_after_s)
+    tok = acquire_lock(spark, root, stale_after_s)
     try:
         recover_pending_swap(spark, root)
     finally:
-        release_lock(spark, root)
+        release_lock(spark, root, tok)
 
 
 def list_children(spark, root: str, prefix: str) -> list[str]:

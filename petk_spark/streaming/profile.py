@@ -570,7 +570,7 @@ def compact_store(spark, store_path: str) -> int:
     from petk_spark.operators.incremental import merge_partials
     from petk_spark.sources import swap
 
-    swap.acquire_lock(spark, store_path)
+    lock_tok = swap.acquire_lock(spark, store_path)
     try:
         swap.recover_pending_swap(spark, store_path)
 
@@ -596,4 +596,4 @@ def compact_store(spark, store_path: str) -> int:
         )
         return len(ids)
     finally:
-        swap.release_lock(spark, store_path)
+        swap.release_lock(spark, store_path, lock_tok)

@@ -1137,3 +1137,48 @@ def test_compact_store_high_cardinality_groups(spark, tmp_path):
         for r in profile_from_store(spark, store).collect()
     }
     assert after == before
+
+
+def test_release_lock_owner_token_verification(spark, tmp_path):
+    """Round-9: token-verified release. A holder releases only its OWN
+    lease; a victim of the documented triple-breaker steal (its lock
+    file now carries a different owner's token) must leave the current
+    holder's lease intact instead of cascading the theft. token=None
+    stays the unconditional operator override."""
+    import os
+
+    from petk_spark.sources import swap
+
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    lock = f"{root}/_compact_lock"
+
+    # normal lifecycle: acquire stamps the token, release removes it
+    tok = swap.acquire_lock(spark, root)
+    assert isinstance(tok, str) and len(tok) == 32
+    assert open(lock).read() == tok
+    assert swap.release_lock(spark, root, tok) is True
+    assert not os.path.exists(lock)
+
+    # stolen-lease simulation: A acquires, the lock file is replaced
+    # by a rival's lease (what the triple-breaker interleaving leaves
+    # behind); A's token release must refuse and leave it in place
+    tok_a = swap.acquire_lock(spark, root)
+    fs, hp = swap._fs(spark, root)
+    out = fs.create(hp(lock), True)  # rival re-stamps the lock file
+    out.write(bytearray(b"deadbeef" * 4))
+    out.close()
+    assert swap.release_lock(spark, root, tok_a) is False
+    assert os.path.exists(lock), "innocent holder's lease must survive"
+    assert open(lock).read() == "deadbeef" * 4
+
+    # lock already gone: token release is a clean no-op True
+    fs.delete(hp(lock), False)
+    assert swap.release_lock(spark, root, tok_a) is True
+
+    # operator override: None deletes unconditionally
+    out = fs.create(hp(lock), True)
+    out.write(bytearray(b"deadbeef" * 4))
+    out.close()
+    assert swap.release_lock(spark, root) is True
+    assert not os.path.exists(lock)
