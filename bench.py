@@ -171,6 +171,30 @@ def main() -> None:
 
     registry["boilerplate_rewrite"] = _boiler_rewrite
 
+    # Bench-only timing entry (round 9): F41 span-level
+    # exact-substring dedup at production shape — window fingerprints
+    # (Arrow rolling hash), doc-frequency agg, hot-fp join, id-grouped
+    # hit starts, and the Arrow removal kernel — reduced to a checksum
+    # aggregate (the twin's `spans` family pins correctness).
+    def _span_scrub(s, d):
+        from pyspark.sql import functions as BF
+
+        from petk_spark.operators.spans import remove_repeated_spans
+        from petk_spark.sources.tables import read_table
+
+        docs = read_table(s, d, "documents")
+        out = remove_repeated_spans(
+            docs, "doc_id", "text", window=8, min_docs=2
+        )
+        return out.agg(
+            BF.count(BF.lit(1)).alias("n_docs"),
+            BF.sum("n_tokens").alias("n_tokens"),
+            BF.sum("n_tokens_kept").alias("n_kept"),
+            BF.sum(BF.length("text")).alias("chars"),
+        )
+
+    registry["span_scrub"] = _span_scrub
+
     # Bench-only timing entry (round 8): the F39 SemDeDup pass with
     # trained centroids at production shape — assignment projection +
     # one cell-keyed equi-join + id anti-join, reduced to a count.

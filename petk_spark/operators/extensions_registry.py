@@ -675,19 +675,96 @@ WHERE p_brand IS NOT NULL AND NOT regexp_matches(p_brand, '^Brand#[0-9]$')
 """
 
 
-def _q_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/test-contamination primitive: pairs sharing ≥2 distinct
-    rolling 8-token-window fingerprints (verbatim-span overlap even when
-    whole-document similarity is low)."""
+#: The 13-token sentence spliced into every 3rd document by the span
+#: twin — long enough to hold 6 full 8-token windows, so span removal,
+#: span frequency and eval-set decontamination all have deterministic
+#: known-value structure on top of whatever organic duplication the
+#: documents fixture already carries.
+_SPAN_SENTENCE = (
+    "the quick brown fox jumps over the lazy dog again and again today"
+)
+
+
+def _span_synth_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic duplicated-span corpus: every 3rd document gets
+    the SAME 13-token sentence spliced between two 80-char halves of
+    its text (the media-twin synthesis technique)."""
     df = read_table(spark, sf_dir, "documents")
-    return dedup.fingerprint_overlap(
+    d = F.col("doc_id")
+    txt = F.when(
+        d % 3 == 0,
+        F.concat(
+            F.substring(F.col("text"), 1, 80),
+            F.lit(f" {_SPAN_SENTENCE} "),
+            F.substring(F.col("text"), 81, 80),
+        ),
+    ).otherwise(F.col("text"))
+    return df.select(d.alias("id"), txt.alias("text"))
+
+
+def _q_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 + F41 + F42 on one ``(family, k1..k4)`` spine (round-9
+    consolidation — window stays at 50):
+
+    * ``overlap`` — the F14 train/test-contamination primitive,
+      unchanged semantics: pairs sharing ≥2 distinct rolling
+      8-token-window fingerprints;
+    * ``spans`` — F41 exact-substring span REMOVAL
+      (:func:`spans.remove_repeated_spans`, production Arrow path —
+      identical strings to the expression oracle, equivalence
+      unit-pinned) over the synthesized duplicated-span corpus:
+      (id, n_tokens, n_tokens_kept, md5(rebuilt text)) pins which
+      tokens every duplicated window covered, doc by doc;
+    * ``decon`` — F42 eval-set decontamination
+      (:func:`spans.contamination_report` against a one-document
+      benchmark holding exactly the spliced sentence): every
+      contaminated doc id with its distinct-shared-fingerprint count.
+    """
+    from petk_spark.operators import spans as spans_mod
+
+    null_s = F.lit(None).cast("string")
+    df = read_table(spark, sf_dir, "documents")
+    ov = dedup.fingerprint_overlap(
         df, "doc_id", "text", window=8, min_common=2
+    ).select(
+        F.lit("overlap").alias("family"),
+        F.col("id_a").cast("string").alias("k1"),
+        F.col("id_b").cast("string").alias("k2"),
+        F.col("n_common").cast("string").alias("k3"),
+        null_s.alias("k4"),
     )
+    synth = _span_synth_frame(spark, sf_dir)
+    sp = spans_mod.remove_repeated_spans(
+        synth, "id", "text", window=8, min_docs=2
+    ).select(
+        F.lit("spans").alias("family"),
+        F.col("id").cast("string").alias("k1"),
+        F.col("n_tokens").cast("string").alias("k2"),
+        F.col("n_tokens_kept").cast("string").alias("k3"),
+        F.md5(F.col("text")).alias("k4"),
+    )
+    eval_df = spark.createDataFrame(
+        [(0, _SPAN_SENTENCE)], "id long, text string"
+    )
+    dc = spans_mod.contamination_report(
+        synth, eval_df, "id", "text", window=8, min_common=2
+    ).select(
+        F.lit("decon").alias("family"),
+        F.col("id").cast("string").alias("k1"),
+        F.col("n_common").cast("string").alias("k2"),
+        null_s.alias("k3"),
+        null_s.alias("k4"),
+    )
+    return ov.unionAll(sp).unionAll(dc)
 
 
-#: DuckDB twin of dedup.fingerprint_overlap — the same 60-bit md5 base
-#: hash over the same 8-token windows (tk[i:i+7] is DuckDB's inclusive
-#: 8-element slice; range() excludes its upper bound).
+#: DuckDB twin of the fingerprint_overlap spine. `overlap`: the same
+#: 60-bit md5 base hash over the same 8-token windows (tk[i:i+7] is
+#: DuckDB's inclusive 8-element slice; range() excludes its upper
+#: bound). `spans`/`decon`: the window table carries START INDICES so
+#: the removal replays token-coverage exactly — token j is dropped iff
+#: a duplicated window s covers it (s ≤ j < s+8); the rebuilt text is
+#: the surviving ORIGINAL-case tokens joined by single spaces.
 _SQL_FINGERPRINT_OVERLAP = f"""
 WITH {_TOKS_CTE},
 fps AS MATERIALIZED (
@@ -697,11 +774,78 @@ fps AS MATERIALIZED (
         i -> ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')),1,15))::BIGINT)
     ELSE [('0x' || substr(md5(array_to_string(tk, ' ')),1,15))::BIGINT] END)) AS fp
   FROM toks WHERE text IS NOT NULL
+),
+sp_src AS MATERIALIZED (
+  SELECT doc_id AS id,
+    CASE WHEN doc_id % 3 = 0 THEN
+      substr(text, 1, 80) || ' {_SPAN_SENTENCE} ' || substr(text, 81, 80)
+    ELSE text END AS text
+  FROM documents
+),
+sp_tok AS MATERIALIZED (
+  SELECT id, text,
+    list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tko,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM sp_src WHERE text IS NOT NULL
+),
+sp_win AS MATERIALIZED (
+  SELECT id, i - 1 AS i,
+    ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15))::BIGINT AS fp
+  FROM (
+    SELECT id, tk, unnest(range(1, len(tk) - 6)) AS i
+    FROM sp_tok WHERE len(tk) >= 8
+  )
+),
+sp_hot AS MATERIALIZED (
+  SELECT fp FROM (
+    SELECT fp, count(DISTINCT id) AS nd FROM sp_win GROUP BY 1
+  ) WHERE nd >= 2
+),
+sp_hits AS (
+  SELECT id, list_sort(list(DISTINCT i)) AS hits
+  FROM sp_win WHERE fp IN (SELECT fp FROM sp_hot) GROUP BY id
+),
+sp_kept AS (
+  SELECT id, text, tko,
+    CASE WHEN hits IS NULL THEN tko
+         ELSE list_filter(tko, (t, j) -> NOT list_contains(
+           list_distinct(flatten(list_transform(hits, s -> range(s, s + 8)))),
+           j - 1)) END AS kept
+  FROM (SELECT s.id, s.text, t.tko, h.hits
+        FROM sp_src s LEFT JOIN sp_tok t USING (id)
+        LEFT JOIN sp_hits h ON s.id = h.id)
+),
+sp_eval AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15))::BIGINT AS fp
+  FROM (
+    SELECT tk, unnest(range(1, len(tk) - 6)) AS i
+    FROM (SELECT list_filter(
+            regexp_split_to_array(lower('{_SPAN_SENTENCE}'), '\\s+'),
+            t -> t <> '') AS tk)
+  )
 )
-SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+SELECT 'overlap' AS family, a.id::VARCHAR AS k1, b.id::VARCHAR AS k2,
+       count(*)::VARCHAR AS k3, NULL::VARCHAR AS k4
 FROM fps a JOIN fps b USING (fp)
 WHERE a.id < b.id
-GROUP BY 1, 2 HAVING count(*) >= 2
+GROUP BY 1, 2, 3 HAVING count(*) >= 2
+UNION ALL
+SELECT 'spans', id::VARCHAR, coalesce(len(tko), 0)::VARCHAR,
+       coalesce(len(kept), 0)::VARCHAR,
+       -- array_to_string([]) is NULL in DuckDB but '' in Spark's
+       -- array_join — coalesce pins the fully-covered-doc case
+       CASE WHEN text IS NULL THEN NULL
+            ELSE md5(coalesce(array_to_string(kept, ' '), '')) END
+FROM sp_kept
+UNION ALL
+SELECT 'decon', id::VARCHAR, n_common::VARCHAR, NULL::VARCHAR, NULL::VARCHAR
+FROM (
+  SELECT id, count(*) AS n_common
+  FROM (SELECT DISTINCT id, fp FROM sp_win)
+  WHERE fp IN (SELECT fp FROM sp_eval)
+  GROUP BY id
+) WHERE n_common >= 2
 """
 
 
