@@ -962,3 +962,39 @@ def semantic_dedup(
     )
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")
+
+
+def filter_previously_seen(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seen: DataFrame,
+    fingerprint_col: str = "fingerprint",
+) -> DataFrame:
+    """Incremental exact dedup against an EXISTING corpus: keep only
+    rows whose normalized-text fingerprint
+    (:func:`text.fingerprint_frame`'s md5 contract — the same identity
+    every dedup pass in the repo uses) is absent from ``seen``, a
+    frame holding the already-ingested corpus's fingerprint column
+    (e.g. yesterday's store, or :func:`~petk_spark.operators.text.
+    fingerprint_frame` over the current training set). The daily-crawl
+    production shape: the new batch is scanned ONCE, the store is
+    never rewritten, and appending ``fingerprint_frame`` of the KEPT
+    rows to the store keeps the next day O(new data) — the same
+    mergeable-state discipline as incremental profiling (F32).
+
+    Scale: one left-anti hash join on the 16-byte fingerprint. The
+    store side is corpus-scale, so it is NOT broadcast — both sides
+    shuffle on the fingerprint key; AQE promotes the join when the
+    store is still small. Within-batch duplicates are intentionally
+    KEPT (dedup inside the batch is :func:`drop_exact_duplicates`' /
+    F13's job — composing the two stays one scan each)."""
+    from petk_spark.operators.text import fingerprint
+
+    fp = fingerprint(F.col(text_col))
+    store = seen.select(F.col(fingerprint_col).alias("__seen_fp")).distinct()
+    return (
+        df.withColumn("__fp", fp)
+        .join(store, F.col("__fp") == F.col("__seen_fp"), "left_anti")
+        .drop("__fp")
+    )

@@ -127,9 +127,22 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     The twin replays the identical md5→BIGINT→double arithmetic and
     the SAME float-accumulated interval bounds (generated from one
     shared dict, rendered via repr, so 0.9 + 0.05 compares as the
-    exact double Python produced, not a re-rounded 0.95 literal)."""
+    exact double Python produced, not a re-rounded 0.95 literal).
+
+    Round 9 widens the twin onto a ``(family, k1..k4)`` spine:
+
+    * ``mix`` — the F9+F35 contract above, unchanged semantics;
+    * ``epoch`` — F43 deterministic epoch shuffle: the global rank of
+      every 5th document in epoch 3's keyed order (epoch_rank is the
+      audit shaping of epoch_shuffle's range-exchange order — same
+      key, same total order, hash-pinned as values);
+    * ``budget`` — F44 fixed-token-budget selection: the kept prefix
+      (ids + token counts) of the keyed order whose inclusive running
+      token sum stays ≤ 6000 (binds to a strict subset at every SF),
+      replayed by DuckDB as one windowed cumulative sum."""
     from petk_spark.operators import sampling
 
+    null_s = F.lit(None).cast("string")
     df = read_table(spark, sf_dir, "documents")
     out = sampling.stratified_sample(
         df,
@@ -142,7 +155,41 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sampling.assign_split(
         out, ["doc_id"], _SPLIT_FRACTIONS, salt=_SPLIT_SALT
     )
-    return out.select("doc_id", "source", "split")
+    mix = out.select(
+        F.lit("mix").alias("family"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.col("source").alias("k2"),
+        F.col("split").alias("k3"),
+        null_s.alias("k4"),
+    )
+    ep = sampling.epoch_rank(
+        df.filter(F.col("doc_id") % 5 == 0), ["doc_id"], epoch=3
+    ).select(
+        F.lit("epoch").alias("family"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.col("rank").cast("string").alias("k2"),
+        null_s.alias("k3"),
+        null_s.alias("k4"),
+    )
+    n_tok = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+        )
+    )
+    bu = sampling.take_token_budget(
+        df.withColumn("__ntok", n_tok),
+        ["doc_id"],
+        F.col("__ntok"),
+        budget=6000,
+        salt="budget-v1",
+    ).select(
+        F.lit("budget").alias("family"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.coalesce(F.col("__ntok"), F.lit(0)).cast("string").alias("k2"),
+        null_s.alias("k3"),
+        null_s.alias("k4"),
+    )
+    return mix.unionAll(ep).unionAll(bu)
 
 
 def _stratified_sample_sql() -> str:
@@ -161,12 +208,38 @@ def _stratified_sample_sql() -> str:
         acc += _SPLIT_FRACTIONS[name]
         whens.append(f"WHEN {u} < CAST({acc!r} AS DOUBLE) THEN '{name}'")
     split_case = " ".join(["CASE", *whens, f"ELSE '{names[-1]}' END"])
-    return f"""
-SELECT doc_id, source, {split_case} AS split FROM documents
+    ekey = "md5('epoch:3' || ':' || coalesce(doc_id::VARCHAR, ''))"
+    eu = f"(('0x' || substr({ekey}, 1, 13))::BIGINT / 4503599627370496.0)"
+    bkey = "md5('budget-v1' || ':' || coalesce(doc_id::VARCHAR, ''))"
+    bu = f"(('0x' || substr({bkey}, 1, 13))::BIGINT / 4503599627370496.0)"
+    return rf"""
+SELECT 'mix' AS family, doc_id::VARCHAR AS k1, source AS k2,
+       {split_case} AS k3, NULL::VARCHAR AS k4
+FROM documents
 WHERE {key} < CASE source
   WHEN 'src1' THEN '{rate_threshold(0.8)}'
   WHEN 'src2' THEN '{rate_threshold(0.05)}'
   ELSE '{rate_threshold(0.25)}' END
+UNION ALL
+SELECT 'epoch', doc_id::VARCHAR,
+       (row_number() OVER (ORDER BY {eu}, doc_id))::VARCHAR,
+       NULL::VARCHAR, NULL::VARCHAR
+FROM documents WHERE doc_id % 5 = 0
+UNION ALL
+SELECT 'budget', doc_id::VARCHAR, n_tok::VARCHAR,
+       NULL::VARCHAR, NULL::VARCHAR
+FROM (
+  SELECT doc_id, n_tok,
+         sum(n_tok) OVER (ORDER BY u, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM (
+    SELECT doc_id,
+      coalesce(len(list_filter(
+        regexp_split_to_array(lower(text), '\s+'), t -> t <> '')), 0) AS n_tok,
+      {bu} AS u
+    FROM documents
+  )
+) WHERE run <= 6000
 """
 
 
@@ -3118,7 +3191,28 @@ def _q_dedup_exact_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("k3"),
         F.col("totalprice").alias("k4"),
     )
-    return ex.unionAll(fb)
+    # F45 incremental dedup against an existing store (round 9): odd
+    # doc_ids are the "new batch", the even half's fingerprints are
+    # the store — the kept set + fingerprints are hash-pinned. NULL
+    # texts are KEPT by contract (no comparison basis — the anti-join
+    # null key never matches; the oracle keeps the IS NULL arm).
+    from petk_spark.operators.text import fingerprint
+
+    docs = read_table(spark, sf_dir, "documents")
+    seen = text.fingerprint_frame(
+        docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text"
+    )
+    kept = dedup.filter_previously_seen(
+        docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text", seen
+    )
+    sf = kept.select(
+        F.lit("seen_filter").alias("family"),
+        F.col("doc_id").cast("string").alias("k1"),
+        fingerprint(F.col("text")).alias("k2"),
+        F.lit(None).cast("string").alias("k3"),
+        F.lit(None).cast("string").alias("k4"),
+    )
+    return ex.unionAll(fb).unionAll(sf)
 
 
 _SQL_DEDUP_EXACT_FIRST = f"""
@@ -3130,6 +3224,18 @@ UNION ALL
 SELECT 'first_by', o_custkey::VARCHAR, o_orderkey::VARCHAR,
        o_orderstatus, totalprice
 FROM ({_SQL_DEDUP_FIRST_BY})
+UNION ALL
+SELECT 'seen_filter', doc_id::VARCHAR,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
+       NULL::VARCHAR, NULL::VARCHAR
+FROM documents
+WHERE doc_id % 2 = 1 AND (
+  text IS NULL OR
+  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) NOT IN (
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL
+  )
+)
 """
 
 

@@ -133,3 +133,117 @@ def assign_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def epoch_order_key(key_cols, epoch: int) -> Column:
+    """The deterministic per-epoch shuffle key: the 52-bit keyed
+    uniform salted with the epoch number. Independent across epochs,
+    identical across runs/engines/partitionings for one epoch."""
+    return uniform_from_key(key_cols, salt=f"epoch:{epoch}")
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_cols: list[str],
+    epoch: int,
+    n_partitions: int | None = None,
+    order_col: str = "epoch_order",
+) -> DataFrame:
+    """Deterministic GLOBAL training order for epoch ``epoch``: rows
+    sorted by :func:`epoch_order_key` (ties broken by the key columns)
+    across range partitions — partition i's every row precedes
+    partition i+1's, so writing the partitions in order materializes
+    one globally shuffled epoch, and each epoch is an independent
+    permutation (new salt), the property data-order-matters training
+    runs need (no epoch-to-epoch correlation).
+
+    Scale shape: ONE range-partition exchange (sampled boundaries) +
+    in-partition sort — the standard total-order plan; there is NO
+    global window / single-reducer stage anywhere (use
+    :func:`epoch_rank` only for audits). ``order_col`` keeps the sort
+    key in the output so downstream writers can verify or re-sort."""
+    u = epoch_order_key(key_cols, epoch)
+    out = df.withColumn(order_col, u)
+    parts = [F.col(order_col)] + [F.col(c) for c in key_cols]
+    if n_partitions:
+        out = out.repartitionByRange(n_partitions, *parts)
+    else:
+        out = out.repartitionByRange(*parts)
+    return out.sortWithinPartitions(*parts)
+
+
+def epoch_rank(
+    df: DataFrame, key_cols: list[str], epoch: int
+) -> DataFrame:
+    """Audit/oracle shaping of :func:`epoch_shuffle`: ``(key...,
+    rank)`` where rank is the row's 1-based position in the epoch's
+    global order. A GLOBAL window (single reducer) — small-result
+    audits and the driver twin only; production materializes order
+    via :func:`epoch_shuffle`'s range exchange instead."""
+    from pyspark.sql import Window
+
+    u = epoch_order_key(key_cols, epoch)
+    w = Window.orderBy(u, *[F.col(c) for c in key_cols])
+    return df.select(
+        *key_cols, F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
+def take_token_budget(
+    df: DataFrame,
+    key_cols: list[str],
+    tokens: Column,
+    budget: int,
+    salt: str = "",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic fixed-token-budget corpus selection: lay rows out
+    in keyed-uniform order (a global deterministic shuffle) and keep
+    the maximal prefix whose INCLUSIVE running token sum stays ≤
+    ``budget`` — "give me a uniform 50B-token slice of this corpus",
+    the sizing step between cleaning and tokenization. Take-while
+    semantics: once the running sum crosses the budget every later row
+    is dropped too, so the kept set is a contiguous prefix of the
+    keyed order — re-runs, engines, and partitionings agree
+    row-for-row, and (unlike rate-based sampling) the token mass is
+    controlled directly.
+
+    Scale shape — an EXACT global prefix sum in one shuffle: the keyed
+    uniform is itself the range partitioner (``bucket = floor(u ×
+    n_buckets)`` is order-preserving across buckets because u is
+    uniform in [0,1)), the running sum inside each bucket is a plain
+    window, and the cross-bucket offsets come from one
+    ``n_buckets``-row aggregate joined back as a broadcast — a
+    documented tiny collect (≤ ``n_buckets`` rows), never a global
+    single-reducer window. Two passes over ``(key, tokens)``; the
+    token column is usually precomputed by the profiling pass."""
+    tok = F.coalesce(tokens.cast("long"), F.lit(0))
+    u = uniform_from_key(key_cols, salt)
+    base = df.withColumn("__u", u).withColumn(
+        "__b", F.floor(F.col("__u") * n_buckets).cast("int")
+    ).withColumn("__t", tok)
+    spark = df.sparkSession
+    totals = {
+        r["__b"]: r["t"]
+        for r in base.groupBy("__b").agg(F.sum("__t").alias("t")).collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(totals):
+        offsets.append((b, acc))
+        acc += totals[b]
+    if not offsets:
+        return df.filter(F.lit(False))
+    off = spark.createDataFrame(offsets, "__b int, __off long")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("__b")
+        .orderBy("__u", *[F.col(c) for c in key_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.join(F.broadcast(off), "__b")
+        .withColumn("__run", F.sum("__t").over(w) + F.col("__off"))
+        .filter(F.col("__run") <= F.lit(int(budget)))
+        .drop("__u", "__b", "__t", "__off", "__run")
+    )

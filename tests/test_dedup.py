@@ -429,3 +429,39 @@ def test_semantic_pairs_chunked_matmul_equiv(spark, monkeypatch):
         ).collect()
     }
     assert ar == ex and len(ar) > 10
+
+
+def test_filter_previously_seen(spark):
+    """F45 incremental dedup against an existing fingerprint store:
+    normalized-text identity (case/whitespace fold), NULL texts kept
+    (no comparison basis), within-batch duplicates kept (batch-local
+    dedup is a separate, composable pass), duplicate store rows
+    harmless."""
+    from petk_spark.operators.dedup import filter_previously_seen
+    from petk_spark.operators.text import fingerprint_frame
+
+    old = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "seen before"), (3, None)],
+        "id long, text string",
+    )
+    seen = fingerprint_frame(old, "id", "text")
+    new = spark.createDataFrame(
+        [
+            (10, "hello world"),        # matches 1 after normalization
+            (11, "SEEN  BEFORE"),       # matches 2
+            (12, "genuinely new"),
+            (13, "genuinely new"),      # within-batch dup: KEPT
+            (14, None),                 # NULL: KEPT
+        ],
+        "id long, text string",
+    )
+    kept = sorted(
+        r["id"]
+        for r in filter_previously_seen(
+            new, "id", "text", seen.unionAll(seen)
+        ).collect()
+    )
+    assert kept == [12, 13, 14]
+    # schema passthrough: original columns, no helper columns
+    out = filter_previously_seen(new, "id", "text", seen)
+    assert out.columns == ["id", "text"]

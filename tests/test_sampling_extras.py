@@ -105,3 +105,117 @@ def test_assign_split_rejects_bad_fractions(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with _pytest.raises(ValueError, match="sum"):
         assign_split(df, ["k"], {"train": 0.5, "test": 0.1})
+
+
+def test_epoch_shuffle_order_and_independence(spark):
+    """F43: epoch_shuffle materializes the SAME total order epoch_rank
+    reports (range exchange ≡ global window, value-for-value), each
+    epoch is an independent permutation, and the production path has
+    no global window — a range exchange instead."""
+    from petk_spark.operators.sampling import epoch_rank, epoch_shuffle
+
+    df = spark.range(500).select(F.col("id"))
+    shuffled = epoch_shuffle(df, ["id"], epoch=1, n_partitions=4)
+    # partition-concatenation order == rank order (range partitions
+    # are globally ordered, sorted within)
+    got = [r["id"] for r in shuffled.toLocalIterator()]
+    want = [
+        r["id"]
+        for r in epoch_rank(df, ["id"], epoch=1)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want
+    # a genuine permutation, deterministic, and epoch-independent
+    assert sorted(got) == list(range(500))
+    assert got != list(range(500))
+    got2 = [
+        r["id"]
+        for r in epoch_shuffle(df, ["id"], epoch=1, n_partitions=4)
+        .toLocalIterator()
+    ]
+    assert got2 == got
+    other = [
+        r["id"]
+        for r in epoch_shuffle(df, ["id"], epoch=2, n_partitions=4)
+        .toLocalIterator()
+    ]
+    assert other != got and sorted(other) == list(range(500))
+    plan = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_take_token_budget_take_while_semantics(spark):
+    """F44: the kept set is the maximal prefix of the keyed order with
+    inclusive running sum ≤ budget — once crossed, later rows are
+    dropped even when they would individually fit; NULL token counts
+    count as 0; bucketing never changes the answer."""
+    from petk_spark.operators.sampling import (
+        take_token_budget,
+        uniform_from_key,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 10 if i != 7 else None) for i in range(40)],
+        "id long, n_tok int",
+    )
+    order = [
+        r["id"]
+        for r in df.select(
+            "id", uniform_from_key(["id"], "s").alias("u")
+        ).orderBy("u", "id").collect()
+    ]
+    toks = {i: (0 if i == 7 else 10) for i in range(40)}
+    run, want = 0, []
+    for i in order:
+        run += toks[i]
+        if run > 155:
+            break
+        want.append(i)
+    got = sorted(
+        r["id"]
+        for r in take_token_budget(
+            df, ["id"], F.col("n_tok"), budget=155, salt="s"
+        ).collect()
+    )
+    assert got == sorted(want) and 0 < len(got) < 40
+    # bucketing is semantics-neutral
+    for nb in (1, 7, 256):
+        alt = sorted(
+            r["id"]
+            for r in take_token_budget(
+                df, ["id"], F.col("n_tok"), budget=155, salt="s",
+                n_buckets=nb,
+            ).collect()
+        )
+        assert alt == got, nb
+    # degenerate budgets
+    assert (
+        take_token_budget(df, ["id"], F.col("n_tok"), budget=0).count()
+        == 0
+    )
+    assert (
+        take_token_budget(
+            df, ["id"], F.col("n_tok"), budget=10**9
+        ).count()
+        == 40
+    )
+
+
+def test_take_token_budget_no_global_window(spark):
+    """The prefix sum is per-range-bucket + a broadcast offset join —
+    never a single-reducer global window."""
+    from petk_spark.operators.sampling import take_token_budget
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5 + 1).alias("n_tok")
+    )
+    out = take_token_budget(df, ["id"], F.col("n_tok"), budget=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the window exists but is PARTITIONED (by bucket), not global
+    assert "Window" in plan
+    import re as _re
+
+    assert not _re.search(r"Window \[[^\]]*\], \[\]", plan), plan
+    assert "BroadcastHashJoin" in plan
