@@ -1705,15 +1705,83 @@ FROM ranked, n WHERE rank <= 3
 
 
 def _q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = read_table(spark, sf_dir, "documents")
-    return text.token_histogram(df, "text", top_n=20)
+    """Token-frequency surface on one ``(family, k1..k4)`` spine
+    (round-9 consolidation — window stays at 50):
 
+    * ``hist`` — the original top-20 corpus token histogram;
+    * ``lm`` — F46 unigram LM TRAINING: the 30-token vocab with
+      Laplace log2 probabilities (token, count, fmt logp) — pins the
+      count aggregation, the (count DESC, token ASC) vocab cut, and
+      the smoothing arithmetic;
+    * ``lm_score`` — F46 SCORING: per-document bits-per-token from
+      the production Arrow path (bit-identical to the expression
+      fold by the left-fold contract; DuckDB replays with map() +
+      list_reduce over the same document token order)."""
+    from petk_spark.operators import lm as lm_mod
+
+    null_s = F.lit(None).cast("string")
+    df = read_table(spark, sf_dir, "documents")
+    hist = text.token_histogram(df, "text", top_n=20).select(
+        F.lit("hist").alias("family"),
+        F.col("token").alias("k1"),
+        F.col("n").cast("string").alias("k2"),
+        null_s.alias("k3"),
+        null_s.alias("k4"),
+    )
+    vocab, stats = lm_mod.train_unigram_lm(df, "text", vocab_size=30)
+    lmr = vocab.select(
+        F.lit("lm").alias("family"),
+        F.col("token").alias("k1"),
+        F.col("n").cast("string").alias("k2"),
+        fmt_sci(F.col("logp")).alias("k3"),
+        null_s.alias("k4"),
+    )
+    scr = lm_mod.lm_bits_per_token(
+        df, "doc_id", "text", vocab, stats["oov_logp"]
+    ).select(
+        F.lit("lm_score").alias("family"),
+        F.col("id").cast("string").alias("k1"),
+        F.col("n_tokens").cast("string").alias("k2"),
+        fmt_sci(F.col("bits_per_token")).alias("k3"),
+        null_s.alias("k4"),
+    )
+    return hist.unionAll(lmr).unionAll(scr)
+
+
+_LM_FOLD = (
+    "-(list_reduce(list_prepend(0.0, list_transform(tk, "
+    "t -> coalesce(map_extract(m, t)[1], oov))), (x, y) -> x + y))"
+    " / len(tk)"
+)
 
 _SQL_TOKEN_HISTOGRAM = f"""
 WITH {_TOKS_CTE},
-tok AS (SELECT unnest(tk) AS token FROM toks)
-SELECT token, count(*) AS n FROM tok
-GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20
+tok AS (SELECT unnest(tk) AS token FROM toks),
+cnt AS MATERIALIZED (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+voc AS MATERIALIZED (
+  SELECT token, n FROM cnt ORDER BY n DESC, token ASC LIMIT 30
+),
+prm AS (SELECT (SELECT sum(n) FROM cnt) AS n_total,
+               (SELECT count(*) FROM voc) AS v),
+lmv AS MATERIALIZED (
+  SELECT token, n, log2((n + 1.0) / (n_total + v + 1.0)) AS logp
+  FROM voc, prm
+),
+mp AS (
+  SELECT map(list(token ORDER BY token), list(logp ORDER BY token)) AS m,
+         (SELECT log2(1.0 / (n_total + v + 1.0)) FROM prm) AS oov
+  FROM lmv
+)
+SELECT 'hist' AS family, token AS k1, n::VARCHAR AS k2,
+       NULL::VARCHAR AS k3, NULL::VARCHAR AS k4
+FROM (SELECT token, n FROM cnt ORDER BY n DESC, token ASC LIMIT 20)
+UNION ALL
+SELECT 'lm', token, n::VARCHAR, {dfmt('logp')}, NULL::VARCHAR FROM lmv
+UNION ALL
+SELECT 'lm_score', doc_id::VARCHAR, coalesce(len(tk), 0)::VARCHAR,
+       CASE WHEN len(tk) > 0 THEN {dfmt(_LM_FOLD)} END,
+       NULL::VARCHAR
+FROM toks, mp
 """
 
 

@@ -1,0 +1,183 @@
+"""Unigram language-model quality scoring (SURVEY §2.F46) — the
+CCNet-class "perplexity filter" re-based on Spark (beyond-reference;
+no counterpart in petk). CCNet (arXiv:1911.00359) buckets crawl text
+by LM perplexity against a clean reference corpus; the deterministic,
+dependency-free core of that recipe is a smoothed unigram model:
+
+* **train** — token frequencies over a reference corpus, top-K vocab,
+  Laplace-smoothed log2 probabilities with a single OOV bucket:
+  ``p(tok) = (count + 1) / (N + V + 1)``, ``p(OOV) = 1 / (N + V +
+  1)`` (N = total reference tokens, V = actual vocab size). One hash
+  aggregation on the token + a bounded top-K; the model artifact is a
+  small (≤ vocab_size rows) frame.
+* **score** — per document, bits-per-token = −(1/T)·Σ log2 p(tokenᵢ):
+  low bits ≈ fluent/common text, high bits ≈ gibberish, boilerplate
+  code, or wrong-language text. Scoring is ROW-LOCAL: the model rides
+  along as a broadcast (a one-row map via crossJoin on the expression
+  path, a plain Python dict closure on the Arrow path) — the 100 TB
+  corpus side is one scan, zero shuffles.
+
+Cross-engine contract: the per-document sum is a LEFT FOLD in
+document token order on every path (Spark ``F.aggregate`` seeded 0.0,
+the Arrow kernel's sequential Python sum over the SAME JVM-computed
+logp values, DuckDB ``list_reduce(list_prepend(0.0, …))``), so the
+only engine-dependent quantity is ``log2`` itself (libm last-ulp),
+absorbed by the shared %.6e fmt contract.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str):
+    """The repo-wide tokenizer: ASCII-whitespace split of the lowered
+    text, empties dropped (≡ the oracle's _TOKS_CTE)."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+
+
+def train_unigram_lm(
+    df: DataFrame, text_col: str, vocab_size: int = 50000
+) -> tuple[DataFrame, dict]:
+    """Train the smoothed unigram model on a reference corpus. Returns
+    ``(vocab_frame, stats)``: the frame is ``(token, n, logp)`` —
+    top-``vocab_size`` tokens by (count DESC, token ASC), Laplace
+    log2-probabilities — and ``stats`` carries ``n_total`` (reference
+    token count), ``vocab_size`` (actual V ≤ requested) and
+    ``oov_logp`` (the single out-of-vocabulary bucket's log2 prob).
+    Two scalar actions (N, V) — training is a run-once corpus pass
+    producing a small broadcastable artifact, the same lifecycle as
+    the IVF centroid sample."""
+    cnt = (
+        df.select(F.explode(_tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_total = cnt.agg(F.sum("n")).collect()[0][0] or 0
+    vocab = cnt.orderBy(F.desc("n"), F.asc("token")).limit(vocab_size)
+    v = vocab.count()
+    denom = float(n_total + v + 1)
+    out = vocab.select(
+        "token",
+        "n",
+        F.log2((F.col("n") + F.lit(1.0)) / F.lit(denom)).alias("logp"),
+    )
+    return out, {
+        "n_total": int(n_total),
+        "vocab_size": int(v),
+        "oov_logp": math.log2(1.0 / denom),
+    }
+
+
+def _score_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    logp: dict,
+    oov_logp: float,
+) -> DataFrame:
+    """Production scoring kernel: the vocab dict lives in the task
+    closure (one broadcast), each token is one hash probe, the sum is
+    the same left fold as the expression path."""
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"id {id_type}, n_tokens long, bits_per_token double"
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nt, bits = [], [], []
+            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+                ids.append(doc_id)
+                if t is None or (not isinstance(t, str) and pd.isna(t)):
+                    nt.append(0)
+                    bits.append(None)
+                    continue
+                toks = [w for w in ws.split(t.lower()) if w]
+                nt.append(len(toks))
+                if not toks:
+                    bits.append(None)
+                    continue
+                acc = 0.0
+                for w in toks:
+                    acc = acc + logp.get(w, oov_logp)
+                bits.append(-acc / len(toks))
+            yield pd.DataFrame(
+                {"id": ids, "n_tokens": nt, "bits_per_token": bits}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(kern, schema)
+
+
+def lm_bits_per_token(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lm: DataFrame,
+    oov_logp: float,
+    method: str | None = None,
+) -> DataFrame:
+    """Score every document against a trained unigram model:
+    ``(id, n_tokens, bits_per_token)`` where bits_per_token =
+    −mean log2 p(token) (NULL for NULL/empty texts — no tokens, no
+    estimate). Filter or bucket on the score downstream (CCNet keeps
+    the head/middle buckets).
+
+    Two physical strategies (``method``; None → "arrow"):
+
+    * **"arrow"** — the model collapses to a Python dict in the task
+      closure; O(T) probes per doc, one scan, zero shuffles.
+    * **"expr"** — the model becomes a one-row MAP column cross-joined
+      as a broadcast, and the sum is an ``F.aggregate`` left fold —
+      plain SQL semantics, which is why it is the ORACLE contract
+      (DuckDB replays it with ``map()`` + ``list_reduce``).
+
+    Both paths sum the SAME JVM-computed logp values in the SAME
+    document order, so they agree bit-for-bit; equivalence is
+    unit-pinned. The model frame is collected either way (≤ vocab_size
+    rows — the documented small-artifact broadcast, like the IVF
+    centroid sidecar)."""
+    if method not in (None, "arrow", "expr"):
+        raise ValueError(
+            f"method must be None, 'arrow' or 'expr', got {method!r}"
+        )
+    if method != "expr":
+        table = {
+            r["token"]: r["logp"] for r in lm.select("token", "logp").collect()
+        }
+        return _score_arrow(df, id_col, text_col, table, float(oov_logp))
+    spark = df.sparkSession
+    mp = lm.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("token", "logp"))
+        ).alias("__lm")
+    )
+    toks = _tokens(text_col)
+    acc = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda a, t: a
+        + F.coalesce(
+            F.element_at(F.col("__lm"), t), F.lit(float(oov_logp))
+        ),
+    )
+    n_toks = F.size(toks)
+    return (
+        df.crossJoin(F.broadcast(mp))
+        .select(
+            F.col(id_col).alias("id"),
+            F.when(F.col(text_col).isNotNull(), n_toks)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+            F.when(n_toks > 0, -acc / n_toks).alias("bits_per_token"),
+        )
+    )
