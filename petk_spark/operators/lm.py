@@ -82,36 +82,66 @@ def _score_arrow(
     text_col: str,
     logp: dict,
     oov_logp: float,
+    keep_columns: bool = False,
 ) -> DataFrame:
     """Production scoring kernel: the vocab dict lives in the task
     closure (one broadcast), each token is one hash probe, the sum is
-    the same left fold as the expression path."""
+    the same left fold as the expression path. ``keep_columns``
+    appends (n_tokens, bits_per_token) to the FULL input row instead
+    of projecting (id, …) — the pipeline-composition shape, scoring
+    in-band with no join-back against the upstream lineage."""
     import re
 
     ws = re.compile(r"\s+", re.ASCII)
+
+    def score_lists(texts):
+        nt, bits = [], []
+        for t in texts:
+            if t is None or (not isinstance(t, str) and pd.isna(t)):
+                nt.append(0)
+                bits.append(None)
+                continue
+            toks = [w for w in ws.split(t.lower()) if w]
+            nt.append(len(toks))
+            if not toks:
+                bits.append(None)
+                continue
+            acc = 0.0
+            for w in toks:
+                acc = acc + logp.get(w, oov_logp)
+            bits.append(-acc / len(toks))
+        return nt, bits
+
+    if keep_columns:
+        schema_str = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        schema = f"{schema_str}, n_tokens long, bits_per_token double"
+
+        def kern_keep(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                nt, bits = score_lists(pdf[text_col])
+                out = pdf.copy()
+                out["n_tokens"] = nt
+                out["bits_per_token"] = pd.array(bits, dtype="float64")
+                yield out
+
+        return df.mapInPandas(kern_keep, schema)
+
     id_type = df.schema[id_col].dataType.simpleString()
     schema = f"id {id_type}, n_tokens long, bits_per_token double"
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, nt, bits = [], [], []
-            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
-                ids.append(doc_id)
-                if t is None or (not isinstance(t, str) and pd.isna(t)):
-                    nt.append(0)
-                    bits.append(None)
-                    continue
-                toks = [w for w in ws.split(t.lower()) if w]
-                nt.append(len(toks))
-                if not toks:
-                    bits.append(None)
-                    continue
-                acc = 0.0
-                for w in toks:
-                    acc = acc + logp.get(w, oov_logp)
-                bits.append(-acc / len(toks))
+            nt, bits = score_lists(pdf[text_col])
             yield pd.DataFrame(
-                {"id": ids, "n_tokens": nt, "bits_per_token": bits}
+                {
+                    "id": pdf[id_col],
+                    "n_tokens": nt,
+                    "bits_per_token": pd.array(bits, dtype="float64"),
+                }
             )
 
     return df.select(id_col, text_col).mapInPandas(kern, schema)
@@ -124,12 +154,16 @@ def lm_bits_per_token(
     lm: DataFrame,
     oov_logp: float,
     method: str | None = None,
+    keep_columns: bool = False,
 ) -> DataFrame:
     """Score every document against a trained unigram model:
     ``(id, n_tokens, bits_per_token)`` where bits_per_token =
     −mean log2 p(token) (NULL for NULL/empty texts — no tokens, no
     estimate). Filter or bucket on the score downstream (CCNet keeps
-    the head/middle buckets).
+    the head/middle buckets). ``keep_columns=True`` (arrow path only)
+    appends the two score columns to the full input row instead —
+    in-band scoring for pipeline composition, no join-back that would
+    re-execute the upstream lineage.
 
     Two physical strategies (``method``; None → "arrow"):
 
@@ -149,11 +183,15 @@ def lm_bits_per_token(
         raise ValueError(
             f"method must be None, 'arrow' or 'expr', got {method!r}"
         )
+    if keep_columns and method == "expr":
+        raise ValueError("keep_columns is an arrow-path option")
     if method != "expr":
         table = {
             r["token"]: r["logp"] for r in lm.select("token", "logp").collect()
         }
-        return _score_arrow(df, id_col, text_col, table, float(oov_logp))
+        return _score_arrow(
+            df, id_col, text_col, table, float(oov_logp), keep_columns
+        )
     spark = df.sparkSession
     mp = lm.agg(
         F.map_from_entries(

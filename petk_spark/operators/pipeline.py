@@ -38,6 +38,11 @@ def prepare_training_corpus(
     min_quality: float = 0.5,
     boilerplate_min_docs: int | None = 10,
     redact: bool = True,
+    span_dedup_min_docs: int | None = None,
+    span_window: int = 8,
+    lm: DataFrame | None = None,
+    lm_oov_logp: float | None = None,
+    max_bits_per_token: float | None = None,
 ) -> DataFrame:
     """The full pre-training scrub+clean pass, stages in the order a
     production pipeline wants them (round 8, composing F37 → F36 →
@@ -50,19 +55,42 @@ def prepare_training_corpus(
     2. **PII redaction** (canonical-order typed placeholders) —
        before dedup, so two pages differing only in the PII they leak
        fold together;
-    3. **language / quality / fingerprint-dedup filter**
-       (:func:`corpus_clean`) on the scrubbed text.
+    3. **span-level exact-substring dedup** (F41; opt-in via
+       ``span_dedup_min_docs``) — after the scrub (so redaction
+       placeholders, not raw PII, participate in the fingerprints)
+       and before the document-level filters (a cut span changes the
+       quality score and the dedup fingerprint of what remains);
+    4. **language / quality / fingerprint-dedup filter**
+       (:func:`corpus_clean`) on the scrubbed text;
+    5. **LM perplexity filter** (F46; opt-in by passing a trained
+       ``lm`` + ``lm_oov_logp`` + ``max_bits_per_token``) — LAST,
+       cheapest-last ordering does not apply (it is row-local either
+       way) but filtering after dedup means the model scores each
+       surviving distinct document once.
+
+    Round 9 adds stages 3 and 5 as OPT-IN composition points
+    (defaults keep the round-8 three-stage contract byte-identical —
+    the hashed ``prep`` twin family runs with them off).
 
     Returns the kept rows as ``(id, text, lang_pred, quality,
     fingerprint)`` — ``text`` is the scrubbed form the filters were
-    computed on, ready for tokenization. Scale: stage 1 is two scans +
-    one doc-id shuffle (or one scan with a precomputed hot set —
-    see :func:`petk_spark.operators.paragraphs.remove_boilerplate`),
-    stages 2–3 fuse into row-local projections + the fingerprint
-    window's single shuffle."""
+    computed on, ready for tokenization (plus ``bits_per_token`` when
+    the LM stage is on). Scale: stage 1 is two scans + one doc-id
+    shuffle (or one scan with a precomputed hot set — see
+    :func:`petk_spark.operators.paragraphs.remove_boilerplate`),
+    stage 3 adds the F41 fingerprint shuffles, stages 2/4 fuse into
+    row-local projections + the fingerprint window's single shuffle,
+    stage 5 is a row-local Arrow kernel."""
     from petk_spark.operators.paragraphs import remove_boilerplate
     from petk_spark.operators.pii import redact_pii
 
+    if (lm is None) != (lm_oov_logp is None) or (
+        (lm is None) != (max_bits_per_token is None)
+    ):
+        raise ValueError(
+            "the LM stage needs all of lm, lm_oov_logp and "
+            "max_bits_per_token (or none of them)"
+        )
     if boilerplate_min_docs is not None:
         scrubbed = remove_boilerplate(
             df, id_col, text_col, min_docs=boilerplate_min_docs
@@ -73,6 +101,13 @@ def prepare_training_corpus(
         )
     if redact:
         scrubbed = redact_pii(scrubbed, "text")
+    if span_dedup_min_docs is not None:
+        from petk_spark.operators.spans import remove_repeated_spans
+
+        scrubbed = remove_repeated_spans(
+            scrubbed, "id", "text",
+            window=span_window, min_docs=span_dedup_min_docs,
+        ).select("id", "text")
     # corpus_clean's stages inlined WITH the text column retained — a
     # join-back against `scrubbed` would re-execute the whole scrub
     # chain a second time (lineage, not a materialized table).
@@ -87,11 +122,22 @@ def prepare_training_corpus(
         (F.col("lang_pred") == lang) & (F.col("quality") >= min_quality)
     )
     w = Window.partitionBy("fingerprint").orderBy("id")
-    return (
+    out = (
         kept.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    if lm is not None:
+        from petk_spark.operators.lm import lm_bits_per_token
+
+        # in-band Arrow scoring (keep_columns): NO join-back — a join
+        # against scores-of-out would re-execute the whole scrub+clean
+        # lineage a second time, the same trap the clean stage avoids
+        out = lm_bits_per_token(
+            out, "id", "text", lm, lm_oov_logp, keep_columns=True
+        ).filter(F.col("bits_per_token") <= F.lit(max_bits_per_token))
+        out = out.drop("n_tokens")
+    return out
 
 
 def corpus_clean(

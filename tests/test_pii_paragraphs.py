@@ -700,3 +700,79 @@ def test_corpus_clean_twin_round9_families_nonempty(spark):
     pii_docs = [k for k in prep if int(k) % 4 == 0]
     assert pii_docs, "no PII-carrying doc survived the filters"
     assert any(prep[k] != boiler[k] for k in pii_docs)
+
+
+def test_prepare_training_corpus_optional_stages(spark):
+    """Round 9: the opt-in span-dedup (F41) and LM-filter (F46) stages
+    compose into prepare_training_corpus without changing the default
+    three-stage contract; composed ≡ hand-staged for the five-stage
+    form; the LM stage scores in-band (no join-back node)."""
+    from petk_spark.operators import lm as lm_mod
+    from petk_spark.operators.pipeline import prepare_training_corpus
+    from petk_spark.operators.spans import remove_repeated_spans
+
+    span = "the quick brown fox jumps over the lazy dog again and again"
+    # doc-unique tokens every few words so the ONLY 8-token windows
+    # shared across documents are the ones inside the spliced span
+    rows = [
+        (
+            i,
+            f"the doc{i} is here and the part{i} has text "
+            f"{span} so the tail{i} goes with more and the "
+            f"story{i} ends here with the words{i} for quality",
+        )
+        for i in range(1, 9)
+    ] + [(9, None), (10, "zz qq xx " * 10)]
+    df = spark.createDataFrame(rows, "id long, text string")
+
+    # defaults byte-identical to the round-8 contract
+    base = prepare_training_corpus(df, "id", "text", min_quality=0.0,
+                                   boilerplate_min_docs=100)
+    base5 = prepare_training_corpus(
+        df, "id", "text", min_quality=0.0, boilerplate_min_docs=100,
+        span_dedup_min_docs=None, lm=None,
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, base5.collect())
+    )
+
+    vocab, stats = lm_mod.train_unigram_lm(df, "text", vocab_size=40)
+    composed = prepare_training_corpus(
+        df, "id", "text", min_quality=0.0, boilerplate_min_docs=100,
+        span_dedup_min_docs=2,
+        lm=vocab, lm_oov_logp=stats["oov_logp"], max_bits_per_token=9.0,
+    )
+    got = {r["id"]: r for r in composed.collect()}
+    # the shared span is cut from every surviving text
+    assert got, "composition must keep something"
+    assert all("quick brown fox" not in r["text"] for r in got.values())
+    assert all(r["bits_per_token"] <= 9.0 for r in got.values())
+    # hand-staged equivalence: boiler(off) -> redact -> span -> clean -> lm
+    from petk_spark.operators.pii import redact_pii
+
+    staged = redact_pii(
+        df.select(F.col("id"), F.col("text")), "text"
+    )
+    staged = remove_repeated_spans(
+        staged, "id", "text", window=8, min_docs=2
+    ).select("id", "text")
+    from petk_spark.operators.pipeline import corpus_clean
+
+    cc = corpus_clean(staged, "id", "text", min_quality=0.0)
+    want_ids = {r["id"] for r in cc.collect()}
+    lm_scores = {
+        r["id"]: r["bits_per_token"]
+        for r in lm_mod.lm_bits_per_token(
+            staged, "id", "text", vocab, stats["oov_logp"]
+        ).collect()
+    }
+    want = {
+        i for i in want_ids
+        if lm_scores[i] is not None and lm_scores[i] <= 9.0
+    }
+    assert set(got) == want
+    # LM gate rejects a partially-specified stage
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        prepare_training_corpus(df, "id", "text", lm=vocab)
