@@ -48,6 +48,11 @@ QUERIES = [
     # whitespace-only lines) and the split-label 52-bit arithmetic
     "text_quality_lang",
     "stratified_sample",
+    # round-9 consolidations: span removal / decon families (unicode,
+    # NULL, empty, whitespace-only, 5000-token and duplicate docs) and
+    # the seen_filter anti-join's NULL-text keep contract
+    "fingerprint_overlap",
+    "dedup_exact_report",
 ]
 
 EXTRA_DOCS = [
