@@ -455,18 +455,36 @@ def simhash_near_dup(
     text_col: str,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Pairs with SimHash Hamming distance ≤ ``max_hamming``.
+    """Pairs with SimHash Hamming distance ≤ ``max_hamming`` — the
+    text instantiation of :func:`hamming_near_dup` (which also serves
+    image perceptual hashes, F47)."""
+    fp = df.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sim")
+    )
+    return hamming_near_dup(fp, "id", "sim", max_hamming)
 
-    Pigeonhole blocking: the 64-bit fingerprint is split into
+
+def hamming_near_dup(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs of 64-bit signatures within Hamming
+    distance ``max_hamming`` — the shared engine under SimHash text
+    near-dup (F2c) and perceptual image-hash near-dup (F47).
+
+    Pigeonhole blocking: the 64-bit signature is split into
     ``max_hamming + 1`` blocks; any pair within distance d must agree on
     at least one block, so candidates = equi-join per block — no
-    quadratic cross join."""
+    quadratic cross join. NULL signatures (undecodable images) produce
+    no pairs."""
     nblocks = max_hamming + 1
     width = 64 // nblocks
 
     fp = df.select(
-        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sim")
-    )
+        F.col(id_col).alias("id"), F.col(sig_col).cast("long").alias("sim")
+    ).filter(F.col(sig_col).isNotNull())
 
     def block(c: Column, i: int) -> Column:
         # Unsigned slice of bits [i*width, (i+1)*width) — last block takes

@@ -2859,13 +2859,63 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         snull.alias("mean_luma"),
         s("frame_index"), "frame_digest",
     )
+    # round-9 widening: F47 perceptual average-hash of the SAME PNG
+    # payloads — the hex hash rides the frame_digest string slot. The
+    # oracle replays the hash CLOSED-FORM from the synth arithmetic
+    # (constant rows base+r ⇒ cell means depend only on the row-class
+    # integer sums; the kernel's exact-integer-sums + one-division +
+    # ordered-fold contract makes the bit pattern engine-identical).
+    from petk_spark.operators.multimodal import png_ahash_frame
+
+    ahash = png_ahash_frame(
+        docs.select("doc_id", make_png(F.col("doc_id")).alias("payload")),
+        "doc_id", "payload",
+    ).select(
+        F.col("id").alias("doc_id"), F.lit("ahash").alias("kind"),
+        F.col("ahash").isNotNull().alias("valid"),
+        snull.alias("sample_rate"), snull.alias("n_channels"),
+        snull.alias("bits_per_sample"),
+        snull.alias("n_frames"), snull.alias("duration_ms"),
+        snull.alias("width"), snull.alias("height"), snull.alias("bit_depth"),
+        snull.alias("mean_luma"),
+        snull.alias("frame_index"),
+        F.col("ahash").alias("frame_digest"),
+    )
     return (
         wav.unionByName(png).unionByName(avi)
-        .unionByName(png_bad).unionByName(avi3)
+        .unionByName(png_bad).unionByName(avi3).unionByName(ahash)
     )
 
 
 _SQL_MEDIA_METADATA = f"""
+SELECT doc_id,
+       'ahash' AS kind,
+       true AS valid,
+       NULL::VARCHAR AS sample_rate, NULL::VARCHAR AS n_channels,
+       NULL::VARCHAR AS bits_per_sample, NULL::VARCHAR AS n_frames,
+       NULL::VARCHAR AS duration_ms, NULL::VARCHAR AS width,
+       NULL::VARCHAR AS height, NULL::VARCHAR AS bit_depth,
+       NULL::VARCHAR AS mean_luma, NULL::VARCHAR AS frame_index,
+       lower(lpad(to_hex(list_reduce(
+         list_prepend(0::HUGEINT,
+           list_transform(means, m ->
+             (CASE WHEN m > gmean THEN 1 ELSE 0 END)::HUGEINT)),
+         (x, y) -> x * 2 + y)::UBIGINT), 16, '0')) AS frame_digest
+FROM (
+  SELECT doc_id, means,
+    list_reduce(list_prepend(0.0, means), (x, y) -> x + y) / 64.0 AS gmean
+  FROM (
+    SELECT doc_id, flatten(list_transform(
+      list_transform(range(0, 8), a ->
+        (base * len(list_filter(range(0, h), r -> (r * 8) // h = a))
+         + list_sum(list_filter(range(0, h), r -> (r * 8) // h = a)))::DOUBLE
+        / len(list_filter(range(0, h), r -> (r * 8) // h = a))::DOUBLE),
+      m -> [m, m, m, m, m, m, m, m])) AS means
+    FROM (SELECT doc_id, 16 + doc_id % 24 AS h, doc_id % 200 AS base
+          FROM documents)
+  )
+)
+UNION ALL
 SELECT doc_id,
        'wav' AS kind,
        true AS valid,

@@ -253,30 +253,28 @@ def synth_png(width: int, height: int, base: int, color_type: int) -> bytes:
     )
 
 
-def parse_png(payload: bytes | None):
-    """(valid, width, height, n_channels, bit_depth, mean_luma) decoded
-    from real PNG bytes: chunk walk with CRC verification, zlib inflate
-    of the concatenated IDAT stream, and full scanline unfiltering
-    (all 5 filter types). Supports the non-palette 8-bit color types
-    (gray=0, RGB=2, gray+alpha=4, RGBA=6); anything else — or any
-    corruption — yields (False, None, ...) instead of an exception."""
+def _png_decode_rows(payload: bytes | None):
+    """(width, height, n_channels, rows) with ``rows`` the fully
+    unfiltered scanlines (list of bytearrays, ``width × n_channels``
+    bytes each), or None for anything invalid/corrupt — the shared
+    decode core of :func:`parse_png` (metadata + mean) and
+    :func:`png_average_hash` (perceptual hash)."""
     import struct
     import zlib
 
-    bad = (False, None, None, None, None, None)
     try:
         if payload is None or len(payload) < 8 or payload[:8] != PNG_SIGNATURE:
-            return bad
+            return None
         pos, ihdr, idat = 8, None, bytearray()
         while pos + 12 <= len(payload):
             (clen,) = struct.unpack_from(">I", payload, pos)
             ctype = payload[pos + 4 : pos + 8]
             data = payload[pos + 8 : pos + 8 + clen]
             if len(data) != clen:
-                return bad
+                return None
             (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
             if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
-                return bad
+                return None
             if ctype == b"IHDR":
                 ihdr = struct.unpack(">IIBBBBB", data)
             elif ctype == b"IDAT":
@@ -285,17 +283,17 @@ def parse_png(payload: bytes | None):
                 break
             pos += 12 + clen
         if ihdr is None or not idat:
-            return bad
+            return None
         width, height, depth, color_type, _comp, _filt, interlace = ihdr
         channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
         if channels is None or depth != 8 or interlace != 0 or width == 0:
-            return bad
+            return None
         raw = zlib.decompress(bytes(idat))
         bpp = channels
         stride = width * bpp
         if len(raw) != height * (stride + 1):
-            return bad
-        total = 0
+            return None
+        rows = []
         prev = bytes(stride)
         for r in range(height):
             off = r * (stride + 1)
@@ -323,13 +321,127 @@ def parse_png(payload: bytes | None):
                         + (a if (pa <= pb and pa <= pc) else (b if pb <= pc else c))
                     ) & 0xFF
             elif ftype != 0:
-                return bad
-            total += sum(line)
+                return None
+            rows.append(line)
             prev = bytes(line)
-        mean = float(total) / (height * stride)
-        return (True, width, height, channels, depth, mean)
+        return (width, height, channels, rows)
     except Exception:
-        return bad
+        return None
+
+
+def parse_png(payload: bytes | None):
+    """(valid, width, height, n_channels, bit_depth, mean_luma) decoded
+    from real PNG bytes: chunk walk with CRC verification, zlib inflate
+    of the concatenated IDAT stream, and full scanline unfiltering
+    (all 5 filter types — :func:`_png_decode_rows`). Supports the
+    non-palette 8-bit color types (gray=0, RGB=2, gray+alpha=4,
+    RGBA=6); anything else — or any corruption — yields
+    (False, None, ...) instead of an exception."""
+    dec = _png_decode_rows(payload)
+    if dec is None:
+        return (False, None, None, None, None, None)
+    width, height, channels, rows = dec
+    total = 0
+    for line in rows:
+        total += sum(line)
+    mean = float(total) / (height * width * channels)
+    return (True, width, height, channels, 8, mean)
+
+
+def png_average_hash(payload: bytes | None, hash_size: int = 8):
+    """Perceptual average-hash of a PNG (aHash): decode via
+    :func:`_png_decode_rows`, block-mean downsample the ALPHA-FREE
+    luma plane to ``hash_size²`` cells (row/col cell of pixel (r,c) is
+    ``r·hs // h`` / ``c·hs // w`` — the exact integer partition, no
+    resampling filter, so the hash is a closed-form function of the
+    pixels and replayable by the oracle), threshold each cell against
+    the mean OF THE CELL MEANS (strict >), and pack row-major,
+    MSB-first. Returns the lowercase hex string (``hs²/4`` chars), or
+    None for corrupt/undecodable/too-small (< hs in either dimension)
+    images.
+
+    Determinism contract (what makes the driver hash possible): every
+    cell sum is integer-exact, each cell mean is ONE double division
+    of those integers, and the global mean is a left fold over the
+    cell means in row-major order — so any engine repeating this
+    exact arithmetic produces the identical bit pattern, ties
+    included. Luma = channel mean with alpha excluded (gray uses the
+    gray byte; RGB averages R,G,B)."""
+    dec = _png_decode_rows(payload)
+    if dec is None:
+        return None
+    w, h, nc, rows = dec
+    hs = hash_size
+    if w < hs or h < hs:
+        return None
+    gray_nc = 1 if nc in (1, 2) else 3
+    sums = [[0] * hs for _ in range(hs)]
+    counts = [[0] * hs for _ in range(hs)]
+    for r in range(h):
+        a = r * hs // h
+        line = rows[r]
+        srow = sums[a]
+        crow = counts[a]
+        for c in range(w):
+            b = c * hs // w
+            off = c * nc
+            px = 0
+            for ch in range(gray_nc):
+                px += line[off + ch]
+            srow[b] += px
+            crow[b] += gray_nc
+    means = []
+    total = 0.0
+    for a in range(hs):
+        for b in range(hs):
+            m = sums[a][b] / counts[a][b]
+            means.append(m)
+            total += m
+    gmean = total / (hs * hs)
+    v = 0
+    for m in means:
+        v = (v << 1) | (1 if m > gmean else 0)
+    return format(v, f"0{hs * hs // 4}x")
+
+
+def png_ahash_frame(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Arrow-batched perceptual-hash frame over a binary PNG column:
+    ``(id, ahash, ahash64)`` — the hex hash plus (for ``hash_size=8``)
+    the same bits as a SIGNED 64-bit value ready for
+    :func:`~petk_spark.operators.dedup.hamming_near_dup`'s XOR/popcount
+    blocking. Corrupt or undecodable payloads yield NULLs, never task
+    failures. Row-local (mapInPandas), zero shuffles — pure scan work
+    at 100 TB, the same shape as every decode kernel here."""
+    id_name, payload_name = id_col, payload_col
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for rid, payload in zip(pdf[id_name], pdf[payload_name]):
+                hx = png_average_hash(payload, hash_size)
+                v = None
+                if hx is not None and hash_size == 8:
+                    u = int(hx, 16)
+                    v = u - (1 << 64) if u >= (1 << 63) else u
+                out_rows.append((rid, hx, v))
+            yield pd.DataFrame(
+                out_rows, columns=["id", "ahash", "ahash64"]
+            ).astype({"ahash64": "Int64"})
+
+    id_field = df.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField("id", id_field.dataType),
+            T.StructField("ahash", T.StringType()),
+            T.StructField("ahash64", T.LongType()),
+        ]
+    )
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 
 def png_features_frame(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:

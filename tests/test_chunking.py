@@ -203,3 +203,149 @@ def test_end_to_end_training_data_pipeline(spark):
     sig = document_signals_frame(docs, "doc_id", "text")
     joined = split.join(sig, "id")
     assert joined.count() == n_kept
+
+
+# ---------------------------------------------------------------------------
+# F47 — perceptual image average-hash + generic Hamming near-dup
+# ---------------------------------------------------------------------------
+
+
+def _gradient_png(w, h, fn):
+    """Independent PNG encoder for the test: grayscale, filter-0 rows,
+    pixel (r,c) = fn(r,c) — no shared code with the module's synth."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    for r in range(h):
+        raw.append(0)
+        raw += bytes(fn(r, c) & 0xFF for c in range(w))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_average_hash_against_bruteforce():
+    """Kernel vs an independent brute-force (this test's own block-mean
+    arithmetic) on a non-trivial gradient image — pins the integer
+    partition (r*8//h), alpha-free luma, mean-of-cell-means threshold
+    and MSB-first packing."""
+    from petk_spark.operators.multimodal import png_average_hash
+
+    w, h = 37, 23
+    fn = lambda r, c: (r * 7 + c * 13) % 256  # noqa: E731
+    got = png_average_hash(_gradient_png(w, h, fn))
+
+    sums = [[0] * 8 for _ in range(8)]
+    cnts = [[0] * 8 for _ in range(8)]
+    for r in range(h):
+        for c in range(w):
+            sums[r * 8 // h][c * 8 // w] += fn(r, c) % 256
+            cnts[r * 8 // h][c * 8 // w] += 1
+    means = [sums[a][b] / cnts[a][b] for a in range(8) for b in range(8)]
+    t = 0.0
+    for m in means:
+        t += m
+    gm = t / 64
+    v = 0
+    for m in means:
+        v = (v << 1) | (1 if m > gm else 0)
+    assert got == format(v, "016x")
+
+
+def test_png_average_hash_contracts():
+    """Brightness invariance (a +k shift moves every cell mean AND the
+    threshold equally), near-dup locality (one corrupted corner block
+    flips few bits), and the None contracts (corrupt / too small /
+    NULL)."""
+    from petk_spark.operators.multimodal import png_average_hash, synth_png
+
+    base_img = _gradient_png(32, 32, lambda r, c: (r * 5 + c * 3) % 200)
+    brighter = _gradient_png(32, 32, lambda r, c: (r * 5 + c * 3) % 200 + 40)
+    assert png_average_hash(base_img) == png_average_hash(brighter)
+
+    corner = _gradient_png(
+        32, 32,
+        lambda r, c: 255 if (r < 4 and c < 4) else (r * 5 + c * 3) % 200,
+    )
+    a = int(png_average_hash(base_img), 16)
+    b = int(png_average_hash(corner), 16)
+    assert 0 < bin(a ^ b).count("1") <= 8
+    # color PNG and gray PNG of the same constant-row ramp agree
+    assert png_average_hash(synth_png(20, 20, 30, 0)) == png_average_hash(
+        synth_png(20, 20, 30, 2)
+    )
+    assert png_average_hash(b"\x89PNG\r\n\x1a\ngarbage") is None
+    assert png_average_hash(_gradient_png(6, 20, lambda r, c: r)) is None
+    assert png_average_hash(None) is None
+
+
+def test_png_ahash_frame_and_hamming_near_dup(spark):
+    """The distributed frame + the generic pigeonhole pair engine: the
+    signed ahash64 carries the same bits as the hex, NULL payloads make
+    no pairs, and hamming_near_dup finds exactly the near pairs."""
+    from pyspark.sql.types import BinaryType
+
+    from petk_spark.operators.dedup import hamming_near_dup
+    from petk_spark.operators.multimodal import png_ahash_frame
+
+    imgs = [
+        (1, _gradient_png(32, 32, lambda r, c: (r * 5 + c * 3) % 200)),
+        (2, _gradient_png(32, 32, lambda r, c: (r * 5 + c * 3) % 200 + 40)),
+        (3, _gradient_png(
+            32, 32,
+            lambda r, c: 255 if (r < 4 and c < 4) else (r * 5 + c * 3) % 200,
+        )),
+        (4, _gradient_png(32, 32, lambda r, c: 255 - ((r * 11 + c) % 256))),
+        (5, None),
+        (6, b"not a png"),
+    ]
+    df = spark.createDataFrame(imgs, "id long, payload binary")
+    fr = png_ahash_frame(df, "id", "payload")
+    rows = {r["id"]: r for r in fr.collect()}
+    assert rows[5]["ahash"] is None and rows[6]["ahash64"] is None
+    for i in (1, 2, 3, 4):
+        u = int(rows[i]["ahash"], 16)
+        v = rows[i]["ahash64"]
+        assert (v if v >= 0 else v + (1 << 64)) == u
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_near_dup(fr, "id", "ahash64", max_hamming=8).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert 0 < pairs[(1, 3)] <= 8
+    assert not any(5 in p or 6 in p for p in pairs)
+
+
+def test_simhash_delegates_to_hamming_engine(spark):
+    """The refactor is behavior-preserving: simhash_near_dup ==
+    hamming_near_dup over the simhash column."""
+    from petk_spark.operators.dedup import (
+        hamming_near_dup,
+        simhash,
+        simhash_near_dup,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    direct = sorted(
+        map(tuple, simhash_near_dup(df, "doc_id", "text", 3).collect())
+    )
+    fp = df.select(
+        F.col("doc_id").alias("id"), simhash(F.col("text")).alias("s")
+    )
+    via = sorted(
+        map(tuple, hamming_near_dup(fp, "id", "s", 3).collect())
+    )
+    assert direct == via and len(direct) > 0
