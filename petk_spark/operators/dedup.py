@@ -478,7 +478,13 @@ def hamming_near_dup(
     ``max_hamming + 1`` blocks; any pair within distance d must agree on
     at least one block, so candidates = equi-join per block — no
     quadratic cross join. NULL signatures (undecodable images) produce
-    no pairs."""
+    no pairs. ``max_hamming`` must be in [0, 63] — 64 would mean "all
+    pairs", which is a cross join by definition, not a blocking
+    problem."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(
+            f"max_hamming must be in [0, 63], got {max_hamming}"
+        )
     nblocks = max_hamming + 1
     width = 64 // nblocks
 
@@ -491,7 +497,9 @@ def hamming_near_dup(
         # the remainder bits too.
         lo = i * width
         size = 64 - lo if i == nblocks - 1 else width
-        mask = (1 << size) - 1
+        # a 64-bit slice (nblocks=1, max_hamming=0) needs the all-ones
+        # mask, which only fits a signed long as -1
+        mask = -1 if size >= 64 else (1 << size) - 1
         return F.shiftrightunsigned(c, lo).bitwiseAND(F.lit(mask))
 
     entries = F.array(

@@ -2865,7 +2865,11 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (constant rows base+r ⇒ cell means depend only on the row-class
     # integer sums; the kernel's exact-integer-sums + one-division +
     # ordered-fold contract makes the bit pattern engine-identical).
-    from petk_spark.operators.multimodal import png_ahash_frame
+    from petk_spark.operators.multimodal import (
+        png_ahash_frame,
+        synth_wav_tone,
+        wav_ahash_frame,
+    )
 
     ahash = png_ahash_frame(
         docs.select("doc_id", make_png(F.col("doc_id")).alias("payload")),
@@ -2881,9 +2885,39 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         snull.alias("frame_index"),
         F.col("ahash").alias("frame_digest"),
     )
+    # F48: the audio analog — energy-envelope hash over NON-SILENT
+    # tone WAVs (synth_wav's payloads are all-zero samples, a
+    # degenerate envelope); same closed-form-replay contract.
+    @F.pandas_udf(BinaryType())
+    def make_tone(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda i: synth_wav_tone(
+                sample_rate=8000 * (1 + int(i) % 3),
+                n_channels=1 + int(i) % 2,
+                bits_per_sample=16 if int(i) % 4 < 2 else 8,
+                n_frames=400 + int(i) % 97,
+                k=1 + int(i) % 13,
+            )
+        )
+
+    whash = wav_ahash_frame(
+        docs.select("doc_id", make_tone(F.col("doc_id")).alias("payload")),
+        "doc_id", "payload",
+    ).select(
+        F.col("id").alias("doc_id"), F.lit("whash").alias("kind"),
+        F.col("whash").isNotNull().alias("valid"),
+        snull.alias("sample_rate"), snull.alias("n_channels"),
+        snull.alias("bits_per_sample"),
+        snull.alias("n_frames"), snull.alias("duration_ms"),
+        snull.alias("width"), snull.alias("height"), snull.alias("bit_depth"),
+        snull.alias("mean_luma"),
+        snull.alias("frame_index"),
+        F.col("whash").alias("frame_digest"),
+    )
     return (
         wav.unionByName(png).unionByName(avi)
         .unionByName(png_bad).unionByName(avi3).unionByName(ahash)
+        .unionByName(whash)
     )
 
 
@@ -2913,6 +2947,39 @@ FROM (
       m -> [m, m, m, m, m, m, m, m])) AS means
     FROM (SELECT doc_id, 16 + doc_id % 24 AS h, doc_id % 200 AS base
           FROM documents)
+  )
+)
+UNION ALL
+SELECT doc_id,
+       'whash' AS kind,
+       true AS valid,
+       NULL::VARCHAR AS sample_rate, NULL::VARCHAR AS n_channels,
+       NULL::VARCHAR AS bits_per_sample, NULL::VARCHAR AS n_frames,
+       NULL::VARCHAR AS duration_ms, NULL::VARCHAR AS width,
+       NULL::VARCHAR AS height, NULL::VARCHAR AS bit_depth,
+       NULL::VARCHAR AS mean_luma, NULL::VARCHAR AS frame_index,
+       lower(lpad(to_hex(list_reduce(
+         list_prepend(0::HUGEINT,
+           list_transform(means, m ->
+             (CASE WHEN m > gmean THEN 1 ELSE 0 END)::HUGEINT)),
+         (x, y) -> x * 2 + y)::UBIGINT), 16, '0')) AS frame_digest
+FROM (
+  SELECT doc_id, means,
+    list_reduce(list_prepend(0.0, means), (x, y) -> x + y) / 64.0 AS gmean
+  FROM (
+    SELECT doc_id, list_transform(range(0, 64), w ->
+        list_sum(amps[((w * n + 63) // 64) + 1 : (((w + 1) * n + 63) // 64)])::DOUBLE
+        / ((((w + 1) * n + 63) // 64) - ((w * n + 63) // 64))::DOUBLE
+      ) AS means
+    FROM (
+      SELECT doc_id, n,
+        CASE WHEN doc_id % 4 < 2
+          THEN list_transform(range(0, n), j -> abs(((j * k) % 65536) - 32768))
+          ELSE list_transform(range(0, n), j -> abs(((j * k) % 256) - 128))
+        END AS amps
+      FROM (SELECT doc_id, 400 + doc_id % 97 AS n, 1 + doc_id % 13 AS k
+            FROM documents)
+    )
   )
 )
 UNION ALL

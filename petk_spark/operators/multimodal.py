@@ -145,6 +145,157 @@ def parse_wav_header(payload: bytes | None):
         return (False, None, None, None, None, None)
 
 
+def synth_wav_tone(
+    sample_rate: int,
+    n_channels: int,
+    bits_per_sample: int,
+    n_frames: int,
+    k: int,
+) -> bytes:
+    """Valid PCM WAV whose frame ``i`` carries the deterministic
+    sample ``(i·k) mod 2^bits`` (every channel alike): the non-silent
+    fixture :func:`wav_energy_hash` needs (the plain :func:`synth_wav`
+    is all-zero samples — a degenerate envelope). 8-bit PCM is
+    unsigned, 16-bit signed little-endian, per the WAV spec."""
+    import struct
+
+    block_align = n_channels * bits_per_sample // 8
+    byte_rate = sample_rate * block_align
+    body = bytearray()
+    for i in range(n_frames):
+        if bits_per_sample == 8:
+            b = bytes([(i * k) % 256]) * n_channels
+        else:
+            v = ((i * k) % 65536) - 32768
+            b = struct.pack("<h", v) * n_channels
+        body += b
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, n_channels, sample_rate, byte_rate,
+        block_align, bits_per_sample,
+    )
+    data = struct.pack("<4sI", b"data", len(body)) + bytes(body)
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+    return riff + fmt + data
+
+
+def _wav_pcm_view(payload: bytes | None):
+    """(rate, channels, bits, n_frames, data_bytes) — the PCM payload
+    located by the same RIFF chunk walk as :func:`parse_wav_header`,
+    or None for anything invalid. Only 8/16-bit integer PCM."""
+    import struct
+
+    try:
+        if payload is None or len(payload) < 12:
+            return None
+        if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return None
+        pos, fmt_info, data_span = 12, None, None
+        while pos + 8 <= len(payload):
+            cid, csize = struct.unpack_from("<4sI", payload, pos)
+            if cid == b"fmt " and csize >= 16:
+                fmt_info = struct.unpack_from("<HHIIHH", payload, pos + 8)
+            elif cid == b"data":
+                data_span = (pos + 8, csize)
+            pos += 8 + csize + (csize % 2)
+        if fmt_info is None or data_span is None:
+            return None
+        _fmt, channels, rate, _brate, block_align, bits = fmt_info
+        if block_align == 0 or rate == 0 or bits not in (8, 16):
+            return None
+        off, size = data_span
+        data = payload[off : off + size]
+        if len(data) != size:
+            return None
+        return (rate, channels, bits, size // block_align, data)
+    except Exception:
+        return None
+
+
+def wav_energy_hash(payload: bytes | None, n_windows: int = 64):
+    """Perceptual audio fingerprint (energy-envelope hash, the audio
+    analog of :func:`png_average_hash`, F48): partition the FIRST
+    channel's samples into ``n_windows`` windows by the exact integer
+    partition ``i·n // frames``, take each window's mean absolute
+    amplitude (8-bit PCM re-biased by 128; 16-bit signed as-is),
+    threshold against the mean OF THE WINDOW MEANS (strict >), pack
+    MSB-first → lowercase hex (``n_windows/4`` chars). None for
+    invalid/non-PCM/shorter-than-``n_windows`` audio.
+
+    Same determinism contract as the image hash: integer-exact window
+    sums, one double division per window, ordered left fold for the
+    global mean — any engine repeating the arithmetic reproduces the
+    bit pattern exactly, which is what lets the oracle replay it in
+    closed form for the synthetic tones."""
+    import struct
+
+    dec = _wav_pcm_view(payload)
+    if dec is None:
+        return None
+    rate, channels, bits, frames, data = dec
+    if frames < n_windows:
+        return None
+    step = channels * (bits // 8)
+    sums = [0] * n_windows
+    counts = [0] * n_windows
+    for i in range(frames):
+        w = i * n_windows // frames
+        off = i * step
+        if bits == 8:
+            amp = abs(data[off] - 128)
+        else:
+            amp = abs(struct.unpack_from("<h", data, off)[0])
+        sums[w] += amp
+        counts[w] += 1
+    means = []
+    total = 0.0
+    for w in range(n_windows):
+        m = sums[w] / counts[w]
+        means.append(m)
+        total += m
+    gmean = total / n_windows
+    v = 0
+    for m in means:
+        v = (v << 1) | (1 if m > gmean else 0)
+    return format(v, f"0{n_windows // 4}x")
+
+
+def wav_ahash_frame(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    n_windows: int = 64,
+) -> DataFrame:
+    """Arrow-batched audio-fingerprint frame: ``(id, whash, whash64)``
+    — hex energy hash plus (for ``n_windows=64``) the signed 64-bit
+    form for :func:`~petk_spark.operators.dedup.hamming_near_dup`.
+    Corrupt/non-PCM payloads yield NULLs. Row-local, zero shuffles."""
+    id_name, payload_name = id_col, payload_col
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for rid, payload in zip(pdf[id_name], pdf[payload_name]):
+                hx = wav_energy_hash(payload, n_windows)
+                v = None
+                if hx is not None and n_windows == 64:
+                    u = int(hx, 16)
+                    v = u - (1 << 64) if u >= (1 << 63) else u
+                out_rows.append((rid, hx, v))
+            yield pd.DataFrame(
+                out_rows, columns=["id", "whash", "whash64"]
+            ).astype({"whash64": "Int64"})
+
+    id_field = df.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField("id", id_field.dataType),
+            T.StructField("whash", T.StringType()),
+            T.StructField("whash64", T.LongType()),
+        ]
+    )
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
 def wav_metadata_frame(
     df: DataFrame, id_col: str, payload_col: str
 ) -> DataFrame:

@@ -349,3 +349,77 @@ def test_simhash_delegates_to_hamming_engine(spark):
         map(tuple, hamming_near_dup(fp, "id", "s", 3).collect())
     )
     assert direct == via and len(direct) > 0
+
+
+def test_wav_energy_hash_contracts(spark):
+    """F48 audio fingerprint: brute-force parity on a tone, amplitude
+    invariance under constant re-bias is NOT claimed (energy hash is
+    envelope-shaped), corrupt/short/NULL → None, and the frame +
+    Hamming engine find the near pair."""
+    import struct
+
+    from petk_spark.operators.dedup import hamming_near_dup
+    from petk_spark.operators.multimodal import (
+        synth_wav,
+        synth_wav_tone,
+        wav_ahash_frame,
+        wav_energy_hash,
+    )
+
+    n, k = 453, 5
+    got = wav_energy_hash(synth_wav_tone(8000, 2, 16, n, k))
+    sums = [0] * 64
+    cnts = [0] * 64
+    for i in range(n):
+        w = i * 64 // n
+        sums[w] += abs(((i * k) % 65536) - 32768)
+        cnts[w] += 1
+    means = [sums[w] / cnts[w] for w in range(64)]
+    t = 0.0
+    for m in means:
+        t += m
+    gm = t / 64
+    v = 0
+    for m in means:
+        v = (v << 1) | (1 if m > gm else 0)
+    assert got == format(v, "016x")
+
+    # silent audio: every window ties the mean -> strict > gives zeros
+    assert wav_energy_hash(synth_wav(8000, 1, 16, 400)) == "0" * 16
+    assert wav_energy_hash(b"RIFFjunk") is None
+    assert wav_energy_hash(None) is None
+    assert wav_energy_hash(synth_wav_tone(8000, 1, 8, 32, 3)) is None  # <64
+
+    # near-dup through the shared engine: same tone in 8- vs 16-bit
+    # scales amplitudes but keeps the envelope SHAPE similar
+    df = spark.createDataFrame(
+        [
+            (1, synth_wav_tone(8000, 1, 16, 480, 3)),
+            (2, synth_wav_tone(16000, 2, 16, 480, 3)),  # same envelope
+            (3, synth_wav_tone(8000, 1, 16, 480, 1000)),  # wrapping tone
+            (4, None),
+        ],
+        "id long, payload binary",
+    )
+    fr = wav_ahash_frame(df, "id", "payload")
+    rows = {r["id"]: r for r in fr.collect()}
+    assert rows[1]["whash"] == rows[2]["whash"]  # rate/channels invariant
+    assert rows[4]["whash"] is None
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_near_dup(fr, "id", "whash64", 10).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    # degenerate thresholds: 0 = exact-dup blocking (one 64-bit block,
+    # the all-ones-mask edge); >63 rejected loudly
+    from petk_spark.operators.dedup import hamming_near_dup as hnd
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in hnd(fr, "id", "whash64", 0).collect()
+    }
+    assert exact == {(1, 2)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hnd(fr, "id", "whash64", 64)
