@@ -38,7 +38,14 @@ from pyspark.sql import functions as F
 
 from petk_spark.functions.oracle_fmt import duckdb_fmt_sci as dfmt
 from petk_spark.functions.oracle_fmt import fmt_sci
-from petk_spark.operators import dedup, grouped, multimodal, similarity, text
+from petk_spark.operators import (
+    clustering,
+    dedup,
+    grouped,
+    multimodal,
+    similarity,
+    text,
+)
 from petk_spark.sources.tables import EVENTS_TS_SQL, read_table
 
 # ---------------------------------------------------------------------------
@@ -2179,13 +2186,19 @@ def _sem_centroids() -> list[list[float]]:
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3-adjacent exact near-dup pairs + F39 SemDeDup chain on one
-    ``(family, k1..k4)`` spine (round-8 consolidation #3 — window
-    stays at 50): ``neardup`` is the unchanged all-pairs contract;
-    ``sem_pair`` pins cell assignment (literal centroids, tie-low,
-    malformed → NULL cell) and the within-cell pair set; ``sem_kept``
-    pins the keep rule (drop iff a lower-id same-cell row is within
-    threshold; unassignable rows kept)."""
+    """F3-adjacent exact near-dup pairs + F39 SemDeDup chain + F49
+    full-corpus k-means on one ``(family, k1..k4)`` spine (round-8
+    consolidation #3 / round-10 km legitimization — window stays at
+    50): ``neardup`` is the unchanged all-pairs contract; ``sem_pair``
+    pins cell assignment (literal centroids, tie-low, malformed → NULL
+    cell) and the within-cell pair set; ``sem_kept`` pins the keep
+    rule (drop iff a lower-id same-cell row is within threshold;
+    unassignable rows kept); the ``km_*`` families pin two full Lloyd
+    iterations of :func:`petk_spark.operators.clustering.kmeans_fit`
+    from the SAME literal centroids — ``km_cent`` the final rounded
+    centroid grid, ``km_asg`` the final assignment (malformed → NULL),
+    ``km_size`` the last-update cluster populations — replayed in
+    DuckDB CTEs by :func:`_km_families_sql`."""
     emb = read_table(spark, sf_dir, "embeddings")
     null_s = F.lit(None).cast("string")
     nd = dedup.embedding_near_dup(
@@ -2223,7 +2236,44 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("string").alias("k1"),
         null_s.alias("k2"), null_s.alias("k3"), null_s.alias("k4"),
     )
-    return nd.unionAll(sp).unionAll(sk)
+    # km_* (F49): two Lloyd iterations from the same literal centroids
+    # on the same subset — init == _sem_centroids() makes iteration-1
+    # assignment identical to the sem families' `sasg` cell column, so
+    # the DuckDB replay (_km_families_sql) builds on that CTE.
+    cents_fit, info = clustering.kmeans_fit(
+        sub, k=4, id_col="vec_id", vec_col="embedding",
+        iterations=2, init=cen, round_decimals=6,
+    )
+    km_cent = spark.createDataFrame(
+        [(j, i, v) for j, c in enumerate(cents_fit) for i, v in enumerate(c)],
+        "cell int, pos int, val double",
+    ).select(
+        F.lit("km_cent").alias("family"),
+        F.col("cell").cast("string").alias("k1"),
+        F.col("pos").cast("string").alias("k2"),
+        fmt_sci(F.col("val")).alias("k3"),
+        null_s.alias("k4"),
+    )
+    km_asg = clustering.kmeans_assign(
+        sub, cents_fit, id_col="vec_id", vec_col="embedding"
+    ).select(
+        F.lit("km_asg").alias("family"),
+        F.col("id").cast("string").alias("k1"),
+        F.col("centroid_id").cast("string").alias("k2"),
+        null_s.alias("k3"), null_s.alias("k4"),
+    )
+    km_size = spark.createDataFrame(
+        [(j, int(n)) for j, n in enumerate(info["sizes"])], "cell int, n long"
+    ).select(
+        F.lit("km_size").alias("family"),
+        F.col("cell").cast("string").alias("k1"),
+        F.col("n").cast("string").alias("k2"),
+        null_s.alias("k3"), null_s.alias("k4"),
+    )
+    return (
+        nd.unionAll(sp).unionAll(sk)
+        .unionAll(km_cent).unionAll(km_asg).unionAll(km_size)
+    )
 
 
 def _sem_families_sql() -> str:
@@ -2270,6 +2320,94 @@ spairs AS MATERIALIZED (
 )"""
 
 
+def _km_families_sql() -> str:
+    """F49 km_* twin fragments: two full Lloyd iterations replayed in
+    CTEs on top of ``sasg`` (whose cell column IS iteration-1
+    assignment, since kmeans_fit is seeded with the same literal
+    centroids). Each update is the per-(cell, dimension) mean over
+    assigned rows with ``round_even(·, 6)`` — DuckDB's banker's
+    rounding, pinned bit-identical to Python ``round(x, 6)`` by
+    ``test_clustering.test_round_parity`` (plain ROUND is
+    half-away-from-zero and would diverge on dyadic ties like
+    0.0078125). Empty cells COALESCE to their PREVIOUS centroid
+    (iteration order: init → kc1 → kc2), and re-assignment rebuilds
+    each centroid into a list so the cosine is the same left-fold
+    ``_cosine_sql`` the Spark literal path mirrors, argmax tie → lower
+    cell."""
+    cen = _sem_centroids()
+    vals = ",\n    ".join(
+        f"({j}, [" + ", ".join(f"{x:.1f}" for x in c) + "])"
+        for j, c in enumerate(cen)
+    )
+    def argmax4() -> str:
+        return (
+            "CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0 "
+            "WHEN s1 >= s2 AND s1 >= s3 THEN 1 "
+            "WHEN s2 >= s3 THEN 2 ELSE 3 END"
+        )
+    def pivot4(src: str, keep_v: bool) -> str:
+        v = "any_value(v) AS v,\n         " if keep_v else ""
+        return (
+            f"SELECT id, {v}"
+            "MAX(CASE WHEN cell = 0 THEN sc END) AS s0, "
+            "MAX(CASE WHEN cell = 1 THEN sc END) AS s1, "
+            "MAX(CASE WHEN cell = 2 THEN sc END) AS s2, "
+            "MAX(CASE WHEN cell = 3 THEN sc END) AS s3 "
+            f"FROM {src} GROUP BY id"
+        )
+    return f"""
+kinit AS (
+  SELECT j AS cell, r.i AS pos, CAST(l[r.i + 1] AS DOUBLE) AS val
+  FROM (VALUES
+    {vals}) t(j, l) CROSS JOIN range(64) r(i)
+),
+kup1 AS (
+  SELECT s.cell, r.i AS pos,
+         round_even(SUM(CAST(s.v[r.i + 1] AS DOUBLE)) / COUNT(*), 6) AS val
+  FROM sasg s CROSS JOIN range(64) r(i)
+  WHERE s.cell IS NOT NULL
+  GROUP BY s.cell, r.i
+),
+kc1 AS (
+  SELECT k0.cell, k0.pos, COALESCE(u.val, k0.val) AS val
+  FROM kinit k0 LEFT JOIN kup1 u ON k0.cell = u.cell AND k0.pos = u.pos
+),
+kc1l AS (SELECT cell, list(val ORDER BY pos) AS cl FROM kc1 GROUP BY cell),
+ksc2 AS (
+  SELECT s.id, s.v, c.cell, {_cosine_sql('s.v', 'c.cl')} AS sc
+  FROM sasg s CROSS JOIN kc1l c WHERE s.cell IS NOT NULL
+),
+kasg2 AS (
+  SELECT id, v, {argmax4()} AS cell
+  FROM ({pivot4('ksc2', True)})
+),
+kup2 AS (
+  SELECT a.cell, r.i AS pos,
+         round_even(SUM(CAST(a.v[r.i + 1] AS DOUBLE)) / COUNT(*), 6) AS val
+  FROM kasg2 a CROSS JOIN range(64) r(i)
+  GROUP BY a.cell, r.i
+),
+kc2 AS MATERIALIZED (
+  SELECT c1.cell, c1.pos, COALESCE(u.val, c1.val) AS val
+  FROM kc1 c1 LEFT JOIN kup2 u ON c1.cell = u.cell AND c1.pos = u.pos
+),
+kc2l AS (SELECT cell, list(val ORDER BY pos) AS cl FROM kc2 GROUP BY cell),
+ksc3 AS (
+  SELECT s.id, c.cell, {_cosine_sql('s.v', 'c.cl')} AS sc
+  FROM sasg s CROSS JOIN kc2l c WHERE s.cell IS NOT NULL
+),
+kasg3 AS (
+  SELECT id, {argmax4()} AS cell
+  FROM ({pivot4('ksc3', False)})
+),
+ksize AS (
+  SELECT k.cell, COALESCE(c.n, 0) AS n
+  FROM (SELECT DISTINCT cell FROM kinit) k
+  LEFT JOIN (SELECT cell, COUNT(*) AS n FROM kasg2 GROUP BY cell) c
+    ON k.cell = c.cell
+)"""
+
+
 _SQL_EMBEDDING_NEAR_DUP = f"""
 WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
 b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings),
@@ -2277,7 +2415,8 @@ scored AS (
   SELECT id_a, id_b, {_cosine_sql('va', 'vb')} AS cosine
   FROM a JOIN b ON id_a < id_b
 ),
-{_sem_families_sql()}
+{_sem_families_sql()},
+{_km_families_sql()}
 SELECT 'neardup' AS family, id_a::VARCHAR AS k1, id_b::VARCHAR AS k2,
        {dfmt('cosine')} AS k3, NULL::VARCHAR AS k4
 FROM scored WHERE cosine >= 0.4
@@ -2290,6 +2429,15 @@ SELECT 'sem_kept', vec_id::VARCHAR, NULL::VARCHAR, NULL::VARCHAR,
        NULL::VARCHAR
 FROM embeddings
 WHERE vec_id % 5 = 0 AND vec_id NOT IN (SELECT id_b FROM spairs)
+UNION ALL
+SELECT 'km_cent', cell::VARCHAR, pos::VARCHAR, {dfmt('val')}, NULL::VARCHAR
+FROM kc2
+UNION ALL
+SELECT 'km_asg', s.id::VARCHAR, a.cell::VARCHAR, NULL::VARCHAR, NULL::VARCHAR
+FROM sasg s LEFT JOIN kasg3 a ON s.id = a.id
+UNION ALL
+SELECT 'km_size', cell::VARCHAR, n::VARCHAR, NULL::VARCHAR, NULL::VARCHAR
+FROM ksize
 """
 
 
