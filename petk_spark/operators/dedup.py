@@ -480,7 +480,20 @@ def hamming_near_dup(
     quadratic cross join. NULL signatures (undecodable images) produce
     no pairs. ``max_hamming`` must be in [0, 63] — 64 would mean "all
     pairs", which is a cross join by definition, not a blocking
-    problem."""
+    problem.
+
+    Exact-signature collapse (round-9 verdict #3): the blocked join runs
+    on DISTINCT signatures only, then the surviving signature pairs are
+    re-expanded to member id pairs, and same-signature groups emit their
+    within-group pairs directly at distance 0. With ``max_hamming = 3``
+    each block is 16 bits (~65k bucket values), so at 10⁹+ rows bucket
+    occupancy — and the join's candidate count, Σ n_v² — grows
+    quadratically in ROWS; after the collapse it grows in DISTINCT
+    signatures, which heavy duplication (the common-crawl case this
+    operator exists for) keeps far smaller. The member re-expansion is
+    two hash joins on the signature, output-proportional by definition
+    (the pairs ARE the answer). See SCALE.md for the distinct-signature
+    regime where 64-bit blocking itself stops being enough."""
     if not 0 <= max_hamming <= 63:
         raise ValueError(
             f"max_hamming must be in [0, 63], got {max_hamming}"
@@ -508,25 +521,50 @@ def hamming_near_dup(
             for i in range(nblocks)
         ]
     )
-    blocked = fp.select("id", "sim", F.explode(entries).alias("e")).select(
-        "id", "sim", "e.blk", "e.val"
+    dsig = fp.select("sim").distinct()
+    blocked = dsig.select("sim", F.explode(entries).alias("e")).select(
+        "sim", "e.blk", "e.val"
     )
     a = blocked.alias("a")
     b = blocked.alias("b")
 
     # Hamming distance = popcount(xor) via bit_count (Spark 3.3+).
     ham = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
-    return (
+    sig_pairs = (
         a.join(b, ["blk", "val"])
-        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(F.col("a.sim") < F.col("b.sim"))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+        .distinct()  # a pair may agree on several blocks
     )
+    cross = (
+        sig_pairs.join(fp.alias("ma"), F.col("sim_a") == F.col("ma.sim"))
+        .join(fp.alias("mb"), F.col("sim_b") == F.col("mb.sim"))
+        # a duplicated input id carrying both signatures must not pair
+        # with itself (the pre-collapse id_a < id_b filter's behavior)
+        .filter(F.col("ma.id") != F.col("mb.id"))
+        .select(
+            F.least(F.col("ma.id"), F.col("mb.id")).alias("id_a"),
+            F.greatest(F.col("ma.id"), F.col("mb.id")).alias("id_b"),
+            F.col("hamming"),
+        )
+    )
+    x = fp.alias("x")
+    y = fp.alias("y")
+    same = (
+        x.join(y, "sim")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    return cross.unionAll(same).distinct()
 
 
 # ---------------------------------------------------------------------------
