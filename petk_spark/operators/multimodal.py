@@ -181,7 +181,14 @@ def synth_wav_tone(
 def _wav_pcm_view(payload: bytes | None):
     """(rate, channels, bits, n_frames, data_bytes) — the PCM payload
     located by the same RIFF chunk walk as :func:`parse_wav_header`,
-    or None for anything invalid. Only 8/16-bit integer PCM."""
+    or None for anything invalid. Only format-1 (integer PCM) 8/16-bit
+    data: IEEE-float PCM (format 3) and WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE) are rejected HERE, in the hash path — their sample bytes
+    are not ``<h``-interpretable, and hashing them as if they were
+    would produce garbage fingerprints that silently pair wrong files
+    (round-9 verdict ask #6). :func:`parse_wav_header` still REPORTS
+    metadata for those files — reporting and fingerprinting have
+    different validity bars."""
     import struct
 
     try:
@@ -199,8 +206,8 @@ def _wav_pcm_view(payload: bytes | None):
             pos += 8 + csize + (csize % 2)
         if fmt_info is None or data_span is None:
             return None
-        _fmt, channels, rate, _brate, block_align, bits = fmt_info
-        if block_align == 0 or rate == 0 or bits not in (8, 16):
+        fmt, channels, rate, _brate, block_align, bits = fmt_info
+        if fmt != 1 or block_align == 0 or rate == 0 or bits not in (8, 16):
             return None
         off, size = data_span
         data = payload[off : off + size]
@@ -211,15 +218,27 @@ def _wav_pcm_view(payload: bytes | None):
         return None
 
 
-def wav_energy_hash(payload: bytes | None, n_windows: int = 64):
+def wav_energy_hash(
+    payload: bytes | None, n_windows: int = 64, mixdown: bool = False
+):
     """Perceptual audio fingerprint (energy-envelope hash, the audio
-    analog of :func:`png_average_hash`, F48): partition the FIRST
-    channel's samples into ``n_windows`` windows by the exact integer
-    partition ``i·n // frames``, take each window's mean absolute
-    amplitude (8-bit PCM re-biased by 128; 16-bit signed as-is),
-    threshold against the mean OF THE WINDOW MEANS (strict >), pack
-    MSB-first → lowercase hex (``n_windows/4`` chars). None for
-    invalid/non-PCM/shorter-than-``n_windows`` audio.
+    analog of :func:`png_average_hash`, F48): partition the samples
+    into ``n_windows`` windows by the exact integer partition
+    ``i·n // frames``, take each window's mean absolute amplitude
+    (8-bit PCM re-biased by 128; 16-bit signed as-is), threshold
+    against the mean OF THE WINDOW MEANS (strict >), pack MSB-first →
+    lowercase hex (``n_windows/4`` chars). None for invalid /
+    non-integer-PCM (float/extensible/24-bit) / shorter-than-
+    ``n_windows`` audio.
+
+    ``mixdown=False`` (default, the hash-covered oracle contract)
+    reads the FIRST channel only; ``mixdown=True`` sums |amplitude|
+    across ALL channels per frame — still integer-exact, the window
+    mean just divides by ``count × channels``. Mixdown is invariant to
+    adding silent channels (every window mean scales by the same
+    positive factor, so the strict-> comparisons are unchanged) and,
+    unlike first-channel, hears content panned away from channel 1 —
+    the round-9 verdict's robustness ask #6.
 
     Same determinism contract as the image hash: integer-exact window
     sums, one double division per window, ordered left fold for the
@@ -234,22 +253,27 @@ def wav_energy_hash(payload: bytes | None, n_windows: int = 64):
     rate, channels, bits, frames, data = dec
     if frames < n_windows:
         return None
-    step = channels * (bits // 8)
+    width = bits // 8
+    step = channels * width
+    read_channels = channels if mixdown else 1
     sums = [0] * n_windows
     counts = [0] * n_windows
     for i in range(frames):
         w = i * n_windows // frames
         off = i * step
-        if bits == 8:
-            amp = abs(data[off] - 128)
-        else:
-            amp = abs(struct.unpack_from("<h", data, off)[0])
+        amp = 0
+        for c in range(read_channels):
+            coff = off + c * width
+            if bits == 8:
+                amp += abs(data[coff] - 128)
+            else:
+                amp += abs(struct.unpack_from("<h", data, coff)[0])
         sums[w] += amp
         counts[w] += 1
     means = []
     total = 0.0
     for w in range(n_windows):
-        m = sums[w] / counts[w]
+        m = sums[w] / (counts[w] * read_channels)
         means.append(m)
         total += m
     gmean = total / n_windows
@@ -264,18 +288,21 @@ def wav_ahash_frame(
     id_col: str,
     payload_col: str,
     n_windows: int = 64,
+    mixdown: bool = False,
 ) -> DataFrame:
     """Arrow-batched audio-fingerprint frame: ``(id, whash, whash64)``
     — hex energy hash plus (for ``n_windows=64``) the signed 64-bit
     form for :func:`~petk_spark.operators.dedup.hamming_near_dup`.
-    Corrupt/non-PCM payloads yield NULLs. Row-local, zero shuffles."""
+    Corrupt/non-PCM payloads yield NULLs. Row-local, zero shuffles.
+    ``mixdown`` selects the all-channel energy variant (see
+    :func:`wav_energy_hash`)."""
     id_name, payload_name = id_col, payload_col
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_rows = []
             for rid, payload in zip(pdf[id_name], pdf[payload_name]):
-                hx = wav_energy_hash(payload, n_windows)
+                hx = wav_energy_hash(payload, n_windows, mixdown=mixdown)
                 v = None
                 if hx is not None and n_windows == 64:
                     u = int(hx, 16)

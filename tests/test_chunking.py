@@ -481,3 +481,94 @@ def test_hamming_collapse_matches_bruteforce(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _wav_bytes(fmt_code, channels, bits, n_frames, frame_bytes_fn, rate=8000):
+    """Test-local WAV writer with full control over the format code and
+    PER-CHANNEL sample bytes (synth_wav_tone writes every channel
+    identical, which can't exercise mixdown)."""
+    import struct
+
+    block_align = channels * bits // 8
+    data = b"".join(frame_bytes_fn(i) for i in range(n_frames))
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, fmt_code, channels, rate,
+        rate * block_align, block_align, bits,
+    )
+    body = b"WAVE" + fmt + struct.pack("<4sI", b"data", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_hash_rejects_non_integer_pcm():
+    """Round-10 robustness (r9 verdict #6): the HASH path only accepts
+    format-1 integer 8/16-bit PCM — 24-bit, IEEE-float (format 3) and
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE) payloads hash to None instead of
+    garbage fingerprints, while parse_wav_header still reports their
+    metadata (different validity bars)."""
+    import struct
+
+    from petk_spark.operators.multimodal import (
+        parse_wav_header,
+        wav_energy_hash,
+    )
+
+    pcm24 = _wav_bytes(1, 1, 24, 200, lambda i: struct.pack("<i", i * 999)[:3])
+    fl32 = _wav_bytes(3, 1, 32, 200, lambda i: struct.pack("<f", i / 200.0))
+    ext16 = _wav_bytes(0xFFFE, 1, 16, 200, lambda i: struct.pack("<h", i * 7))
+    for payload in (pcm24, fl32, ext16):
+        assert wav_energy_hash(payload) is None
+        valid, rate, ch, bits, frames, _ = parse_wav_header(payload)
+        assert valid and frames == 200  # metadata still reported
+    # and plain integer PCM still hashes
+    ok16 = _wav_bytes(1, 1, 16, 200, lambda i: struct.pack("<h", (i * 37) % 4096))
+    assert wav_energy_hash(ok16) is not None
+
+
+def test_wav_hash_stereo_mixdown():
+    """mixdown=True hears all channels; mixdown=False stays the
+    first-channel oracle contract. Invariance: adding a silent channel
+    never changes the mixdown hash (uniform positive scaling of every
+    window mean)."""
+    import struct
+
+    from petk_spark.operators.multimodal import wav_energy_hash
+
+    def tone(i):
+        return struct.pack("<h", ((i * 91) % 2048) - 1024)
+
+    mono = _wav_bytes(1, 1, 16, 300, tone)
+    tone_plus_silence = _wav_bytes(1, 2, 16, 300, lambda i: tone(i) + b"\x00\x00")
+    silence_plus_tone = _wav_bytes(1, 2, 16, 300, lambda i: b"\x00\x00" + tone(i))
+
+    h_mono = wav_energy_hash(mono)
+    assert h_mono is not None and h_mono != "0" * 16
+    # first-channel contract: only channel 1 is heard
+    assert wav_energy_hash(tone_plus_silence) == h_mono
+    assert wav_energy_hash(silence_plus_tone) == "0" * 16
+    # mixdown: silent-channel invariance + panned content heard
+    assert wav_energy_hash(tone_plus_silence, mixdown=True) == h_mono
+    assert wav_energy_hash(silence_plus_tone, mixdown=True) == h_mono
+    # frame variant threads the flag through
+    from petk_spark.operators.multimodal import wav_ahash_frame  # noqa: F401
+
+
+def test_wav_mixdown_frame(spark):
+    from petk_spark.operators.multimodal import wav_ahash_frame
+    import struct
+
+    def tone(i):
+        return struct.pack("<h", ((i * 91) % 2048) - 1024)
+
+    df = spark.createDataFrame(
+        [
+            (1, _wav_bytes(1, 2, 16, 300, lambda i: b"\x00\x00" + tone(i))),
+            (2, _wav_bytes(1, 1, 24, 200, lambda i: b"\x00\x01\x02")),
+        ],
+        "id long, payload binary",
+    )
+    first = {r["id"]: r["whash"] for r in
+             wav_ahash_frame(df, "id", "payload").collect()}
+    mixed = {r["id"]: r["whash"] for r in
+             wav_ahash_frame(df, "id", "payload", mixdown=True).collect()}
+    assert first[1] == "0" * 16 and mixed[1] != "0" * 16
+    assert first[2] is None and mixed[2] is None  # 24-bit rejected both ways
