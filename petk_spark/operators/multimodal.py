@@ -649,7 +649,7 @@ def png_features_frame(df: DataFrame, id_col: str, payload_col: str) -> DataFram
 
 
 # ---------------------------------------------------------------------------
-# Decode plumbing (Arrow-batched; decode stubbed)
+# Format-generic image decode plumbing (Arrow-batched; REAL since r10)
 # ---------------------------------------------------------------------------
 
 IMAGE_FEATURES_SCHEMA = T.StructType(
@@ -662,43 +662,56 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
     ]
 )
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
 
 def _decode_image(payload: bytes) -> tuple[int, int, int, float]:
-    """STUB — media libraries are unavailable in this environment.
-
-    Deterministic fake keyed on payload bytes so the distributed
-    plumbing (batching, schema, partitioning) is testable; a real
-    deployment replaces this one function with PIL/opencv decode.
-    """
+    """REAL format-dispatched decode: PNG via the in-repo
+    inflate+unfilter decoder, baseline JPEG via the in-repo T.81
+    decoder (``operators/jpeg.py`` — the round-10 close of what used
+    to be a deterministic-fake seam here). Returns
+    ``(width, height, n_channels, mean_luma)``; anything that is
+    neither format, or fails to decode, raises ``NotImplementedError``
+    (callers map that to a NULL row, never a task failure)."""
     if payload is None:
-        raise NotImplementedError("media decode requires an image library")
-    # Deterministic fake: derive pseudo-dimensions from payload content.
-    h = 0
-    for b in payload[:64]:
-        h = (h * 131 + b) % (1 << 31)
-    width = 64 + h % 512
-    height = 64 + (h // 512) % 512
-    return width, height, 3, float(h % 256)
+        raise NotImplementedError("NULL payload")
+    if payload[:8] == _PNG_MAGIC:
+        dec = _png_decode_rows(payload)
+        if dec is None:
+            raise NotImplementedError("corrupt PNG")
+        w, h, nc, rows = dec
+        total = 0
+        for line in rows:
+            total += sum(line)
+        return (w, h, nc, float(total) / (h * w * nc))
+    if payload[:2] == b"\xff\xd8":
+        from petk_spark.operators.jpeg import decode_jpeg
+
+        dec = decode_jpeg(payload)
+        if dec is None:
+            raise NotImplementedError("corrupt/unsupported JPEG")
+        w, h, nc, px = dec
+        return (w, h, nc, float(px.mean()))
+    raise NotImplementedError(
+        "unsupported image format (PNG and baseline JPEG implemented)"
+    )
 
 
 def decode_image_features(
-    df: DataFrame, id_col: str, payload_col: str, use_stub: bool = True
+    df: DataFrame, id_col: str, payload_col: str
 ) -> DataFrame:
-    """Arrow-batched per-item image feature extraction via mapInPandas.
+    """Arrow-batched per-item image feature extraction via mapInPandas
+    — REAL decode (PNG + baseline JPEG), undecodable rows → all-NULL
+    features, never task failures.
 
     The iterator-of-batches shape keeps memory bounded regardless of
     partition size; partitioning is inherited from the source (no
-    shuffle). ``use_stub=False`` raises until a decoder is installed.
-    """
+    shuffle)."""
 
     id_name, payload_name = id_col, payload_col
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not use_stub:
-                raise NotImplementedError(
-                    "real image decode unavailable in this environment"
-                )
             # Column-wise zip, not iterrows: the per-row cost is the
             # decode itself, not pandas Series construction per row.
             rows = []
@@ -716,6 +729,83 @@ def decode_image_features(
     return df.select(id_col, payload_col).mapInPandas(
         run, schema=IMAGE_FEATURES_SCHEMA
     )
+
+
+def jpeg_features_frame(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Arrow-batched REAL baseline-JPEG feature decode — the JPEG twin
+    of :func:`png_features_frame` (same output schema), backed by the
+    in-repo T.81 decoder (``operators/jpeg.py``). Corrupt / truncated /
+    progressive payloads yield valid=false rows instead of failing the
+    scan. Row-local, zero shuffles."""
+    from petk_spark.operators.jpeg import parse_jpeg
+
+    id_name, payload_name = id_col, payload_col
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (rid, *parse_jpeg(payload))
+                for rid, payload in zip(pdf[id_name], pdf[payload_name])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "valid", "width", "height",
+                    "n_channels", "bit_depth", "mean_luma",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=PNG_FEATURES_SCHEMA
+    )
+
+
+def image_average_hash(payload: bytes | None, hash_size: int = 8):
+    """Format-generic perceptual average-hash: PNG payloads go through
+    :func:`png_average_hash` unchanged; baseline-JPEG payloads decode
+    via ``operators/jpeg.py`` and then run the IDENTICAL cell
+    arithmetic (exact integer cell sums over the alpha-free luma — for
+    JPEG that is gray or R+G+B — one double division per cell, ordered
+    left fold for the global mean, strict >, MSB-first pack), so the
+    hash of pixel-identical content is format-invariant whenever both
+    codecs are lossless for it. None for anything else/corrupt/too
+    small."""
+    if payload is None:
+        return None
+    if payload[:8] == _PNG_MAGIC:
+        return png_average_hash(payload, hash_size)
+    if payload[:2] != b"\xff\xd8":
+        return None
+    import numpy as np
+
+    from petk_spark.operators.jpeg import decode_jpeg
+
+    dec = decode_jpeg(payload)
+    if dec is None:
+        return None
+    w, h, nc, px = dec
+    hs = hash_size
+    if w < hs or h < hs:
+        return None
+    lum = px.astype(np.int64).sum(axis=2)  # nc ∈ {1,3}: all channels
+    rstarts = [(a * h + hs - 1) // hs for a in range(hs)]
+    cstarts = [(b * w + hs - 1) // hs for b in range(hs)]
+    cells = np.add.reduceat(np.add.reduceat(lum, rstarts, axis=0), cstarts, axis=1)
+    rcounts = np.diff(rstarts + [h])
+    ccounts = np.diff(cstarts + [w])
+    counts = np.outer(rcounts, ccounts) * nc
+    means = []
+    total = 0.0
+    for a in range(hs):
+        for b in range(hs):
+            m = int(cells[a, b]) / int(counts[a, b])
+            means.append(m)
+            total += m
+    gmean = total / (hs * hs)
+    v = 0
+    for m in means:
+        v = (v << 1) | (1 if m > gmean else 0)
+    return format(v, f"0{hs * hs // 4}x")
 
 
 FRAME_SAMPLE_SCHEMA = T.StructType(

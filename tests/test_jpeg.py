@@ -1,0 +1,214 @@
+"""Baseline JPEG codec (operators/jpeg.py) + its multimodal plumbing —
+the round-10 close of the last declared codec seam (r9 verdict #5):
+round-trip exactness classes, marker/corruption handling, restart
+markers, subsampling, and the Arrow-batched frames."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd  # noqa: F401 — pandas_udf hint resolution needs module-level pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from petk_spark.operators.jpeg import (
+    decode_jpeg,
+    encode_baseline_jpeg,
+    parse_jpeg,
+    synth_jpeg,
+    synth_jpeg_blocks,
+)
+from petk_spark.operators.multimodal import (
+    decode_image_features,
+    image_average_hash,
+    jpeg_features_frame,
+    png_average_hash,
+    synth_png,
+)
+
+
+def test_flat_gray_bit_exact():
+    b = synth_jpeg(20, 12, 77, gray=True, flat=True)
+    w, h, nc, px = decode_jpeg(b)
+    assert (w, h, nc) == (20, 12, 1)
+    assert px.min() == px.max() == 77
+
+
+@pytest.mark.parametrize("w,h,base", [(20, 12, 5), (47, 39, 96), (16, 16, 0), (9, 25, 150)])
+def test_block_constant_bit_exact_and_closed_form_mean(w, h, base):
+    """Per-8×8-block-constant images round-trip bit-exactly (AC ≡ 0,
+    DC integer) even with partial edge blocks, and the decoded mean is
+    the closed form the media_metadata jpeg oracle kind replays."""
+    bts = synth_jpeg_blocks(w, h, base)
+    ww, hh, nc, px = decode_jpeg(bts)
+    yy, xx = np.mgrid[0:h, 0:w]
+    want = 20 + (base + 17 * (xx // 8) + 29 * (yy // 8)) % 200
+    assert (ww, hh, nc) == (w, h, 1)
+    assert (px[:, :, 0].astype(int) == want).all()
+    valid, W, H, NC, BD, mean = parse_jpeg(bts)
+    assert (valid, W, H, NC, BD) == (True, w, h, 1, 8)
+    num = den = 0
+    for bx in range((w + 7) // 8):
+        for by in range((h + 7) // 8):
+            npx = min(8, w - 8 * bx) * min(8, h - 8 * by)
+            num += (20 + (base + 17 * bx + 29 * by) % 200) * npx
+            den += npx
+    assert mean == num / den  # bit-equal double: int sums, one division
+
+
+def test_gradient_and_color_roundtrip_error_bounds():
+    b = synth_jpeg(33, 17, 10, gray=True)
+    w, h, nc, px = decode_jpeg(b)
+    yy, xx = np.mgrid[0:17, 0:33]
+    want = (10 + xx + yy) % 256
+    assert np.abs(px[:, :, 0].astype(int) - want).max() <= 1
+    # color 4:4:4 — error from YCbCr round trip only
+    b = synth_jpeg(24, 24, 60, gray=False)
+    w, h, nc, px = decode_jpeg(b)
+    assert nc == 3
+    base = (60 + np.mgrid[0:24, 0:24][1] + np.mgrid[0:24, 0:24][0]) % 256
+    want3 = np.stack([base, np.roll(base, 1, axis=1), 255 - base], axis=2)
+    assert np.abs(px.astype(int) - want3).max() <= 2
+    # color 4:2:0 flat — chroma subsampling of a constant is exact
+    b = synth_jpeg(20, 20, 90, gray=False, subsample=True, flat=True)
+    w, h, nc, px = decode_jpeg(b)
+    assert nc == 3 and np.abs(px.astype(int) - 90).max() == 0
+    # 4:2:0 smooth gradient decodes with bounded error
+    b = synth_jpeg(30, 22, 40, gray=False, subsample=True)
+    w, h, nc, px = decode_jpeg(b)
+    assert (w, h, nc) == (30, 22, 3)
+
+
+def test_restart_markers():
+    arr = ((np.mgrid[0:40, 0:56][0] * 3 + np.mgrid[0:40, 0:56][1] * 5) % 200).astype(np.uint8)
+    b = encode_baseline_jpeg(arr, restart_interval=3)
+    assert b"\xff\xdd" in b and b"\xff\xd0" in b  # DRI + RST0 present
+    w, h, nc, px = decode_jpeg(b)
+    assert (w, h) == (56, 40)
+    assert np.abs(px[:, :, 0].astype(int) - arr.astype(int)).max() <= 1
+
+
+def test_invalid_inputs_return_none():
+    good = synth_jpeg(16, 16, 10)
+    assert decode_jpeg(None) is None
+    assert decode_jpeg(b"") is None
+    assert decode_jpeg(b"\xff\xd8junkjunk") is None
+    assert decode_jpeg(good[: len(good) // 2]) is None  # truncated scan
+    assert decode_jpeg(good[:20]) is None               # truncated header
+    # progressive (SOF2) rejected
+    i = good.find(b"\xff\xc0")
+    assert decode_jpeg(good[: i + 1] + b"\xc2" + good[i + 2 :]) is None
+    # 12-bit precision rejected (precision byte is first of SOF body)
+    assert decode_jpeg(good[: i + 4] + b"\x0c" + good[i + 5 :]) is None
+    assert parse_jpeg(b"\x00" * 40) == (False, None, None, None, None, None)
+
+
+def test_image_average_hash_dispatch():
+    """Format-generic aHash: JPEG branch reproduces the PNG kernel's
+    exact arithmetic on the decoded pixels; PNG passthrough unchanged;
+    non-image → None."""
+    b = synth_jpeg_blocks(40, 28, 33)
+    _, _, _, px = decode_jpeg(b)
+    h, w = px.shape[:2]
+    hs = 8
+    sums = [[0] * hs for _ in range(hs)]
+    cnts = [[0] * hs for _ in range(hs)]
+    for r in range(h):
+        for c in range(w):
+            sums[r * hs // h][c * hs // w] += int(px[r, c, 0])
+            cnts[r * hs // h][c * hs // w] += 1
+    means, total = [], 0.0
+    for a in range(hs):
+        for bb in range(hs):
+            m = sums[a][bb] / cnts[a][bb]
+            means.append(m)
+            total += m
+    g = total / 64
+    v = 0
+    for m in means:
+        v = (v << 1) | (1 if m > g else 0)
+    assert image_average_hash(b) == format(v, "016x")
+    p = synth_png(24, 20, 100, 0)
+    assert image_average_hash(p) == png_average_hash(p)
+    assert image_average_hash(b"GIF89a" + b"\x00" * 20) is None
+    assert image_average_hash(None) is None
+    assert image_average_hash(b[:30]) is None
+
+
+def test_jpeg_features_frame(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def make(ids: pd.Series) -> pd.Series:
+        def one(i):
+            b = synth_jpeg_blocks(16 + i % 8, 16 + i % 8, i % 50)
+            return b[:25] if i % 3 == 0 else b  # every 3rd truncated
+        return ids.map(lambda i: one(int(i)))
+
+    df = spark.range(12).select(F.col("id").alias("doc_id"),
+                                make(F.col("id")).alias("payload"))
+    rows = {r["id"]: r for r in
+            jpeg_features_frame(df, "doc_id", "payload").collect()}
+    for i in range(12):
+        if i % 3 == 0:
+            assert rows[i]["valid"] is False and rows[i]["width"] is None
+        else:
+            assert rows[i]["valid"] is True
+            assert rows[i]["width"] == 16 + i % 8
+            assert rows[i]["bit_depth"] == 8 and rows[i]["n_channels"] == 1
+
+
+def test_decode_image_features_mixed_formats(spark):
+    """The old stub seam, now REAL: PNG and JPEG rows decode; unknown
+    formats and corrupt payloads produce NULL rows, never failures."""
+    data = [
+        (1, synth_png(20, 18, 40, 2)),
+        (2, synth_jpeg_blocks(24, 16, 9)),
+        (3, b"GIF89a" + b"\x00" * 30),
+        (4, None),
+        (5, synth_jpeg(16, 16, 10)[:30]),
+    ]
+    df = spark.createDataFrame(data, "id long, payload binary")
+    rows = {r["id"]: r for r in
+            decode_image_features(df, "id", "payload").collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["n_channels"]) == (20, 18, 3)
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["n_channels"]) == (24, 16, 1)
+    for bad in (3, 4, 5):
+        assert rows[bad]["width"] is None and rows[bad]["mean_luma"] is None
+
+
+def test_jpeg_hash_pairs_through_hamming_engine(spark):
+    """aHash over JPEGs feeds the shared Hamming engine exactly like
+    the PNG path (F47's format-generic promise)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from petk_spark.operators.dedup import hamming_near_dup
+
+    imgs = [
+        (1, synth_jpeg_blocks(32, 32, 7)),
+        (2, synth_jpeg_blocks(32, 32, 7)),      # exact dup
+        (3, synth_jpeg_blocks(32, 32, 101)),    # different content
+    ]
+    df = spark.createDataFrame(imgs, "id long, payload binary")
+
+    @F.pandas_udf(LongType())
+    def h64(p: pd.Series) -> pd.Series:
+        def one(b):
+            hx = image_average_hash(b)
+            if hx is None:
+                return None
+            u = int(hx, 16)
+            return u - (1 << 64) if u >= (1 << 63) else u
+        return p.map(one)
+
+    fr = df.select("id", h64(F.col("payload")).alias("sig"))
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in hamming_near_dup(fr, "id", "sig", 0).collect()}
+    assert pairs == {(1, 2): 0}
