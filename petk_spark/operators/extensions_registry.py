@@ -3062,14 +3062,102 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         snull.alias("frame_index"),
         F.col("whash").alias("frame_digest"),
     )
+    # round-10 widening: the baseline-JPEG decoder (operators/jpeg.py,
+    # r9 verdict #5) hash-covered END-TO-END: per-8×8-block-constant
+    # gray JPEGs round-trip bit-exactly through the real encoder +
+    # decoder (every AC coefficient identically 0, DC integer-exact),
+    # so width/height/channels/bit_depth/mean are closed-form in the
+    # doc_id arithmetic — the oracle replays the block-weighted mean
+    # with LEAST(8, ·) partial-edge-block pixel counts. jpeg_bad
+    # truncates to 4+doc_id%28 bytes (inside SOI/APP0/DQT): exactly
+    # one valid=false all-NULL row per doc, like png_bad.
+    from petk_spark.operators.jpeg import synth_jpeg_blocks
+    from petk_spark.operators.multimodal import jpeg_features_frame
+
+    @F.pandas_udf(BinaryType())
+    def make_jpeg(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda i: synth_jpeg_blocks(
+                width=16 + int(i) % 32,
+                height=16 + int(i) % 24,
+                base=int(i) % 97,
+            )
+        )
+
+    @F.pandas_udf(BinaryType())
+    def make_bad_jpeg(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda i: synth_jpeg_blocks(
+                width=16 + int(i) % 32,
+                height=16 + int(i) % 24,
+                base=int(i) % 97,
+            )[: 4 + int(i) % 28]
+        )
+
+    jpeg = jpeg_features_frame(
+        docs.select("doc_id", make_jpeg(F.col("doc_id")).alias("payload")),
+        "doc_id", "payload",
+    ).select(
+        F.col("id").alias("doc_id"), F.lit("jpeg").alias("kind"), "valid",
+        snull.alias("sample_rate"), s("n_channels"),
+        snull.alias("bits_per_sample"),
+        snull.alias("n_frames"), snull.alias("duration_ms"),
+        s("width"), s("height"), s("bit_depth"),
+        fmt_sci(F.col("mean_luma")).alias("mean_luma"),
+        snull.alias("frame_index"), snull.alias("frame_digest"),
+    )
+    jpeg_bad = jpeg_features_frame(
+        docs.select("doc_id", make_bad_jpeg(F.col("doc_id")).alias("payload")),
+        "doc_id", "payload",
+    ).select(
+        F.col("id").alias("doc_id"), F.lit("jpeg_bad").alias("kind"), "valid",
+        snull.alias("sample_rate"), s("n_channels"),
+        snull.alias("bits_per_sample"),
+        snull.alias("n_frames"), snull.alias("duration_ms"),
+        s("width"), s("height"), s("bit_depth"),
+        fmt_sci(F.col("mean_luma")).alias("mean_luma"),
+        snull.alias("frame_index"), snull.alias("frame_digest"),
+    )
     return (
         wav.unionByName(png).unionByName(avi)
         .unionByName(png_bad).unionByName(avi3).unionByName(ahash)
-        .unionByName(whash)
+        .unionByName(whash).unionByName(jpeg).unionByName(jpeg_bad)
     )
 
 
 _SQL_MEDIA_METADATA = f"""
+SELECT doc_id,
+       'jpeg' AS kind,
+       true AS valid,
+       NULL::VARCHAR AS sample_rate, '1' AS n_channels,
+       NULL::VARCHAR AS bits_per_sample, NULL::VARCHAR AS n_frames,
+       NULL::VARCHAR AS duration_ms,
+       w::VARCHAR AS width, h::VARCHAR AS height, '8' AS bit_depth,
+       {dfmt('msum / mcount')} AS mean_luma,
+       NULL::VARCHAR AS frame_index, NULL::VARCHAR AS frame_digest
+FROM (
+  SELECT doc_id, w, h,
+         SUM((20 + (b + 17 * bx.i + 29 * by.i) % 200)
+             * LEAST(8, w - 8 * bx.i) * LEAST(8, h - 8 * by.i))::DOUBLE
+           AS msum,
+         SUM(LEAST(8, w - 8 * bx.i) * LEAST(8, h - 8 * by.i))::DOUBLE
+           AS mcount
+  FROM (SELECT doc_id, 16 + doc_id % 32 AS w, 16 + doc_id % 24 AS h,
+               doc_id % 97 AS b
+        FROM documents)
+  CROSS JOIN range(6) bx(i) CROSS JOIN range(5) by(i)
+  WHERE 8 * bx.i < w AND 8 * by.i < h
+  GROUP BY doc_id, w, h
+)
+UNION ALL
+SELECT doc_id,
+       'jpeg_bad' AS kind,
+       false AS valid,
+       NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR,
+       NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR,
+       NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR
+FROM documents
+UNION ALL
 SELECT doc_id,
        'ahash' AS kind,
        true AS valid,
