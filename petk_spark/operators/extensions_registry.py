@@ -7,9 +7,10 @@ names. That includes the probabilistic ones: MinHash/SimHash/hyperplane
 LSH use engine-portable hash arithmetic (md5-derived base hashes +
 universal-hash permutations), so the oracle replays the identical
 candidate sets. Only operators whose result depends on a data-dependent
-driver sample (IVF k-means centroids) or stubbed media decode are
-declared WITHOUT oracle SQL — the driver records rows-only checks for
-them, which is the honest contract. The approx-sketch describe is
+driver sample (IVF k-means centroids) are declared WITHOUT oracle SQL —
+the driver records rows-only checks for them, which is the honest
+contract (the two media tail entries are API re-exercises whose decode
+surfaces are fully hash-covered inside media_metadata since r7/r10). The approx-sketch describe is
 oracle-checked through a BANDED contract: exactly-computable stats are
 hash-compared for real, sketch stats are self-checked Spark-side
 against exact values in the same plan and pinned as 'ok' verdicts
@@ -3375,11 +3376,13 @@ FROM area WHERE a < 1000.0
 
 
 def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL PNG decode over synthesized payloads (the decode_image_
-    features stub seam remains only for non-PNG formats). Since round
+    """REAL PNG decode over synthesized payloads (since round 10 the
+    decode_image_features path is real for baseline JPEG too —
+    operators/jpeg.py — leaving no image-codec stub). Since round
     7 the standalone surface is FULLY hash-covered inside
-    media_metadata — every output column (via the 'png' kind) and the
-    corrupt-blob valid=false path (via the 'png_bad' kind) — so this
+    media_metadata — every output column (via the 'png' kind, and
+    round 10's 'jpeg' kind for the JPEG decoder) and the
+    corrupt-blob valid=false path (via 'png_bad'/'jpeg_bad') — so this
     tail entry only re-exercises the API shape."""
     from petk_spark.operators.multimodal import png_features_frame, synth_png
     from pyspark.sql.types import BinaryType

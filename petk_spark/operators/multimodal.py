@@ -21,8 +21,9 @@ Operators:
     the 'movi' LIST and digests the actual frame chunk bytes; only the
     per-frame PIXEL decode (a codec) remains out of scope here.
   * ``decode_image_features`` — generic mapInPandas plumbing for
-    per-item decode → fixed-width feature rows; batch-shape and schema
-    are real, the non-PNG pixel decode is the remaining stub seam.
+    per-item decode → fixed-width feature rows; REAL decode for PNG
+    and baseline JPEG since round 10 (``operators/jpeg.py`` closed the
+    former non-PNG stub seam); other formats → NULL rows.
 """
 
 from __future__ import annotations

@@ -236,3 +236,30 @@ def test_round_parity_dyadic_ties():
     for x in (0.0078125, -0.0078125, 0.0234375, 2 ** -10, 3 + 2 ** -7):
         got = con.sql(f"SELECT round_even({x!r}::DOUBLE, 6)").fetchone()[0]
         assert got == round(x, 6), x
+
+
+def test_fit_arrow_path_beyond_literal_cap(spark):
+    """k > 64 routes assignment through the broadcast-numpy Arrow
+    kernel (plan O(1) in k); the posexplode update must compose with
+    that path identically. numpy cross-check on one iteration."""
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(120, 4))
+    df = _vecs(
+        spark,
+        [(i, [float(x) for x in X[i]]) for i in range(120)],
+    )
+    init = [[float(x) for x in X[i]] for i in range(70)]
+    cents, info = kmeans_fit(
+        df, 70, "vec_id", "embedding", iterations=1, init=init
+    )
+    C = np.array(init)
+    sim = (X @ C.T) / (
+        np.linalg.norm(X, axis=1, keepdims=True) * np.linalg.norm(C, axis=1)
+    )
+    asg = sim.argmax(axis=1)
+    want = np.array([
+        np.round(X[asg == j].mean(axis=0), 6) if (asg == j).any() else C[j]
+        for j in range(70)
+    ])
+    assert np.allclose(np.array(cents), want, atol=1e-9)
+    assert info["n_assigned"] == 120
