@@ -511,10 +511,13 @@ def encode_baseline_jpeg(
     ``quant``-valued quantization table (default 1 — near-lossless,
     and EXACTLY lossless for flat images: a constant block's AC
     coefficients are identically 0 and its DC is integer before
-    rounding). ``subsample=True`` (color only) writes 4:2:0 with
-    2×2-mean chroma. ``restart_interval > 0`` writes a DRI segment and
-    RSTn markers every that-many MCUs (exercises the decoder's restart
-    path; real-world camera JPEGs use it routinely)."""
+    rounding). ``subsample`` (color only): ``True``/``"420"`` writes
+    4:2:0 with 2×2-mean chroma; ``"422"`` writes 4:2:2 (horizontal
+    halving only — the asymmetric-sampling case the decoder's
+    per-axis upsample must handle). ``restart_interval > 0`` writes a
+    DRI segment and RSTn markers every that-many MCUs (exercises the
+    decoder's restart path; real-world camera JPEGs use it
+    routinely)."""
     import numpy as np
 
     arr = np.asarray(arr, dtype=np.float64)
@@ -533,7 +536,8 @@ def encode_baseline_jpeg(
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         y, cb, cr = (np.clip(np.rint(x), 0, 255) for x in (y, cb, cr))
-        if subsample:
+        mode = {True: "420", False: None}.get(subsample, subsample)
+        if mode == "420":
             # pad to even dims by edge replication, then 2×2 mean
             def half(p):
                 ph = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
@@ -547,12 +551,23 @@ def encode_baseline_jpeg(
                 {"id": 2, "h": 1, "v": 1, "tq": 0, "plane": half(cb)},
                 {"id": 3, "h": 1, "v": 1, "tq": 0, "plane": half(cr)},
             ]
-        else:
+        elif mode == "422":
+            def halfh(p):
+                ph = np.pad(p, ((0, 0), (0, p.shape[1] % 2)), mode="edge")
+                return np.rint((ph[:, 0::2] + ph[:, 1::2]) / 2.0)
+            comps = [
+                {"id": 1, "h": 2, "v": 1, "tq": 0, "plane": y},
+                {"id": 2, "h": 1, "v": 1, "tq": 0, "plane": halfh(cb)},
+                {"id": 3, "h": 1, "v": 1, "tq": 0, "plane": halfh(cr)},
+            ]
+        elif mode is None:
             comps = [
                 {"id": 1, "h": 1, "v": 1, "tq": 0, "plane": y},
                 {"id": 2, "h": 1, "v": 1, "tq": 0, "plane": cb},
                 {"id": 3, "h": 1, "v": 1, "tq": 0, "plane": cr},
             ]
+        else:
+            raise ValueError(f"subsample must be bool/'420'/'422', got {subsample!r}")
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)

@@ -212,3 +212,18 @@ def test_jpeg_hash_pairs_through_hamming_engine(spark):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in hamming_near_dup(fr, "id", "sig", 0).collect()}
     assert pairs == {(1, 2): 0}
+
+
+def test_422_asymmetric_sampling():
+    """4:2:2 (h=2, v=1 luma) — the decoder's per-axis upsample ratios
+    differ, which 4:2:0 alone never exercises. Flat color is exact;
+    a smooth gradient stays within color-round-trip error."""
+    b = synth_jpeg(28, 18, 70, gray=False, subsample="422", flat=True)
+    w, h, nc, px = decode_jpeg(b)
+    assert (w, h, nc) == (28, 18, 3)
+    assert np.abs(px.astype(int) - 70).max() == 0
+    b = synth_jpeg(30, 22, 40, gray=False, subsample="422")
+    w, h, nc, px = decode_jpeg(b)
+    assert (w, h, nc) == (30, 22, 3)
+    with pytest.raises(ValueError, match="subsample"):
+        synth_jpeg(16, 16, 5, gray=False, subsample="411")
