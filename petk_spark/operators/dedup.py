@@ -504,6 +504,22 @@ def hamming_near_dup(
     fp = df.select(
         F.col(id_col).alias("id"), F.col(sig_col).cast("long").alias("sim")
     ).filter(F.col(sig_col).isNotNull())
+    # The signature frame feeds FOUR plan branches post-collapse (the
+    # distinct-sig block join, the two member re-expansion joins, and
+    # the same-signature self-join). Its upstream is the expensive
+    # subtree — the Arrow signature kernel over the raw corpus (SimHash
+    # tokenize+hash, or image decode for F47) — and Catalyst does not
+    # share un-exchanged subtrees across branches: measured on the
+    # final adaptive plan, the unpersisted DAG runs the kernel and the
+    # raw scan 6× (broadcast joins at small scale defeat exchange
+    # reuse; at shuffle-join scale canonically-identical exchanges
+    # reuse down to ~2×, but that is regime-dependent). Persist the
+    # (id, long) projection once — ~16 bytes/row, the smallest frame in
+    # the operator — same discipline as minhash_lsh_near_dup's shingle
+    # frame above. MEMORY_AND_DISK: spills instead of recomputing,
+    # evictable under pressure. Streaming frames can't persist.
+    if not df.isStreaming:
+        fp = fp.persist()
 
     def block(c: Column, i: int) -> Column:
         # Unsigned slice of bits [i*width, (i+1)*width) — last block takes
