@@ -381,6 +381,23 @@ def main() -> None:
     control_samples.append(round(_control_point(), 4))
     c_min, c_max = min(control_samples), max(control_samples)
     drift_pct = round((c_max - c_min) / c_min * 100.0, 1) if c_min > 0 else -1.0
+    # 1-trimmed drift (round 10): the raw max-min gate is blown by a
+    # SINGLE bad control point, and the round-10 host regime shows
+    # ~9% min-of-3 spread on a fully IDLE host (SCALE.md R10 §5 A/B)
+    # — one hypervisor hiccup in ~8 points discards a 30-minute run.
+    # Dropping exactly the one most-extreme point (by distance from
+    # the median) reports how much of the drift is that single
+    # outlier. Both numbers land in the record; the raw rule stays
+    # the headline gate for cross-round comparability.
+    if len(control_samples) > 2:
+        med = statistics.median(control_samples)
+        trimmed = sorted(control_samples, key=lambda s: abs(s - med))[:-1]
+        t_min, t_max = min(trimmed), max(trimmed)
+        drift_trimmed_pct = (
+            round((t_max - t_min) / t_min * 100.0, 1) if t_min > 0 else -1.0
+        )
+    else:
+        drift_trimmed_pct = drift_pct
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     result = {
         "metric": "headline_queries_total",
@@ -406,10 +423,15 @@ def main() -> None:
             "samples": control_samples,
             "median": round(statistics.median(control_samples), 4),
             "drift_pct": drift_pct,
+            "drift_trimmed_pct": drift_trimmed_pct,
             # a loaded host flags ITSELF: per-query regressions vs
             # another record are only admissible when both records
             # have admissible=true and control medians within 25%
             "admissible": bool(0 <= drift_pct < 25.0),
+            # secondary verdict for the noisier r10 host regime: the
+            # same <25% bar after dropping the single most-extreme
+            # control point (see drift_trimmed_pct above)
+            "admissible_trimmed": bool(0 <= drift_trimmed_pct < 25.0),
         },
         "samples": samples,
     }
