@@ -139,6 +139,16 @@ def jaccard_near_dup(
     bit-identical across engines — safe for hash-matching oracles.
     """
     sh = shingle_frame(df, id_col, text_col, n)
+    # The shingle frame feeds the union-size aggregate AND the
+    # singleton-pruned self-join (plus the optional frequency-cap
+    # branch) — unshared subtrees that Catalyst recomputes per branch,
+    # re-running the pandas-UDF tokenizer over the raw corpus 2-3×
+    # (the same branch-recompute class measured on hamming_near_dup's
+    # signature frame, fixed the same way). minhash_lsh_near_dup
+    # below already persists this exact frame shape for its two
+    # consumers. MEMORY_AND_DISK: spills instead of recomputing.
+    if not df.isStreaming:
+        sh = sh.persist()
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
         keep = freq.filter(F.col("df_") <= max_shingle_freq).select("shingle")
