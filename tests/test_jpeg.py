@@ -227,3 +227,85 @@ def test_422_asymmetric_sampling():
     assert (w, h, nc) == (30, 22, 3)
     with pytest.raises(ValueError, match="subsample"):
         synth_jpeg(16, 16, 5, gray=False, subsample="411")
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis fuzz: arbitrary pixel content (worst case for the Huffman
+# category ladder and IDCT rounding — the smooth-gradient tests above
+# never emit large AC coefficients), arbitrary dims incl. partial edge
+# blocks, restart intervals, and all three subsampling modes.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@pytest.mark.slow
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    seed=st.integers(0, 2**32 - 1),
+    rst=st.sampled_from([0, 1, 3]),
+)
+def test_fuzz_noise_roundtrip_gray(w, h, seed, rst):
+    """White-noise gray images round-trip within ±2 at quant=1 (the
+    encoder writes integer DCT coefficients, so the only loss is
+    coefficient rounding; measured worst error on noise is 1)."""
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    b = encode_baseline_jpeg(arr, restart_interval=rst)
+    ww, hh, nc, px = decode_jpeg(b)
+    assert (ww, hh, nc) == (w, h, 1)
+    assert np.abs(px[:, :, 0].astype(int) - arr.astype(int)).max() <= 2
+
+
+@pytest.mark.slow
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 32),
+    h=st.integers(1, 32),
+    seed=st.integers(0, 2**32 - 1),
+    mode=st.sampled_from([False, True, "422"]),
+)
+def test_fuzz_noise_roundtrip_neutral_rgb(w, h, seed, mode):
+    """Chroma-neutral (r=g=b) noise: Cb=Cr=128 exactly, so EVERY
+    subsampling mode averages a constant chroma plane — the luma
+    channel carries all the content and the round trip stays within
+    the same ±2 bound under 4:4:4, 4:2:0 AND 4:2:2."""
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    arr = np.stack([g, g, g], axis=2)
+    b = encode_baseline_jpeg(arr, subsample=mode)
+    ww, hh, nc, px = decode_jpeg(b)
+    assert (ww, hh, nc) == (w, h, 3)
+    assert np.abs(px.astype(int) - arr.astype(int)).max() <= 2
+
+
+@pytest.mark.slow
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    cut=st.integers(0, 1000),
+    flip_pos=st.integers(0, 1000),
+    flip_val=st.integers(0, 255),
+    trunc=st.booleans(),
+)
+def test_fuzz_corruption_never_raises(seed, cut, flip_pos, flip_val, trunc):
+    """decode_jpeg on corrupted bytes must NEVER raise — corrupt
+    payloads in a 100 TB corpus yield NULL rows, not task failures.
+    Random truncation or a single byte flip anywhere in a valid stream
+    either still decodes to a well-formed (w, h, nc, pixels) tuple or
+    returns None."""
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(17, 23), dtype=np.uint8)
+    b = bytearray(encode_baseline_jpeg(arr))
+    if trunc:
+        b = b[: cut % max(1, len(b))]
+    else:
+        p = flip_pos % len(b)
+        b[p] = flip_val
+    out = decode_jpeg(bytes(b))
+    if out is not None:
+        ww, hh, nc, px = out
+        assert px.shape == (hh, ww, nc)
