@@ -212,6 +212,29 @@ def main() -> None:
 
     registry["semantic_dedup"] = _semantic_dedup
 
+    # Bench-only timing entry (round 11, r10 verdict #2): the F49
+    # full-corpus Lloyd k-means at production shape — fixed k=8,
+    # modal dim, 2 iterations on the embeddings table. Its cost was
+    # previously visible only inside the widened embedding_near_dup
+    # twin (which replays the same two iterations in DuckDB), the
+    # masking this file already unbundles for IVF (_index/_single)
+    # and approx describe (_pure). Correctness is pinned by the twin's
+    # km_cent/km_asg/km_size families; this entry prices the fit
+    # alone, reduced to a k-row sizes frame.
+    def _kmeans_fit(s, d):
+        from petk_spark.operators.clustering import kmeans_fit
+        from petk_spark.sources.tables import read_table
+
+        cents, info = kmeans_fit(
+            read_table(s, d, "embeddings"), k=8, iterations=2
+        )
+        return s.createDataFrame(
+            [(i, int(n)) for i, n in enumerate(info["sizes"])],
+            "centroid_id int, size long",
+        )
+
+    registry["kmeans_fit"] = _kmeans_fit
+
     # Bench-only timing entries (round-6 verdict #6): price the
     # persistent-index query path against the single-shot form. The
     # driver's cosine_topk_ivf entry is the RECALL-VERDICT contract
@@ -311,8 +334,10 @@ def main() -> None:
         # is inadmissible; a loaded host shifts every sample)
         return min(_control_once() for _ in range(3))
 
+    # every 5 entries (R11 §1): ≥14 points per full run, so the
+    # single-stall trim below removes ≤7% of the evidence
     control_every = max(
-        1, int(os.environ.get("SPARK_GRAFT_BENCH_CONTROL_EVERY", "10"))
+        1, int(os.environ.get("SPARK_GRAFT_BENCH_CONTROL_EVERY", "5"))
     )
     control_samples: list[float] = []
 
@@ -381,14 +406,15 @@ def main() -> None:
     control_samples.append(round(_control_point(), 4))
     c_min, c_max = min(control_samples), max(control_samples)
     drift_pct = round((c_max - c_min) / c_min * 100.0, 1) if c_min > 0 else -1.0
-    # 1-trimmed drift (round 10): the raw max-min gate is blown by a
-    # SINGLE bad control point, and the round-10 host regime shows
-    # ~9% min-of-3 spread on a fully IDLE host (SCALE.md R10 §5 A/B)
-    # — one hypervisor hiccup in ~8 points discards a 30-minute run.
-    # Dropping exactly the one most-extreme point (by distance from
-    # the median) reports how much of the drift is that single
-    # outlier. Both numbers land in the record; the raw rule stays
-    # the headline gate for cross-round comparability.
+    # 1-trimmed drift, HEADLINE GATE since R11 §1 (SCALE.md — rule
+    # committed BEFORE any round-11 run): the raw max-min gate over
+    # ~7 points is blown by a SINGLE hypervisor stall (all three
+    # round-10 failures were one outlier point each), so with >=10
+    # interleaved points the rule discards exactly the one
+    # farthest-from-median point (declared single-stall allowance —
+    # a second stall still fails) and applies the same <25% bar to
+    # the remainder. The raw spread stays in the record
+    # (drift_pct / admissible_raw) for cross-round telemetry.
     if len(control_samples) > 2:
         med = statistics.median(control_samples)
         trimmed = sorted(control_samples, key=lambda s: abs(s - med))[:-1]
@@ -398,6 +424,13 @@ def main() -> None:
         )
     else:
         drift_trimmed_pct = drift_pct
+    admissible_raw = bool(0 <= drift_pct < 25.0)
+    if len(control_samples) >= 10:
+        admissible = bool(0 <= drift_trimmed_pct < 25.0)
+        rule = "R11 §1: trim-1 over >=10 interleaved points, <25%"
+    else:
+        admissible = admissible_raw
+        rule = "R8 §1 raw (<10 control points: no trim on thin evidence)"
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     result = {
         "metric": "headline_queries_total",
@@ -412,7 +445,7 @@ def main() -> None:
         "protocol": (
             "per-query median of n back-to-back runs, shared warm session; "
             "fixed control query interleaved every "
-            f"{control_every} entries (SCALE.md R8 decision rule)"
+            f"{control_every} entries (SCALE.md R11 §1 decision rule)"
         ),
         "n": runs,
         "control": {
@@ -426,12 +459,13 @@ def main() -> None:
             "drift_trimmed_pct": drift_trimmed_pct,
             # a loaded host flags ITSELF: per-query regressions vs
             # another record are only admissible when both records
-            # have admissible=true and control medians within 25%
-            "admissible": bool(0 <= drift_pct < 25.0),
-            # secondary verdict for the noisier r10 host regime: the
-            # same <25% bar after dropping the single most-extreme
-            # control point (see drift_trimmed_pct above)
-            "admissible_trimmed": bool(0 <= drift_trimmed_pct < 25.0),
+            # have admissible=true and control medians within 25%.
+            # Headline gate per R11 §1 (SCALE.md): single-stall trim
+            # over >=10 interleaved points, same <25% bar; the raw
+            # verdict is kept beside it.
+            "admissible": admissible,
+            "admissible_raw": admissible_raw,
+            "rule": rule,
         },
         "samples": samples,
     }
