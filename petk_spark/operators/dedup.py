@@ -131,12 +131,22 @@ def jaccard_near_dup(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_freq: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs: (id_a, id_b, jaccard) with
     ``id_a < id_b`` and jaccard ≥ threshold.
 
     jaccard is an integer ratio (|A∩B| over |A∪B|), so the value is
     bit-identical across engines — safe for hash-matching oracles.
+
+    Caching: the shingle frame is ``.persist()``-ed (it feeds 2-3 plan
+    branches; see inline note) and stays cached until Spark's
+    ContextCleaner or LRU eviction reclaims it — there is deliberately
+    no eager unpersist, because the returned frame is lazy and an
+    unpersist-on-return would defeat the cache before the caller ever
+    executes it. A long-lived session invoking this many times can pass
+    ``persist=False`` (or call ``spark.catalog.clearCache()`` between
+    invocations) to trade recompute for cache pressure.
     """
     sh = shingle_frame(df, id_col, text_col, n)
     # The shingle frame feeds the union-size aggregate AND the
@@ -147,7 +157,7 @@ def jaccard_near_dup(
     # signature frame, fixed the same way). minhash_lsh_near_dup
     # below already persists this exact frame shape for its two
     # consumers. MEMORY_AND_DISK: spills instead of recomputing.
-    if not df.isStreaming:
+    if persist and not df.isStreaming:
         sh = sh.persist()
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
@@ -308,6 +318,7 @@ def minhash_lsh_near_dup(
     bands: int = 16,
     threshold: float = 0.8,
     verify_exact: bool = True,
+    persist: bool = True,
 ) -> DataFrame:
     """Banded-LSH candidate generation + (optional) exact verification.
 
@@ -318,6 +329,11 @@ def minhash_lsh_near_dup(
     pipeline — base hash, permutations, band keys, verification — uses
     engine-portable arithmetic, so the DuckDB oracle replays it exactly
     and the output is hash-checkable despite the probabilistic recall.
+
+    Caching: the shingle frame is ``.persist()``-ed with no eager
+    unpersist (same rationale as :func:`jaccard_near_dup` — the result
+    is lazy, so unpersisting on return would defeat the cache); pass
+    ``persist=False`` in long-lived sessions that invoke this per-batch.
     """
     assert k % bands == 0, "k must divide into equal bands"
     r = k // bands
@@ -329,7 +345,7 @@ def minhash_lsh_near_dup(
     # and let both consumers read the cached blocks. MEMORY_AND_DISK:
     # spills instead of recomputing, evictable under pressure.
     sh = shingle_frame(df, id_col, text_col, n)
-    if verify_exact and not df.isStreaming:
+    if persist and verify_exact and not df.isStreaming:
         sh = sh.persist()
 
     hx = sh.select("id", shingle_hash_expr(F.col("shingle")).alias("hx"))
@@ -464,14 +480,16 @@ def simhash_near_dup(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    persist: bool = True,
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance ≤ ``max_hamming`` — the
     text instantiation of :func:`hamming_near_dup` (which also serves
-    image perceptual hashes, F47)."""
+    image perceptual hashes, F47). ``persist`` forwards to the pair
+    engine's signature-frame cache (see there)."""
     fp = df.select(
         F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sim")
     )
-    return hamming_near_dup(fp, "id", "sim", max_hamming)
+    return hamming_near_dup(fp, "id", "sim", max_hamming, persist=persist)
 
 
 def hamming_near_dup(
@@ -479,6 +497,7 @@ def hamming_near_dup(
     id_col: str,
     sig_col: str,
     max_hamming: int = 3,
+    persist: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs of 64-bit signatures within Hamming
     distance ``max_hamming`` — the shared engine under SimHash text
@@ -503,7 +522,13 @@ def hamming_near_dup(
     operator exists for) keeps far smaller. The member re-expansion is
     two hash joins on the signature, output-proportional by definition
     (the pairs ARE the answer). See SCALE.md for the distinct-signature
-    regime where 64-bit blocking itself stops being enough."""
+    regime where 64-bit blocking itself stops being enough.
+
+    Caching: the (id, signature) projection is ``.persist()``-ed with
+    no eager unpersist (the result is lazy — unpersisting on return
+    would defeat the cache; see :func:`jaccard_near_dup`); pass
+    ``persist=False`` in long-lived sessions that invoke this
+    per-batch."""
     if not 0 <= max_hamming <= 63:
         raise ValueError(
             f"max_hamming must be in [0, 63], got {max_hamming}"
@@ -528,7 +553,7 @@ def hamming_near_dup(
     # the operator — same discipline as minhash_lsh_near_dup's shingle
     # frame above. MEMORY_AND_DISK: spills instead of recomputing,
     # evictable under pressure. Streaming frames can't persist.
-    if not df.isStreaming:
+    if persist and not df.isStreaming:
         fp = fp.persist()
 
     def block(c: Column, i: int) -> Column:

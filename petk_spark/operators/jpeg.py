@@ -174,6 +174,7 @@ class _BitReader:
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        self.rst_expect = 0
 
     def bit(self) -> int:
         if self.nbits == 0:
@@ -202,16 +203,20 @@ class _BitReader:
         return v
 
     def restart(self) -> None:
-        """Byte-align and consume an RSTn marker."""
+        """Byte-align and consume an RSTn marker, enforcing the
+        modulo-8 sequence number (T.81 §B.2.1.2): a dropped or
+        reinserted restart marker would otherwise resync at the wrong
+        MCU and decode shifted pixels instead of returning None."""
         self.nbits = 0
         if (
             self.pos + 1 < len(self.data)
             and self.data[self.pos] == 0xFF
-            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+            and self.data[self.pos + 1] == 0xD0 + self.rst_expect
         ):
             self.pos += 2
+            self.rst_expect = (self.rst_expect + 1) % 8
         else:
-            raise ValueError("expected restart marker")
+            raise ValueError("expected restart marker (or out of sequence)")
 
 
 def _extend(v: int, size: int) -> int:
@@ -333,6 +338,14 @@ def _decode_scan(np, data, pos, frame, scan, qtables, huff_dc, huff_ac,
     vmax = max(c["v"] for c in comps)
     if hmax == 0 or vmax == 0:
         return None
+    # non-integral sampling ratios (e.g. 3:2) would need fractional
+    # upsampling the repeat() below cannot express — without this gate
+    # the chroma plane is silently left un-upsampled and, when the crop
+    # happens to fit, the decoder returns WRONG COLORS instead of None.
+    # libjpeg likewise supports only integral ratios.
+    for c in comps:
+        if c["h"] == 0 or c["v"] == 0 or hmax % c["h"] or vmax % c["v"]:
+            return None
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     m = _dct_matrix()
