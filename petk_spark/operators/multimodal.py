@@ -179,6 +179,45 @@ def synth_wav_tone(
     return riff + fmt + data
 
 
+def synth_wav_stereo_tone(
+    sample_rate: int,
+    bits_per_sample: int,
+    n_frames: int,
+    k_left: int,
+    k_right: int,
+) -> bytes:
+    """Valid 2-channel PCM WAV whose frame ``i`` carries
+    ``(i·k_left) mod 2^bits`` on channel 0 and ``(i·k_right) mod
+    2^bits`` on channel 1 — the stereo fixture the ``mixdown=True``
+    energy-hash contract needs: :func:`synth_wav_tone` writes the SAME
+    sample on every channel, under which mixdown is hash-invariant by
+    construction (every window mean scales by the channel count), so
+    only per-channel-distinct content makes the mixdown path
+    observable."""
+    import struct
+
+    n_channels = 2
+    block_align = n_channels * bits_per_sample // 8
+    byte_rate = sample_rate * block_align
+    body = bytearray()
+    for i in range(n_frames):
+        if bits_per_sample == 8:
+            body += bytes([(i * k_left) % 256, (i * k_right) % 256])
+        else:
+            body += struct.pack(
+                "<hh",
+                ((i * k_left) % 65536) - 32768,
+                ((i * k_right) % 65536) - 32768,
+            )
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, n_channels, sample_rate, byte_rate,
+        block_align, bits_per_sample,
+    )
+    data = struct.pack("<4sI", b"data", len(body)) + bytes(body)
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+    return riff + fmt + data
+
+
 def _wav_pcm_view(payload: bytes | None):
     """(rate, channels, bits, n_frames, data_bytes) — the PCM payload
     located by the same RIFF chunk walk as :func:`parse_wav_header`,
@@ -807,6 +846,147 @@ def image_average_hash(payload: bytes | None, hash_size: int = 8):
     for m in means:
         v = (v << 1) | (1 if m > gmean else 0)
     return format(v, f"0{hs * hs // 4}x")
+
+
+#: scale of the integer DCT weights (2^14) — see _phash_weight_rows
+PHASH_WEIGHT_SCALE = 16384
+
+
+def _phash_weight_rows(n: int) -> list[list[int]]:
+    """Integer DCT-II weight table ``W[u][x] = round(cos((2x+1)·u·π /
+    (2n)) · 2^14)`` for the 8 lowest frequencies ``u`` over ``n``
+    sample positions ``x`` — pure Python (``math.cos`` + ``round``) so
+    the oracle builder can inline the IDENTICAL literals into SQL.
+    Quantizing the cosines to integers is what makes the whole pHash
+    bit-exact across engines and platforms (float DCTs differ in the
+    last ulp with summation order — the same reason H.264/HEVC define
+    integer transforms instead of ideal-cosine ones)."""
+    import math
+
+    return [
+        [
+            int(round(math.cos((2 * x + 1) * u * math.pi / (2 * n))
+                      * PHASH_WEIGHT_SCALE))
+            for x in range(n)
+        ]
+        for u in range(8)
+    ]
+
+
+def _luma_plane(payload: bytes | None):
+    """int64 alpha-free luma-SUM plane (H×W) decoded from PNG or
+    baseline-JPEG bytes (gray: the gray byte; RGB: R+G+B — a uniform
+    ×3 that cancels in every mean/threshold comparison downstream), or
+    None for anything else/corrupt."""
+    import numpy as np
+
+    if payload is None:
+        return None
+    if payload[:8] == _PNG_MAGIC:
+        dec = _png_decode_rows(payload)
+        if dec is None:
+            return None
+        w, h, nc, rows = dec
+        arr = np.frombuffer(b"".join(bytes(r) for r in rows), dtype=np.uint8)
+        arr = arr.reshape(h, w, nc).astype(np.int64)
+        gray_nc = 1 if nc in (1, 2) else 3
+        return arr[:, :, :gray_nc].sum(axis=2)
+    if payload[:2] == b"\xff\xd8":
+        from petk_spark.operators.jpeg import decode_jpeg
+
+        dec = decode_jpeg(payload)
+        if dec is None:
+            return None
+        w, h, nc, px = dec
+        return px.astype(np.int64).sum(axis=2)
+    return None
+
+
+def image_phash(payload: bytes | None, dct_size: int = 32):
+    """Perceptual DCT hash (pHash) of a PNG or baseline-JPEG payload —
+    the frequency-domain sibling of :func:`image_average_hash` and the
+    named remedy for the Hamming engine's distinct-signature ceiling
+    (aHash collapses smooth images to few distinct values; pHash's 64
+    frequency comparisons spread them). Pipeline:
+
+    1. exact-partition downsample of the alpha-free luma plane to
+       ``dct_size²`` cells (the aHash cell convention), each cell an
+       integer ROUND-HALF-UP mean ``(2·S + C) // (2·C)``;
+    2. 2-D DCT restricted to the 8×8 lowest frequencies, computed with
+       the INTEGER weight table of :func:`_phash_weight_rows` — every
+       coefficient is an exact int64 (|coef| ≤ 765·2^28·dct_size² —
+       bounded by ~2.1e14 at dct_size 32);
+    3. threshold each of the 64 coefficients (DC included, as in
+       classic pHash) strictly above the 32nd-smallest coefficient;
+    4. pack row-major in (u, v), MSB-first → 16 hex chars.
+
+    Every step is integer-exact, so the bit pattern is replayable by
+    any engine repeating the arithmetic — no float DCT, no resampling
+    filter. Returns None for corrupt/unsupported payloads or images
+    smaller than ``dct_size`` in either dimension (the exact partition
+    needs ≥1 pixel per cell; classic pHash upsamples instead, which
+    would need an interpolation filter contract)."""
+    import numpy as np
+
+    lum = _luma_plane(payload)
+    if lum is None:
+        return None
+    h, w = lum.shape
+    n = dct_size
+    if w < n or h < n:
+        return None
+    rs = [(a * h + n - 1) // n for a in range(n)]
+    cs = [(b * w + n - 1) // n for b in range(n)]
+    S = np.add.reduceat(np.add.reduceat(lum, rs, axis=0), cs, axis=1)
+    C = np.outer(np.diff(rs + [h]), np.diff(cs + [w]))
+    M = (2 * S + C) // (2 * C)  # round-half-up integer cell mean
+    Wt = np.array(_phash_weight_rows(n), dtype=np.int64)
+    A = Wt @ M @ Wt.T  # 8×8 low-frequency block, exact int64
+    flat = [int(x) for x in A.reshape(-1)]
+    thr = sorted(flat)[31]
+    v = 0
+    for x in flat:
+        v = (v << 1) | (1 if x > thr else 0)
+    return format(v, "016x")
+
+
+def image_phash_frame(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    dct_size: int = 32,
+) -> DataFrame:
+    """Arrow-batched pHash frame over a binary image column:
+    ``(id, phash, phash64)`` — hex hash plus the signed 64-bit form for
+    :func:`~petk_spark.operators.dedup.hamming_near_dup` (the same
+    XOR/popcount engine aHash and the audio hash ride). Corrupt or
+    undecodable payloads yield NULLs, never task failures. Row-local
+    (mapInPandas), zero shuffles — pure scan work at 100 TB."""
+    id_name, payload_name = id_col, payload_col
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for rid, payload in zip(pdf[id_name], pdf[payload_name]):
+                hx = image_phash(payload, dct_size)
+                v = None
+                if hx is not None:
+                    u = int(hx, 16)
+                    v = u - (1 << 64) if u >= (1 << 63) else u
+                out_rows.append((rid, hx, v))
+            yield pd.DataFrame(
+                out_rows, columns=["id", "phash", "phash64"]
+            ).astype({"phash64": "Int64"})
+
+    id_field = df.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField("id", id_field.dataType),
+            T.StructField("phash", T.StringType()),
+            T.StructField("phash64", T.LongType()),
+        ]
+    )
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 
 FRAME_SAMPLE_SCHEMA = T.StructType(

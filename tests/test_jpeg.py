@@ -229,6 +229,128 @@ def test_422_asymmetric_sampling():
         synth_jpeg(16, 16, 5, gray=False, subsample="411")
 
 
+def test_image_phash_contract():
+    """pHash (round 11): integer-exact DCT hash — deterministic,
+    robust to small pixel perturbation, far for unrelated content,
+    None for corrupt/too-small. The 16-char hex and its threshold
+    convention (strict > the 32nd-smallest coefficient) are the
+    oracle-replayed contract."""
+    from petk_spark.operators.multimodal import image_phash
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(40, 48), dtype=np.uint8)
+    h0 = image_phash(encode_baseline_jpeg(base))
+    assert h0 is not None and len(h0) == 16
+    # determinism
+    assert image_phash(encode_baseline_jpeg(base)) == h0
+
+    def ham(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    # ±1 noise on every pixel: low-frequency content barely moves
+    pert = np.clip(
+        base.astype(int) + rng.integers(-1, 2, size=base.shape), 0, 255
+    ).astype(np.uint8)
+    assert ham(image_phash(encode_baseline_jpeg(pert)), h0) <= 6
+    # unrelated noise: ~32 expected, far above any dedup threshold
+    other = rng.integers(0, 256, size=(40, 48), dtype=np.uint8)
+    assert ham(image_phash(encode_baseline_jpeg(other)), h0) >= 12
+    # PNG payloads dispatch through the same kernel
+    assert image_phash(synth_png(40, 36, 17, 2)) is not None
+    # gates: too small for the exact partition, corrupt, non-image
+    assert image_phash(synth_jpeg_blocks(20, 40, 5), dct_size=32) is None
+    assert image_phash(synth_jpeg_blocks(20, 40, 5), dct_size=16) is not None
+    assert image_phash(b"GIF89a" + b"\x00" * 20) is None
+    assert image_phash(None) is None
+    assert image_phash(synth_jpeg_blocks(32, 32, 5)[:30]) is None
+
+
+def test_image_phash_frame_through_hamming_engine(spark):
+    """image_phash_frame's phash64 feeds the shared Hamming engine:
+    exact dups pair at distance 0, corrupt payloads yield NULL rows
+    that produce no pairs."""
+    from petk_spark.operators.dedup import hamming_near_dup
+    from petk_spark.operators.multimodal import image_phash_frame
+
+    imgs = [
+        (1, synth_jpeg_blocks(32, 32, 7)),
+        (2, synth_jpeg_blocks(32, 32, 7)),   # exact dup
+        (3, synth_jpeg_blocks(32, 32, 101)),
+        (4, synth_jpeg_blocks(32, 32, 5)[:30]),  # corrupt → NULL
+    ]
+    df = spark.createDataFrame(imgs, "id long, payload binary")
+    fr = image_phash_frame(df, "id", "payload", dct_size=16)
+    rows = {r["id"]: r for r in fr.collect()}
+    assert rows[4]["phash"] is None and rows[4]["phash64"] is None
+    assert rows[1]["phash"] == rows[2]["phash"]
+    u = int(rows[1]["phash"], 16)
+    assert rows[1]["phash64"] == (u - (1 << 64) if u >= (1 << 63) else u)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in hamming_near_dup(fr, "id", "phash64", 0).collect()}
+    assert pairs == {(1, 2): 0}
+
+
+def test_synth_wav_stereo_tone_mixdown_observable():
+    """The stereo fixture carries per-channel-distinct content, so
+    mixdown=True and first-channel hashes DIFFER on it (the
+    identical-channel synth_wav_tone is mixdown-invariant by
+    construction — the reason this fixture exists)."""
+    from petk_spark.operators.multimodal import (
+        synth_wav_stereo_tone,
+        wav_energy_hash,
+    )
+
+    b = synth_wav_stereo_tone(8000, 16, 451, k_left=3, k_right=180)
+    h_first = wav_energy_hash(b)
+    h_mix = wav_energy_hash(b, mixdown=True)
+    assert h_first is not None and h_mix is not None
+    assert h_first != h_mix
+    # degenerate case: identical multipliers → channels identical →
+    # mixdown invariance (means scale uniformly by 2)
+    same = synth_wav_stereo_tone(8000, 16, 451, k_left=3, k_right=3)
+    assert wav_energy_hash(same, mixdown=True) == wav_energy_hash(same)
+
+
+def test_restart_marker_sequence_enforced():
+    """T.81 §B.2.1.2: RSTn sequence numbers cycle 0..7. A stream whose
+    restart markers are out of sequence (dropped + reinserted marker)
+    must decode to None, not resync at the wrong MCU and return
+    shifted pixels (round-10 advisory)."""
+    arr = ((np.mgrid[0:40, 0:56][0] * 3 + np.mgrid[0:40, 0:56][1] * 5) % 200).astype(np.uint8)
+    good = encode_baseline_jpeg(arr, restart_interval=3)
+    assert decode_jpeg(good) is not None
+    # entropy data stuffs 0xFF with 0x00, so the first 0xFFD0 after SOS
+    # is RST0 — rewrite it as RST1 (out of sequence)
+    sos = good.find(b"\xff\xda")
+    i = good.find(b"\xff\xd0", sos)
+    assert i > 0
+    bad = good[:i + 1] + b"\xd1" + good[i + 2:]
+    assert decode_jpeg(bad) is None
+    # drop RST0 entirely: the next marker the reader meets is RST1
+    # where RST0 is expected
+    dropped = good[:i] + good[i + 2:]
+    assert decode_jpeg(dropped) is None
+
+
+def test_non_integral_sampling_ratio_rejected():
+    """Sampling factor ratios the nearest-neighbor upsample cannot
+    express (e.g. luma h=3 against chroma h=2) must return None, never
+    a wrong-colors decode (round-10 advisory; libjpeg likewise
+    supports only integral ratios)."""
+    good = synth_jpeg(16, 8, 70, gray=False, subsample="422", flat=True)
+    assert decode_jpeg(good) is not None
+    i = good.find(b"\xff\xc0")
+    assert i > 0
+    # SOF0 body: [len:2][prec:1][h:2][w:2][nc:1] then (id, hv, tq)*3;
+    # comp1 hv at i+11, comp2 hv at i+14 — set Y to (3,1), Cb to (2,1):
+    # hmax=3, Cb.h=2 → 3 % 2 != 0
+    b = bytearray(good)
+    assert b[i + 11] == 0x21 and b[i + 14] == 0x11
+    b[i + 11] = 0x31
+    b[i + 14] = 0x21
+    assert decode_jpeg(bytes(b)) is None
+
+
 # ---------------------------------------------------------------------------
 # Hypothesis fuzz: arbitrary pixel content (worst case for the Huffman
 # category ladder and IDCT rounding — the smooth-gradient tests above
