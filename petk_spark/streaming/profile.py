@@ -543,8 +543,8 @@ def profile_from_store(spark, store_path: str) -> DataFrame:
     return finalize_profile(merge_partials(stored.drop("batch_id")))
 
 
-def compact_store(spark, store_path: str) -> int:
-    """Fold every batch partial in a :func:`streaming_partial_store`
+def compact_store(spark, store_path: str, keep_recent: int = 0) -> int:
+    """Fold batch partials in a :func:`streaming_partial_store`
     directory into ONE batch directory (the lowest folded id), keeping
     the store O(columns × groups) no matter how many micro-batches
     have run. Returns the number of batch directories folded
@@ -553,6 +553,23 @@ def compact_store(spark, store_path: str) -> int:
     via the centered Chan identity, HLL/KLL sketches union — so
     :func:`profile_from_store` before and after compaction agree
     (equality pinned by the soak test in tests/test_streaming.py).
+
+    ``keep_recent`` (round 11) leaves the newest N batch directories
+    untouched and folds only the OLDER ones — the correct mode while
+    the stream is LIVE: ``foreachBatch`` is at-least-once, and its
+    retry of batch ``N`` re-overwrites ``batch_id=N`` assuming the
+    directory is the only place that batch's rows live; if a compaction
+    had already folded attempt 1 of batch ``N`` into the merged
+    directory, the retry's overwrite would DOUBLE-COUNT that batch.
+    Any ``keep_recent`` at or above the engine's possible replay depth
+    (in practice: 1 — Structured Streaming only ever re-runs the batch
+    that was in flight at failure) makes periodic compaction safe to
+    interleave with the running stream; the default 0 (fold
+    everything) remains the right call for a stopped stream. Either
+    way the store stays O(columns × groups + keep_recent × columns)
+    instead of growing one partial per micro-batch forever (a year of
+    1-minute batches ≈ 525k directories without compaction — a real
+    file-count ceiling on object stores).
 
     Crash safety: the shared write-ahead-manifest fold protocol in
     ``sources/swap.py`` (a crash at any point either leaves the store
@@ -578,22 +595,23 @@ def compact_store(spark, store_path: str) -> int:
         ids = sorted(
             r[0] for r in stored.select("batch_id").distinct().collect()
         )
-        if len(ids) <= 1:
+        fold = ids[: len(ids) - keep_recent] if keep_recent > 0 else ids
+        if len(fold) <= 1:
             return 0
         tmp = swap.clear_tmp(spark, store_path)
         # Distributed write of the merged partials: the merge ends in a
         # hash aggregation, AQE coalesces its output to a handful of
         # files for the typical tiny store while a huge grouped store
         # streams through executors, never the driver.
-        merge_partials(stored.drop("batch_id")).write.mode(
-            "overwrite"
-        ).parquet(tmp)
+        merge_partials(
+            stored.filter(F.col("batch_id").isin(fold)).drop("batch_id")
+        ).write.mode("overwrite").parquet(tmp)
         swap.committed_swap(
             spark,
             store_path,
-            [f"batch_id={i}" for i in ids],
-            f"batch_id={ids[0]}",
+            [f"batch_id={i}" for i in fold],
+            f"batch_id={fold[0]}",
         )
-        return len(ids)
+        return len(fold)
     finally:
         swap.release_lock(spark, store_path, lock_tok)

@@ -633,6 +633,70 @@ def test_compact_store_soak_bounded_and_lossless(spark, tmp_path):
     assert compact_store(spark, store) == 0  # idempotent no-op
 
 
+def test_compact_store_keep_recent_live_stream_safe(spark, tmp_path):
+    """compact_store(keep_recent=N) folds only batches OLDER than the
+    newest N — the live-stream mode (round 11): foreachBatch is
+    at-least-once, and a retry of the in-flight batch re-overwrites its
+    batch_id directory; had compaction folded that batch already, the
+    retry would double-count it. With the batch outside the fold, the
+    overwrite stays idempotent and the folded profile stays equal to
+    the whole-data profile throughout."""
+    import glob
+
+    from petk_spark.operators.incremental import (
+        finalize_profile,
+        partial_profile,
+    )
+    from petk_spark.streaming.profile import compact_store, profile_from_store
+
+    store = str(tmp_path / "store")
+    frames = [_store_batch(spark, store, b) for b in range(6)]
+
+    def dirs():
+        return sorted(
+            int(d.rsplit("=", 1)[1]) for d in glob.glob(f"{store}/batch_id=*")
+        )
+
+    def check_equal():
+        whole = frames[0]
+        for f in frames[1:]:
+            whole = whole.unionByName(f)
+        got = {r["column"]: r.asDict()
+               for r in profile_from_store(spark, store).collect()}
+        want = {r["column"]: r.asDict()
+                for r in finalize_profile(
+                    partial_profile(whole, ["event_type", "value"])
+                ).collect()}
+        for c in ("event_type", "value"):
+            for k in ("n", "n_null", "min", "max", "sum"):
+                assert got[c][k] == want[c][k], (c, k)
+
+    # fold the 4 older batches; the newest 2 survive untouched
+    assert compact_store(spark, store, keep_recent=2) == 4
+    assert dirs() == [0, 4, 5]
+    check_equal()
+
+    # at-least-once retry of the in-flight batch 5: the overwrite is
+    # idempotent BECAUSE batch 5 was kept out of the fold
+    _store_batch(spark, store, 5)
+    check_equal()
+
+    # nothing older than the kept window to fold → no-op
+    assert compact_store(spark, store, keep_recent=2) == 0
+    assert dirs() == [0, 4, 5]
+
+    # one more batch arrives; the window slides
+    frames.append(_store_batch(spark, store, 6))
+    assert compact_store(spark, store, keep_recent=2) == 2  # folds {0, 4}
+    assert dirs() == [0, 5, 6]
+    check_equal()
+
+    # stream stopped: a full fold collapses to one directory
+    assert compact_store(spark, store) == 3
+    assert dirs() == [0]
+    check_equal()
+
+
 def test_compact_store_crash_recovery(spark, tmp_path):
     """A compaction that crashed right after its commit point (manifest
     written, folded dirs and temp dir still on disk) is completed by
