@@ -351,6 +351,64 @@ def test_non_integral_sampling_ratio_rejected():
     assert decode_jpeg(bytes(b)) is None
 
 
+def test_image_phash_matches_pure_python_reference():
+    """The numpy pHash kernel (reduceat cell sums, int64 matmul) must
+    equal a straight pure-Python big-int transcription of the
+    documented contract — guards the numpy path against silent int64
+    overflow or reduceat boundary mistakes, for gray AND color, PNG
+    and JPEG, at both dct sizes."""
+    from petk_spark.operators.multimodal import (
+        _luma_plane,
+        _phash_weight_rows,
+        image_phash,
+    )
+
+    def reference_phash(payload, n):
+        lum = _luma_plane(payload)
+        if lum is None:
+            return None
+        h, w = lum.shape
+        if w < n or h < n:
+            return None
+        px = [[int(lum[r, c]) for c in range(w)] for r in range(h)]
+        S = [[0] * n for _ in range(n)]
+        C = [[0] * n for _ in range(n)]
+        for r in range(h):
+            for c in range(w):
+                a, b = r * n // h, c * n // w
+                S[a][b] += px[r][c]
+                C[a][b] += 1
+        M = [[(2 * S[a][b] + C[a][b]) // (2 * C[a][b]) for b in range(n)]
+             for a in range(n)]
+        W = _phash_weight_rows(n)
+        flat = []
+        for u in range(8):
+            for v in range(8):
+                flat.append(sum(
+                    W[u][a] * M[a][b] * W[v][b]
+                    for a in range(n) for b in range(n)
+                ))
+        thr = sorted(flat)[31]
+        out = 0
+        for x in flat:
+            out = (out << 1) | (1 if x > thr else 0)
+        return format(out, "016x")
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, size=(36, 41), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(33, 38, 3), dtype=np.uint8)
+    cases = [
+        (encode_baseline_jpeg(gray), 32),
+        (encode_baseline_jpeg(gray), 16),
+        (encode_baseline_jpeg(rgb), 16),  # color: luma = R+G+B sum
+        (synth_png(40, 36, 17, 2), 16),   # PNG RGB
+        (synth_png(34, 40, 90, 0), 32),   # PNG gray
+        (synth_jpeg_blocks(47, 39, 96), 16),
+    ]
+    for payload, n in cases:
+        assert image_phash(payload, n) == reference_phash(payload, n)
+
+
 # ---------------------------------------------------------------------------
 # Hypothesis fuzz: arbitrary pixel content (worst case for the Huffman
 # category ladder and IDCT rounding — the smooth-gradient tests above
