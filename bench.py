@@ -281,20 +281,29 @@ def main() -> None:
             return query_ivf_index(s, _ivf_path, qs, k=10, n_probes=2)
 
         registry["cosine_topk_ivf_index"] = _ivf_index_query
+    except Exception as exc:  # pragma: no cover - index build best-effort
+        print(f"# bench ivf index build skipped: {exc}", file=sys.stderr)
 
-        # Round 11 (r10 verdict #4): pre-warm the cosine_topk_ivf
-        # twin's per-session fresh-index cache here, untimed — the
-        # same built-once pattern as the _index fixture above — so
-        # every sample of the twin measures the cached shape instead
-        # of the first one paying the build (measured 25.3 s cold vs
-        # 9.3/7.9 cached in the first r11 record).
+    # Round 11 (r10 verdict #4): pre-warm the cosine_topk_ivf twin's
+    # per-session fresh-index cache here, untimed — the same
+    # built-once pattern as the _index fixture above — so every
+    # sample of the twin measures the cached shape instead of the
+    # first one paying the build (measured 25.3 s cold vs 9.3/7.9
+    # cached in the first r11 record). Own try (round-11 advisory):
+    # a warm failure must be distinguishable from an index-fixture
+    # failure, and the outcome is recorded in the result under
+    # warm_state so a record where the first timed sample silently
+    # paid the build is mechanically detectable.
+    ivf_twin_prewarmed = False
+    try:
         from petk_spark.operators.extensions_registry import (
             _ivf_twin_fresh_index,
         )
 
-        _ivf_twin_fresh_index(spark, sf_dir, _rt(spark, sf_dir, "embeddings"))
-    except Exception as exc:  # pragma: no cover - index build best-effort
-        print(f"# bench ivf index build skipped: {exc}", file=sys.stderr)
+        _ivf_twin_fresh_index(spark, sf_dir)
+        ivf_twin_prewarmed = True
+    except Exception as exc:  # pragma: no cover - prewarm best-effort
+        print(f"# bench ivf twin pre-warm skipped: {exc}", file=sys.stderr)
 
     # Warm the JVM once (codegen compiler, parquet reader, shuffle, Arrow
     # python-worker pool) so the alphabetically-first query doesn't absorb
@@ -446,6 +455,11 @@ def main() -> None:
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     result = {
         "metric": "headline_queries_total",
+        # record_schema 2 (round 12, r11 advisory): the meaning of
+        # control.admissible changed in r11 (raw gate → trim-1 gate
+        # when >=10 points); cross-round comparators should branch on
+        # this field instead of guessing from key presence.
+        "record_schema": 2,
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -477,8 +491,18 @@ def main() -> None:
             # verdict is kept beside it.
             "admissible": admissible,
             "admissible_raw": admissible_raw,
+            # alias kept for cross-round tooling that compared the
+            # r10-era key (round-11 advisory): trimmed verdict under
+            # its own name regardless of which rule headline binds.
+            "admissible_trimmed": bool(0 <= drift_trimmed_pct < 25.0),
             "rule": rule,
         },
+        # Per-entry protocol notes (round-11 advisory): the
+        # cosine_topk_ivf twin's fresh-index build is pre-warmed
+        # untimed at session setup since r11; if the warm failed, the
+        # first timed sample paid the build and per-query comparison
+        # against a warmed record is apples-to-oranges.
+        "warm_state": {"cosine_topk_ivf_fresh_index_prewarmed": ivf_twin_prewarmed},
         "samples": samples,
     }
     # The driver captures stdout's tail, which truncated BENCH_r03.json

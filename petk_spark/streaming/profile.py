@@ -595,7 +595,13 @@ def compact_store(spark, store_path: str, keep_recent: int = 0) -> int:
         ids = sorted(
             r[0] for r in stored.select("batch_id").distinct().collect()
         )
-        fold = ids[: len(ids) - keep_recent] if keep_recent > 0 else ids
+        # max(0, ...) guards the young-store case: keep_recent larger
+        # than the batch count must fold NOTHING (a negative slice index
+        # would wrap around and fold kept-window batches, re-creating
+        # the double-count-on-retry hazard keep_recent exists to stop).
+        if keep_recent < 0:
+            raise ValueError(f"keep_recent must be >= 0, got {keep_recent}")
+        fold = ids[: max(0, len(ids) - keep_recent)] if keep_recent > 0 else ids
         if len(fold) <= 1:
             return 0
         tmp = swap.clear_tmp(spark, store_path)

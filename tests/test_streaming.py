@@ -697,6 +697,43 @@ def test_compact_store_keep_recent_live_stream_safe(spark, tmp_path):
     check_equal()
 
 
+def test_compact_store_keep_recent_exceeds_batch_count(spark, tmp_path):
+    """keep_recent larger than the number of batches folds NOTHING
+    (round-12 advisory fix): the naive ids[:len-keep] slice would go
+    negative and wrap around, folding kept-window batches — exactly the
+    double-count-on-retry hazard keep_recent exists to prevent. A
+    caller using keep_recent=4 as replay-depth margin early in a
+    stream's life must see every directory untouched."""
+    import glob
+
+    import pytest
+
+    from petk_spark.streaming.profile import compact_store
+
+    store = str(tmp_path / "store")
+    for b in range(3):
+        _store_batch(spark, store, b)
+
+    def dirs():
+        return sorted(
+            int(d.rsplit("=", 1)[1]) for d in glob.glob(f"{store}/batch_id=*")
+        )
+
+    # keep_recent > batch count → no fold, all directories untouched
+    assert compact_store(spark, store, keep_recent=4) == 0
+    assert dirs() == [0, 1, 2]
+    # boundary: keep_recent == batch count → still nothing to fold
+    assert compact_store(spark, store, keep_recent=3) == 0
+    assert dirs() == [0, 1, 2]
+    # keep_recent == count-1 folds at most one directory → no-op too
+    assert compact_store(spark, store, keep_recent=2) == 0
+    assert dirs() == [0, 1, 2]
+    # negative keep_recent is rejected loudly, store untouched
+    with pytest.raises(ValueError, match="keep_recent"):
+        compact_store(spark, store, keep_recent=-1)
+    assert dirs() == [0, 1, 2]
+
+
 def test_compact_store_crash_recovery(spark, tmp_path):
     """A compaction that crashed right after its commit point (manifest
     written, folded dirs and temp dir still on disk) is completed by
