@@ -305,6 +305,23 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - prewarm best-effort
         print(f"# bench ivf twin pre-warm skipped: {exc}", file=sys.stderr)
 
+    # Round 12 (r11 verdict #1): pre-warm the media twin's fixture
+    # payload cache, untimed — synthesis (4 JPEG encodes + PNG/AVI/WAV
+    # writes per doc) is harness cost; the timed samples measure the
+    # DECODE kernels, which are the production surface. Deterministic
+    # payloads → identical hashes either way. Own try + warm_state
+    # entry, same protocol as the IVF pre-warm above.
+    media_twin_prewarmed = False
+    try:
+        from petk_spark.operators.extensions_registry import (
+            _media_twin_payloads,
+        )
+
+        _media_twin_payloads(spark, sf_dir)
+        media_twin_prewarmed = True
+    except Exception as exc:  # pragma: no cover - prewarm best-effort
+        print(f"# bench media twin pre-warm skipped: {exc}", file=sys.stderr)
+
     # Warm the JVM once (codegen compiler, parquet reader, shuffle, Arrow
     # python-worker pool) so the alphabetically-first query doesn't absorb
     # ~4 s of session spin-up that no steady-state deployment would pay.
@@ -502,7 +519,10 @@ def main() -> None:
         # untimed at session setup since r11; if the warm failed, the
         # first timed sample paid the build and per-query comparison
         # against a warmed record is apples-to-oranges.
-        "warm_state": {"cosine_topk_ivf_fresh_index_prewarmed": ivf_twin_prewarmed},
+        "warm_state": {
+            "cosine_topk_ivf_fresh_index_prewarmed": ivf_twin_prewarmed,
+            "media_twin_payloads_prewarmed": media_twin_prewarmed,
+        },
         "samples": samples,
     }
     # The driver captures stdout's tail, which truncated BENCH_r03.json
