@@ -848,3 +848,152 @@ def test_read_xml_native(spark, tmp_path):
     assert rows[2]["name"] is None
     # missing element under explicit schema -> NULL, not a crash
     assert rows[3]["price"] is None
+
+
+# ---------------------------------------------------------------------------
+# retrain_ivf_index — round 12 (r11 verdict #3): kmeans_fit wired to
+# the index lifecycle
+# ---------------------------------------------------------------------------
+
+
+def test_retrain_ivf_index_matches_fresh_build(spark, tmp_path):
+    """Retraining a drifted index (base + append) equals, row for row:
+    (a) centroids — the F49 distributed kmeans_fit on the index's own
+    full corpus warm-started from the stored model; (b) queries — a
+    FRESH index built with those exact centroids (build's new explicit
+    ``centroids=`` seam). Also pins the lifecycle bookkeeping: every
+    stale generation folded into one base, the sidecar rewritten, and
+    the health baseline re-snapshotted (zero flags, n_now == n_base
+    immediately after retrain)."""
+    from petk_spark.operators.clustering import kmeans_fit
+    from petk_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_index_health,
+        load_ivf_centroids,
+        query_ivf_index,
+        retrain_ivf_index,
+    )
+    from petk_spark.sources import swap
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "ivf")
+
+    build_ivf_index(half_a, idx, n_centroids=8)
+    append_to_ivf_index(half_b, idx)
+    before = load_ivf_centroids(spark, idx)
+
+    cents, info = retrain_ivf_index(spark, idx)
+
+    # (a) centroid parity with a standalone kmeans_fit on the same
+    # corpus and warm start — same rounding contract, same iterations
+    want_cents, want_info = kmeans_fit(
+        emb, 8, id_col="vec_id", vec_col="embedding",
+        iterations=2, init=before, round_decimals=6,
+    )
+    assert cents == want_cents
+    assert info["n_assigned"] == want_info["n_assigned"] > 0
+
+    # (b) query parity with a fresh index built from the SAME corpus
+    # with the retrained centroids verbatim
+    idx2 = str(tmp_path / "ivf_fresh")
+    build_ivf_index(emb, idx2, n_centroids=8, centroids=cents)
+
+    def rows(p):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"],
+             round(r["cosine"], 12))
+            for r in query_ivf_index(
+                spark, p, queries, k=10, n_probes=2
+            ).collect()
+        )
+
+    got = rows(idx)
+    assert got == rows(idx2) and len(got) > 0
+
+    # lifecycle bookkeeping: one generation, sidecar = retrained model,
+    # health re-baselined (nothing flags on a just-retrained index)
+    assert swap.list_children(spark, idx, "ingest=") == ["ingest=base"]
+    assert load_ivf_centroids(spark, idx) == cents
+    health = ivf_index_health(spark, idx).collect()
+    assert all(not r["needs_rebuild"] for r in health)
+    assert all(r["n_now"] == r["n_base"] for r in health)
+
+
+def test_retrain_ivf_index_k_growth_reinit(spark, tmp_path):
+    """Growing k at retrain re-inits deterministically (warm-starting a
+    k-change is ill-posed) and the index keeps serving queries from the
+    larger cell grid."""
+    from petk_spark.operators.similarity import (
+        build_ivf_index,
+        load_ivf_centroids,
+        query_ivf_index,
+        retrain_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_centroids=4)
+    cents, info = retrain_ivf_index(spark, idx, k=8)
+    assert len(cents) == 8
+    assert load_ivf_centroids(spark, idx) == cents
+    got = query_ivf_index(
+        spark, idx, emb.filter(F.col("vec_id") < 5), k=5, n_probes=2
+    ).collect()
+    assert len(got) > 0
+
+
+def test_retrain_ivf_index_concurrent_writer_errors_loudly(spark, tmp_path):
+    """Retrain is a WRITER under the shared fold lock: a concurrent
+    holder turns it into FoldInProgressError, never silent pollution —
+    the same single-writer contract as build/append/compact."""
+    from petk_spark.operators.similarity import (
+        build_ivf_index,
+        retrain_ivf_index,
+    )
+    from petk_spark.sources import swap
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_centroids=4)
+    tok = swap.acquire_lock(spark, idx)
+    try:
+        with pytest.raises(swap.FoldInProgressError):
+            retrain_ivf_index(spark, idx)
+    finally:
+        swap.release_lock(spark, idx, tok)
+    # lock released: the retrain goes through
+    cents, _ = retrain_ivf_index(spark, idx)
+    assert len(cents) == 4
+
+
+def test_retrain_update_plan_constant_in_dim(spark, tmp_path):
+    """The verdict's plan pin: retrain's update stage over the
+    INDEX-READ frame (neighbor_id/cv, partition-discovered parquet) has
+    the same O(1)-in-dim shape as kmeans_fit's — posexplode into ONE
+    sum and ONE count, no element_at fan-out — so a 2048-dim embedding
+    column retrains with the same plan width as a 4-dim one."""
+    from petk_spark.operators.clustering import _centroid_stats
+    from petk_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_assign,
+        load_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_centroids=4)
+    corpus = spark.read.parquet(idx).select("neighbor_id", "cv")
+    stats = _centroid_stats(
+        ivf_assign(
+            corpus, load_ivf_centroids(spark, idx),
+            id_col="neighbor_id", vec_col="cv",
+        )
+    )
+    plan = stats._jdf.queryExecution().optimizedPlan().toString()
+    assert "element_at" not in plan
+    assert plan.count("sum(") == 1, plan.count("sum(")
+    assert plan.count("count(") == 1
