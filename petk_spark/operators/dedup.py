@@ -27,6 +27,8 @@ Scale design:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
@@ -495,50 +497,85 @@ def simhash_near_dup(
 def hamming_near_dup(
     df: DataFrame,
     id_col: str,
-    sig_col: str,
+    sig_col: str | Sequence[str],
     max_hamming: int = 3,
     persist: bool = True,
 ) -> DataFrame:
-    """(id_a, id_b, hamming) pairs of 64-bit signatures within Hamming
+    """(id_a, id_b, hamming) pairs of signatures within Hamming
     distance ``max_hamming`` — the shared engine under SimHash text
     near-dup (F2c) and perceptual image-hash near-dup (F47).
 
-    Pigeonhole blocking: the 64-bit signature is split into
-    ``max_hamming + 1`` blocks; any pair within distance d must agree on
-    at least one block, so candidates = equi-join per block — no
-    quadratic cross join. NULL signatures (undecodable images) produce
-    no pairs. ``max_hamming`` must be in [0, 63] — 64 would mean "all
-    pairs", which is a cross join by definition, not a blocking
-    problem.
+    ``sig_col`` is one long column (64-bit signatures), or — round 12,
+    the SCALE.md distinct-signature-saturation remedy — a SEQUENCE of
+    long columns forming one wide signature, most-significant word
+    first (e.g. ``["phash_hi", "phash_lo"]`` from the 128-bit
+    ``image_phash_frame``). A row whose signature has ANY null word
+    produces no pairs.
+
+    Pigeonhole blocking: the signature is split into
+    ``max_hamming + 1`` blocks; any pair within distance d must agree
+    on at least one block, so candidates = equi-join per block — no
+    quadratic cross join. At 128 bits with ``max_hamming = 3`` each
+    block is 32 bits (~4.3e9 bucket values vs 16 bits/65k at 64-bit)
+    — the expected same-bucket collision count for n uniformly-spread
+    distinct signatures drops from ~n²/2¹⁶ to ~n²/2³², pushing the
+    saturation knee from ~10⁴·⁸ to ~10⁷·² distinct signatures per
+    block and making the 10⁹-distinct-image crawl regime blockable.
+    ``max_hamming`` must be in [0, total_bits − 1]; multi-word
+    signatures additionally require ``max_hamming + 1 ≥ n_words``
+    when positive so each block key fits one long (``max_hamming=0``
+    skips blocking entirely — distance 0 is exact-signature grouping).
 
     Exact-signature collapse (round-9 verdict #3): the blocked join runs
     on DISTINCT signatures only, then the surviving signature pairs are
     re-expanded to member id pairs, and same-signature groups emit their
-    within-group pairs directly at distance 0. With ``max_hamming = 3``
-    each block is 16 bits (~65k bucket values), so at 10⁹+ rows bucket
-    occupancy — and the join's candidate count, Σ n_v² — grows
-    quadratically in ROWS; after the collapse it grows in DISTINCT
-    signatures, which heavy duplication (the common-crawl case this
-    operator exists for) keeps far smaller. The member re-expansion is
-    two hash joins on the signature, output-proportional by definition
-    (the pairs ARE the answer). See SCALE.md for the distinct-signature
-    regime where 64-bit blocking itself stops being enough.
+    within-group pairs directly at distance 0. With 64-bit signatures
+    and ``max_hamming = 3`` each block is 16 bits (~65k bucket values),
+    so at 10⁹+ rows bucket occupancy — and the join's candidate count,
+    Σ n_v² — grows quadratically in ROWS; after the collapse it grows
+    in DISTINCT signatures, which heavy duplication (the common-crawl
+    case this operator exists for) keeps far smaller. The member
+    re-expansion is two hash joins on the signature,
+    output-proportional by definition (the pairs ARE the answer).
 
     Caching: the (id, signature) projection is ``.persist()``-ed with
     no eager unpersist (the result is lazy — unpersisting on return
     would defeat the cache; see :func:`jaccard_near_dup`); pass
     ``persist=False`` in long-lived sessions that invoke this
     per-batch."""
-    if not 0 <= max_hamming <= 63:
+    multi = not isinstance(sig_col, str)
+    words = list(sig_col) if multi else [sig_col]
+    nwords = len(words)
+    total = 64 * nwords
+    if not 0 <= max_hamming <= total - 1:
         raise ValueError(
-            f"max_hamming must be in [0, 63], got {max_hamming}"
+            f"max_hamming must be in [0, {total - 1}], got {max_hamming}"
+        )
+    if multi and max_hamming > 0 and max_hamming + 1 < nwords:
+        raise ValueError(
+            f"max_hamming={max_hamming} splits a {total}-bit signature "
+            f"into blocks wider than 64 bits; need max_hamming >= "
+            f"{nwords - 1} (or 0 for exact grouping)"
         )
     nblocks = max_hamming + 1
-    width = 64 // nblocks
+    width = total // nblocks
 
-    fp = df.select(
-        F.col(id_col).alias("id"), F.col(sig_col).cast("long").alias("sim")
-    ).filter(F.col(sig_col).isNotNull())
+    notnull = F.col(words[0]).isNotNull()
+    for wname in words[1:]:
+        notnull = notnull & F.col(wname).isNotNull()
+    sim_expr = (
+        F.struct(
+            *[
+                F.col(wname).cast("long").alias(f"w{k}")
+                for k, wname in enumerate(words)
+            ]
+        )
+        if multi
+        else F.col(sig_col).cast("long")
+    )
+    fp = df.filter(notnull).select(
+        F.col(id_col).alias("id"), sim_expr.alias("sim")
+    )
     # The signature frame feeds FOUR plan branches post-collapse (the
     # distinct-sig block join, the two member re-expansion joins, and
     # the same-signature self-join). Its upstream is the expensive
@@ -556,19 +593,49 @@ def hamming_near_dup(
     if persist and not df.isStreaming:
         fp = fp.persist()
 
-    def block(c: Column, i: int) -> Column:
-        # Unsigned slice of bits [i*width, (i+1)*width) — last block takes
-        # the remainder bits too.
+    def word(k: int) -> Column:
+        # k-th 64-bit word counting from the LSB end of the signature
+        return (
+            F.col("sim").getField(f"w{nwords - 1 - k}")
+            if multi
+            else F.col("sim")
+        )
+
+    def block(i: int) -> Column:
+        # Unsigned slice of bits [i*width, (i+1)*width) of the full
+        # signature (LSB-first global indexing) — last block takes the
+        # remainder bits too. A slice can straddle a word boundary
+        # when width doesn't divide 64; pieces are OR-combined.
         lo = i * width
-        size = 64 - lo if i == nblocks - 1 else width
-        # a 64-bit slice (nblocks=1, max_hamming=0) needs the all-ones
-        # mask, which only fits a signed long as -1
-        mask = -1 if size >= 64 else (1 << size) - 1
-        return F.shiftrightunsigned(c, lo).bitwiseAND(F.lit(mask))
+        size = total - lo if i == nblocks - 1 else width
+        # max_hamming=0 on a multi-word signature makes the single
+        # block wider than a long; cap it at 64 bits — sound, because
+        # at distance 0 the cross branch is provably empty (it needs
+        # sim_a < sim_b AND hamming = 0) and all real pairs come from
+        # the same-signature branch; the block key only affects how
+        # much dead candidate work the empty branch does.
+        size = min(size, 64)
+        out = None
+        pos, got = lo, 0
+        while got < size:
+            wk, off = divmod(pos, 64)
+            take = min(64 - off, size - got)
+            # a full-word slice needs the all-ones mask, which only
+            # fits a signed long as -1
+            mask = -1 if take >= 64 else (1 << take) - 1
+            piece = F.shiftrightunsigned(word(wk), off).bitwiseAND(
+                F.lit(mask)
+            )
+            if got:
+                piece = F.shiftleft(piece, got)
+            out = piece if out is None else out.bitwiseOR(piece)
+            pos += take
+            got += take
+        return out
 
     entries = F.array(
         *[
-            F.struct(F.lit(i).alias("blk"), block(F.col("sim"), i).alias("val"))
+            F.struct(F.lit(i).alias("blk"), block(i).alias("val"))
             for i in range(nblocks)
         ]
     )
@@ -579,8 +646,22 @@ def hamming_near_dup(
     a = blocked.alias("a")
     b = blocked.alias("b")
 
-    # Hamming distance = popcount(xor) via bit_count (Spark 3.3+).
-    ham = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+    # Hamming distance = popcount(xor) via bit_count (Spark 3.3+),
+    # summed per word for wide signatures.
+    if multi:
+        ham = F.bit_count(
+            F.col("a.sim").getField("w0").bitwiseXOR(
+                F.col("b.sim").getField("w0")
+            )
+        )
+        for k in range(1, nwords):
+            ham = ham + F.bit_count(
+                F.col("a.sim").getField(f"w{k}").bitwiseXOR(
+                    F.col("b.sim").getField(f"w{k}")
+                )
+            )
+    else:
+        ham = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
     sig_pairs = (
         a.join(b, ["blk", "val"])
         .filter(F.col("a.sim") < F.col("b.sim"))

@@ -1,0 +1,187 @@
+"""Trained character-n-gram language identification (SURVEY §2.F4's
+`language_id` upgraded per the round-11 verdict: the marker-word scorer
+is portable but cannot separate related languages — es/pt share most
+marker words — and misfires on short documents where no marker
+appears). Beyond-reference; the reference (petk) has no language ID at
+all.
+
+Model: multinomial Naive Bayes over character ``n``-grams (default
+trigrams, the classic Cavnar–Trenkle / langid.py-class feature), with
+Laplace smoothing and a uniform prior:
+
+    score(lang, doc) = Σ_g log2((c_{lang,g} + 1) / (N_lang + V_lang + 1))
+
+where out-of-vocabulary grams contribute the single smoothed OOV bucket
+``log2(1 / (N_lang + V_lang + 1))``. Factored so every per-gram weight
+is data-only: ``score = Σ_g w_lang(g) − T · base_lang`` with
+``w_lang(g) = ilog(c+1)``, ``base_lang = ilog(N+V+1)``, T = total gram
+count of the document (OOV grams contribute w = 0).
+
+Cross-engine determinism (the driver hash gate): every weight is an
+INTEGER — ``ilog(x) = floor(log2(x) · 2^20)`` — so per-document scores
+are exact integer sums and the argmax + lexicographic tie-break is
+bit-replayable by DuckDB retraining the same model in SQL (the same
+quantize-the-transcendental trick as the pHash integer DCT;
+``floor`` rather than ``round`` to stay clear of the Python-bankers /
+DuckDB-half-away rounding seam). The only float in the pipeline is
+``log2`` itself, whose value would need to land within one ulp of an
+integer/2^20 boundary to flip a weight — and both engines' libm agree
+exactly on the powers of two where that boundary is actually hit.
+
+Scale shape (100 TB): training is one gram-explode + hash aggregation
+over the REFERENCE corpus (run-once, like the unigram LM and the IVF
+centroid sample) with a per-language top-V window on the small
+aggregated frame; the model artifact is ≤ ``langs × vocab_size`` rows,
+collected once into a task-closure dict. Scoring is ROW-LOCAL
+(Arrow-batched mapInPandas, one dict probe per gram, zero shuffles) —
+the corpus side is one scan, exactly the F46 LM scoring shape.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: fixed-point scale for the integer log weights (2^20 ≈ 6 decimal
+#: digits of log2 precision — far below any real inter-language margin)
+LANGID_SCALE = 1 << 20
+
+
+def _ilog(x: int) -> int:
+    """floor(log2(x) · 2^20) — the integer weight quantizer shared (by
+    replayed arithmetic, not by import) with the DuckDB oracle."""
+    return math.floor(math.log2(x) * LANGID_SCALE)
+
+
+def normalize_text(text: Column) -> Column:
+    """The repo's canonical text normalization (same as
+    ``text.fingerprint``): lowercase JVM-side, collapse whitespace runs
+    to single spaces, trim. Grams are taken over THIS string, spaces
+    included — word boundaries are a real n-gram signal."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def _grams(s: str, n: int) -> list[str]:
+    return [s[i : i + n] for i in range(len(s) - n + 1)]
+
+
+def train_char_langid(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    n: int = 3,
+    vocab_size: int = 5000,
+) -> tuple[DataFrame, dict]:
+    """Train the NB model on a labeled reference corpus. Returns
+    ``(model_frame, stats)``: the frame is ``(lang, gram, c, w)`` —
+    per-language top-``vocab_size`` grams by (count DESC, gram ASC)
+    with their integer weights — and ``stats`` carries ``langs`` (the
+    sorted label set), ``base`` (per-language ``ilog(N+V+1)``) and
+    ``n``/``vocab_size``/``scale``. Two actions: the per-language
+    (N, V) aggregate collect (≤ langs rows) and nothing else — the
+    model frame stays lazy for the caller to collect or persist."""
+    norm = df.select(
+        F.col(label_col).alias("lang"), normalize_text(F.col(text_col)).alias("s")
+    ).filter(F.col("lang").isNotNull() & (F.length("s") >= n))
+
+    def gram_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            langs, grams = [], []
+            for lang, s in zip(pdf["lang"], pdf["s"]):
+                for g in _grams(s, n):
+                    langs.append(lang)
+                    grams.append(g)
+            yield pd.DataFrame({"lang": langs, "gram": grams})
+
+    counted = (
+        norm.mapInPandas(gram_rows, "lang string, gram string")
+        .groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("gram"))
+    )
+    vocab = counted.withColumn("rn", rn).filter(F.col("rn") <= vocab_size)
+
+    per_lang = {
+        r["lang"]: (int(r["n_tot"]), int(r["v"]))
+        for r in vocab.groupBy("lang")
+        .agg(F.sum("c").alias("n_tot"), F.count(F.lit(1)).alias("v"))
+        .collect()
+    }
+    base = {
+        lang: _ilog(n_tot + v + 1) for lang, (n_tot, v) in per_lang.items()
+    }
+
+    @F.udf("long")
+    def w_of(c):  # pragma: no cover - trivial wrapper, exercised via frame
+        return _ilog(int(c) + 1)
+
+    model = vocab.select("lang", "gram", "c", w_of(F.col("c")).alias("w"))
+    stats = {
+        "langs": sorted(per_lang),
+        "base": base,
+        "n": n,
+        "vocab_size": vocab_size,
+        "scale": LANGID_SCALE,
+    }
+    return model, stats
+
+
+def langid_predict_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: DataFrame | dict,
+    stats: dict,
+) -> DataFrame:
+    """Score every document against a trained model:
+    ``(id, lang_pred)`` — argmax of the integer NB score with
+    lexicographic tie-break, ``'und'`` for documents with no grams
+    (NULL text or shorter than ``n`` after normalization).
+
+    ``model`` is the training frame (collected here, once — it is
+    ≤ langs × vocab_size rows by construction) or an already-collected
+    ``{(lang, gram): w}`` dict. The kernel is the F46 dict-closure
+    shape: Arrow batches, one hash probe per gram, zero shuffles."""
+    n = stats["n"]
+    langs = list(stats["langs"])
+    base = dict(stats["base"])
+    if isinstance(model, DataFrame):
+        weights = {
+            (r["lang"], r["gram"]): int(r["w"]) for r in model.collect()
+        }
+    else:
+        weights = dict(model)
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            preds = []
+            for s in pdf["s"]:
+                if s is None or (not isinstance(s, str) and pd.isna(s)):
+                    preds.append("und")
+                    continue
+                grams = _grams(s, n)
+                if not grams:
+                    preds.append("und")
+                    continue
+                t = len(grams)
+                best_lang, best_score = "und", None
+                for lang in langs:  # sorted: first wins ties
+                    acc = 0
+                    for g in grams:
+                        acc += weights.get((lang, g), 0)
+                    score = acc - t * base[lang]
+                    if best_score is None or score > best_score:
+                        best_lang, best_score = lang, score
+                preds.append(best_lang)
+            yield pd.DataFrame({"id": pdf["id"], "lang_pred": preds})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(
+        F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("s")
+    ).mapInPandas(kern, f"id {id_type}, lang_pred string")

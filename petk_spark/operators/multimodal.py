@@ -852,15 +852,17 @@ def image_average_hash(payload: bytes | None, hash_size: int = 8):
 PHASH_WEIGHT_SCALE = 16384
 
 
-def _phash_weight_rows(n: int) -> list[list[int]]:
+def _phash_weight_rows(n: int, n_freq: int = 8) -> list[list[int]]:
     """Integer DCT-II weight table ``W[u][x] = round(cos((2x+1)·u·π /
-    (2n)) · 2^14)`` for the 8 lowest frequencies ``u`` over ``n``
-    sample positions ``x`` — pure Python (``math.cos`` + ``round``) so
-    the oracle builder can inline the IDENTICAL literals into SQL.
-    Quantizing the cosines to integers is what makes the whole pHash
-    bit-exact across engines and platforms (float DCTs differ in the
-    last ulp with summation order — the same reason H.264/HEVC define
-    integer transforms instead of ideal-cosine ones)."""
+    (2n)) · 2^14)`` for the ``n_freq`` lowest frequencies ``u`` over
+    ``n`` sample positions ``x`` — pure Python (``math.cos`` +
+    ``round``) so the oracle builder can inline the IDENTICAL literals
+    into SQL. Quantizing the cosines to integers is what makes the
+    whole pHash bit-exact across engines and platforms (float DCTs
+    differ in the last ulp with summation order — the same reason
+    H.264/HEVC define integer transforms instead of ideal-cosine
+    ones). ``n_freq=16`` feeds the 128-bit variant's 16-row frequency
+    block (round 12)."""
     import math
 
     return [
@@ -869,7 +871,7 @@ def _phash_weight_rows(n: int) -> list[list[int]]:
                       * PHASH_WEIGHT_SCALE))
             for x in range(n)
         ]
-        for u in range(8)
+        for u in range(n_freq)
     ]
 
 
@@ -902,7 +904,7 @@ def _luma_plane(payload: bytes | None):
     return None
 
 
-def image_phash(payload: bytes | None, dct_size: int = 32):
+def image_phash(payload: bytes | None, dct_size: int = 32, bits: int = 64):
     """Perceptual DCT hash (pHash) of a PNG or baseline-JPEG payload —
     the frequency-domain sibling of :func:`image_average_hash` and the
     named remedy for the Hamming engine's distinct-signature ceiling
@@ -912,22 +914,33 @@ def image_phash(payload: bytes | None, dct_size: int = 32):
     1. exact-partition downsample of the alpha-free luma plane to
        ``dct_size²`` cells (the aHash cell convention), each cell an
        integer ROUND-HALF-UP mean ``(2·S + C) // (2·C)``;
-    2. 2-D DCT restricted to the 8×8 lowest frequencies, computed with
-       the INTEGER weight table of :func:`_phash_weight_rows` — every
+    2. 2-D DCT restricted to the lowest frequencies — an 8×8 block at
+       ``bits=64``, a 16×8 block at ``bits=128`` (round 12: the wider
+       form SCALE.md names as the distinct-signature-saturation remedy;
+       16 row frequencies × 8 column frequencies) — computed with the
+       INTEGER weight table of :func:`_phash_weight_rows`; every
        coefficient is an exact int64 (|coef| ≤ 765·2^28·dct_size² —
        bounded by ~2.1e14 at dct_size 32);
-    3. threshold each of the 64 coefficients (DC included, as in
-       classic pHash) strictly above the 32nd-smallest coefficient;
-    4. pack row-major in (u, v), MSB-first → 16 hex chars.
+    3. threshold each coefficient (DC included, as in classic pHash)
+       strictly above the median — the ``bits/2``-th-smallest
+       coefficient;
+    4. pack row-major in (u, v), MSB-first → ``bits/4`` hex chars.
 
     Every step is integer-exact, so the bit pattern is replayable by
     any engine repeating the arithmetic — no float DCT, no resampling
     filter. Returns None for corrupt/unsupported payloads or images
     smaller than ``dct_size`` in either dimension (the exact partition
     needs ≥1 pixel per cell; classic pHash upsamples instead, which
-    would need an interpolation filter contract)."""
+    would need an interpolation filter contract). ``bits=128``
+    additionally requires ``dct_size ≥ 16`` (16 distinct row
+    frequencies need ≥ 16 sample positions)."""
     import numpy as np
 
+    if bits not in (64, 128):
+        raise ValueError(f"bits must be 64 or 128, got {bits}")
+    n_freq_rows = 16 if bits == 128 else 8
+    if bits == 128 and dct_size < 16:
+        raise ValueError("bits=128 needs dct_size >= 16")
     lum = _luma_plane(payload)
     if lum is None:
         return None
@@ -940,14 +953,15 @@ def image_phash(payload: bytes | None, dct_size: int = 32):
     S = np.add.reduceat(np.add.reduceat(lum, rs, axis=0), cs, axis=1)
     C = np.outer(np.diff(rs + [h]), np.diff(cs + [w]))
     M = (2 * S + C) // (2 * C)  # round-half-up integer cell mean
-    Wt = np.array(_phash_weight_rows(n), dtype=np.int64)
-    A = Wt @ M @ Wt.T  # 8×8 low-frequency block, exact int64
+    Wr = np.array(_phash_weight_rows(n, n_freq_rows), dtype=np.int64)
+    Wc = np.array(_phash_weight_rows(n, 8), dtype=np.int64)
+    A = Wr @ M @ Wc.T  # n_freq_rows×8 low-frequency block, exact int64
     flat = [int(x) for x in A.reshape(-1)]
-    thr = sorted(flat)[31]
+    thr = sorted(flat)[bits // 2 - 1]
     v = 0
     for x in flat:
         v = (v << 1) | (1 if x > thr else 0)
-    return format(v, "016x")
+    return format(v, f"0{bits // 4}x")
 
 
 def image_phash_frame(
@@ -955,37 +969,59 @@ def image_phash_frame(
     id_col: str,
     payload_col: str,
     dct_size: int = 32,
+    bits: int = 64,
 ) -> DataFrame:
-    """Arrow-batched pHash frame over a binary image column:
-    ``(id, phash, phash64)`` — hex hash plus the signed 64-bit form for
-    :func:`~petk_spark.operators.dedup.hamming_near_dup` (the same
-    XOR/popcount engine aHash and the audio hash ride). Corrupt or
-    undecodable payloads yield NULLs, never task failures. Row-local
-    (mapInPandas), zero shuffles — pure scan work at 100 TB."""
+    """Arrow-batched pHash frame over a binary image column. At
+    ``bits=64``: ``(id, phash, phash64)`` — hex hash plus the signed
+    64-bit form for :func:`~petk_spark.operators.dedup.hamming_near_dup`
+    (the same XOR/popcount engine aHash and the audio hash ride). At
+    ``bits=128`` (round 12): ``(id, phash, phash_hi, phash_lo)`` — the
+    hash as TWO signed longs (most-significant word first), the shape
+    ``hamming_near_dup``'s multi-word signature form blocks on with
+    32-bit keys. Corrupt or undecodable payloads yield NULLs, never
+    task failures. Row-local (mapInPandas), zero shuffles — pure scan
+    work at 100 TB."""
     id_name, payload_name = id_col, payload_col
+    if bits not in (64, 128):
+        raise ValueError(f"bits must be 64 or 128, got {bits}")
+
+    def signed(u: int) -> int:
+        return u - (1 << 64) if u >= (1 << 63) else u
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_rows = []
             for rid, payload in zip(pdf[id_name], pdf[payload_name]):
-                hx = image_phash(payload, dct_size)
-                v = None
-                if hx is not None:
-                    u = int(hx, 16)
-                    v = u - (1 << 64) if u >= (1 << 63) else u
-                out_rows.append((rid, hx, v))
-            yield pd.DataFrame(
-                out_rows, columns=["id", "phash", "phash64"]
-            ).astype({"phash64": "Int64"})
+                hx = image_phash(payload, dct_size, bits=bits)
+                if bits == 64:
+                    v = signed(int(hx, 16)) if hx is not None else None
+                    out_rows.append((rid, hx, v))
+                else:
+                    hi = lo = None
+                    if hx is not None:
+                        u = int(hx, 16)
+                        hi, lo = signed(u >> 64), signed(u & ((1 << 64) - 1))
+                    out_rows.append((rid, hx, hi, lo))
+            cols = (
+                ["id", "phash", "phash64"]
+                if bits == 64
+                else ["id", "phash", "phash_hi", "phash_lo"]
+            )
+            yield pd.DataFrame(out_rows, columns=cols).astype(
+                {c: "Int64" for c in cols[2:]}
+            )
 
     id_field = df.schema[id_col]
-    schema = T.StructType(
-        [
-            T.StructField("id", id_field.dataType),
-            T.StructField("phash", T.StringType()),
-            T.StructField("phash64", T.LongType()),
-        ]
-    )
+    fields = [
+        T.StructField("id", id_field.dataType),
+        T.StructField("phash", T.StringType()),
+    ]
+    if bits == 64:
+        fields.append(T.StructField("phash64", T.LongType()))
+    else:
+        fields.append(T.StructField("phash_hi", T.LongType()))
+        fields.append(T.StructField("phash_lo", T.LongType()))
+    schema = T.StructType(fields)
     return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 

@@ -98,7 +98,10 @@ def test_invalid_inputs_return_none():
     assert decode_jpeg(b"\xff\xd8junkjunk") is None
     assert decode_jpeg(good[: len(good) // 2]) is None  # truncated scan
     assert decode_jpeg(good[:20]) is None               # truncated header
-    # progressive (SOF2) rejected
+    # flipping SOF0→SOF2 on a BASELINE stream still fails loudly: the
+    # baseline scan header (Ss=0, Se=63) is illegal for a progressive
+    # DC scan, so the round-12 multi-scan path returns None rather
+    # than misreading the sequential entropy data
     i = good.find(b"\xff\xc0")
     assert decode_jpeg(good[: i + 1] + b"\xc2" + good[i + 2 :]) is None
     # 12-bit precision rejected (precision byte is first of SOF body)
@@ -363,13 +366,14 @@ def test_image_phash_matches_pure_python_reference():
         image_phash,
     )
 
-    def reference_phash(payload, n):
+    def reference_phash(payload, n, bits=64):
         lum = _luma_plane(payload)
         if lum is None:
             return None
         h, w = lum.shape
         if w < n or h < n:
             return None
+        nf = 16 if bits == 128 else 8
         px = [[int(lum[r, c]) for c in range(w)] for r in range(h)]
         S = [[0] * n for _ in range(n)]
         C = [[0] * n for _ in range(n)]
@@ -380,19 +384,20 @@ def test_image_phash_matches_pure_python_reference():
                 C[a][b] += 1
         M = [[(2 * S[a][b] + C[a][b]) // (2 * C[a][b]) for b in range(n)]
              for a in range(n)]
-        W = _phash_weight_rows(n)
+        Wr = _phash_weight_rows(n, nf)
+        Wc = _phash_weight_rows(n, 8)
         flat = []
-        for u in range(8):
+        for u in range(nf):
             for v in range(8):
                 flat.append(sum(
-                    W[u][a] * M[a][b] * W[v][b]
+                    Wr[u][a] * M[a][b] * Wc[v][b]
                     for a in range(n) for b in range(n)
                 ))
-        thr = sorted(flat)[31]
+        thr = sorted(flat)[bits // 2 - 1]
         out = 0
         for x in flat:
             out = (out << 1) | (1 if x > thr else 0)
-        return format(out, "016x")
+        return format(out, f"0{bits // 4}x")
 
     rng = np.random.default_rng(11)
     gray = rng.integers(0, 256, size=(36, 41), dtype=np.uint8)
@@ -407,6 +412,16 @@ def test_image_phash_matches_pure_python_reference():
     ]
     for payload, n in cases:
         assert image_phash(payload, n) == reference_phash(payload, n)
+        # the 128-bit wide form (round 12): 16×8 frequency block,
+        # median threshold over 128 coefficients, 32 hex chars
+        assert image_phash(payload, n, bits=128) == reference_phash(
+            payload, n, bits=128
+        )
+    # the 64-bit hash is NOT a prefix of the 128-bit one (different
+    # threshold), but both must exist and differ in length
+    h64 = image_phash(cases[0][0], 32)
+    h128 = image_phash(cases[0][0], 32, bits=128)
+    assert len(h64) == 16 and len(h128) == 32
 
 
 # ---------------------------------------------------------------------------
@@ -629,3 +644,116 @@ def test_fuzz_progressive_corruption_never_raises(
     if out is not None:
         ww, hh, nc, px = out
         assert px.shape == (hh, ww, nc)
+
+
+# ---------------------------------------------------------------------------
+# 128-bit pHash + wide Hamming blocking — round 12 (r11 verdict #4)
+# ---------------------------------------------------------------------------
+
+
+def test_hamming_near_dup_128bit_brute_force_parity(spark):
+    """Multi-word (128-bit) hamming_near_dup equals the all-pairs
+    brute force at every blocking geometry — clean 64/32/16-bit blocks
+    (max_hamming 1/3/7), word-straddling widths (2 → 42 bits,
+    4 → 25 bits), and the degenerate exact-grouping distance 0."""
+    import itertools
+    import random
+
+    from petk_spark.operators.dedup import hamming_near_dup
+
+    def signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    rng = random.Random(42)
+    sigs = {}
+    rid = 0
+    for b in [rng.getrandbits(128) for _ in range(12)]:
+        for _ in range(rng.randint(1, 4)):
+            v = b
+            for _ in range(rng.randint(0, 6)):
+                v ^= 1 << rng.randrange(128)
+            sigs[rid] = v
+            rid += 1
+    df = spark.createDataFrame(
+        [(i, signed(v >> 64), signed(v & ((1 << 64) - 1)))
+         for i, v in sigs.items()],
+        "id long, hi long, lo long",
+    )
+    for mh in (0, 1, 2, 3, 4, 7):
+        got = sorted(
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in hamming_near_dup(
+                df, "id", ["hi", "lo"], max_hamming=mh, persist=False
+            ).collect()
+        )
+        want = sorted(
+            (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+            for a, b in itertools.combinations(sorted(sigs), 2)
+            if bin(sigs[a] ^ sigs[b]).count("1") <= mh
+        )
+        assert got == want, mh
+
+
+def test_hamming_near_dup_wide_null_word_and_validation(spark):
+    """A signature with ANY null word produces no pairs; out-of-range
+    max_hamming and blocks-wider-than-a-long geometries are rejected
+    loudly."""
+    from petk_spark.operators.dedup import hamming_near_dup
+
+    df = spark.createDataFrame(
+        [(1, 5, 9), (2, 5, 9), (3, None, 9), (4, 5, None)],
+        "id long, hi long, lo long",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_near_dup(
+            df, "id", ["hi", "lo"], max_hamming=3, persist=False
+        ).collect()
+    }
+    assert pairs == {(1, 2): 0}
+    with pytest.raises(ValueError, match=r"\[0, 127\]"):
+        hamming_near_dup(df, "id", ["hi", "lo"], max_hamming=128)
+    with pytest.raises(ValueError, match="wider than 64 bits"):
+        # 3 words = 192 bits; max_hamming=1 would need 96-bit blocks
+        hamming_near_dup(
+            spark.createDataFrame([(1, 1, 1, 1)], "id long, a long, b long, c long"),
+            "id", ["a", "b", "c"], max_hamming=1,
+        )
+
+
+def test_image_phash128_frame_through_wide_hamming(spark):
+    """The 128-bit image_phash_frame output (phash_hi/phash_lo) drops
+    into the widened Hamming engine: exact dups at distance 0 with
+    32-BIT block keys (max_hamming=3 over 128 bits), corrupt payloads
+    → NULL words → no pairs, and the hex column is the two words
+    re-concatenated."""
+    from petk_spark.operators.dedup import hamming_near_dup
+    from petk_spark.operators.multimodal import image_phash_frame
+
+    imgs = [
+        (1, synth_jpeg_blocks(32, 32, 7)),
+        (2, synth_jpeg_blocks(32, 32, 7)),   # exact dup
+        (3, synth_jpeg_blocks(32, 32, 101)),
+        (4, synth_jpeg_blocks(32, 32, 5)[:30]),  # corrupt → NULL
+    ]
+    df = spark.createDataFrame(imgs, "id long, payload binary")
+    fr = image_phash_frame(df, "id", "payload", dct_size=16, bits=128)
+    rows = {r["id"]: r for r in fr.collect()}
+    assert rows[4]["phash"] is None
+    assert rows[4]["phash_hi"] is None and rows[4]["phash_lo"] is None
+    assert rows[1]["phash"] == rows[2]["phash"]
+    assert len(rows[1]["phash"]) == 32
+
+    def signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    u = int(rows[1]["phash"], 16)
+    assert rows[1]["phash_hi"] == signed(u >> 64)
+    assert rows[1]["phash_lo"] == signed(u & ((1 << 64) - 1))
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_near_dup(
+            fr, "id", ["phash_hi", "phash_lo"], max_hamming=3, persist=False
+        ).collect()
+    }
+    assert pairs == {(1, 2): 0}
