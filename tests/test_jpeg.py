@@ -757,3 +757,22 @@ def test_image_phash128_frame_through_wide_hamming(spark):
         ).collect()
     }
     assert pairs == {(1, 2): 0}
+
+
+def test_perceptual_hashes_progressive_transparent():
+    """The F47 hashes see pixels, not encodings: a progressive
+    re-encode of the same image yields the SAME aHash and pHash (64
+    and 128 bit) as the baseline encoding — so a crawl corpus mixing
+    baseline and progressive copies of one image dedupes at Hamming
+    distance 0 with no special-casing."""
+    from petk_spark.operators.jpeg import encode_progressive_jpeg
+    from petk_spark.operators.multimodal import image_average_hash, image_phash
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    img = (20 + (9 + 17 * (xx // 8) + 29 * (yy // 8)) % 200).astype(np.uint8)
+    b = encode_baseline_jpeg(img)
+    p = encode_progressive_jpeg(img)
+    assert p[:4] != b[:4] or p != b  # genuinely different encodings
+    assert image_average_hash(p) == image_average_hash(b) is not None
+    assert image_phash(p, 16) == image_phash(b, 16) is not None
+    assert image_phash(p, 16, bits=128) == image_phash(b, 16, bits=128)
