@@ -179,6 +179,44 @@ def synth_wav_tone(
     return riff + fmt + data
 
 
+def synth_wav_float_tone(
+    sample_rate: int,
+    n_frames: int,
+    k: int,
+    extensible: bool = False,
+) -> bytes:
+    """Valid IEEE-float (format 3) mono WAV whose frame ``i`` carries
+    ``(((i·k) mod 2^16) − 32768) / 32768`` as an exact float32 — the
+    value grid Q15 quantization recovers losslessly, so the energy
+    hash of this fixture equals the 16-bit tone's arithmetic exactly
+    (what the ``whash_f32`` oracle kind replays). ``extensible=True``
+    wraps the same stream in a WAVE_FORMAT_EXTENSIBLE (0xFFFE) header
+    whose SubFormat GUID carries the float tag — pinning the GUID
+    parse path with the identical expected hash."""
+    import struct
+
+    block_align = 4
+    byte_rate = sample_rate * block_align
+    body = bytearray()
+    for i in range(n_frames):
+        body += struct.pack("<f", (((i * k) % 65536) - 32768) / 32768.0)
+    if not extensible:
+        fmt = struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 3, 1, sample_rate, byte_rate,
+            block_align, 32,
+        )
+    else:
+        guid = struct.pack("<H", 3) + _WAVE_EXT_GUID_SUFFIX
+        ext = struct.pack("<HHI", 22, 32, 0x4) + guid  # cbSize, valid bits, mask
+        fmt = struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16 + len(ext), 0xFFFE, 1, sample_rate,
+            byte_rate, block_align, 32,
+        ) + ext
+    data = struct.pack("<4sI", b"data", len(body)) + bytes(body)
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+    return riff + fmt + data
+
+
 def synth_wav_stereo_tone(
     sample_rate: int,
     bits_per_sample: int,
@@ -218,17 +256,28 @@ def synth_wav_stereo_tone(
     return riff + fmt + data
 
 
+#: the 14-byte suffix every standard WAVE_FORMAT_EXTENSIBLE SubFormat
+#: GUID shares (the media-subtype namespace); the leading 2 LE bytes
+#: carry the effective format tag (1 = integer PCM, 3 = IEEE float)
+_WAVE_EXT_GUID_SUFFIX = (
+    b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+)
+
+
 def _wav_pcm_view(payload: bytes | None):
-    """(rate, channels, bits, n_frames, data_bytes) — the PCM payload
-    located by the same RIFF chunk walk as :func:`parse_wav_header`,
-    or None for anything invalid. Only format-1 (integer PCM) 8/16-bit
-    data: IEEE-float PCM (format 3) and WAVE_FORMAT_EXTENSIBLE
-    (0xFFFE) are rejected HERE, in the hash path — their sample bytes
-    are not ``<h``-interpretable, and hashing them as if they were
-    would produce garbage fingerprints that silently pair wrong files
-    (round-9 verdict ask #6). :func:`parse_wav_header` still REPORTS
-    metadata for those files — reporting and fingerprinting have
-    different validity bars."""
+    """(rate, channels, bits, n_frames, data_bytes, sample_fmt) — the
+    PCM payload located by the same RIFF chunk walk as
+    :func:`parse_wav_header`, or None for anything invalid.
+    ``sample_fmt`` names how a sample's bytes decode: ``u8`` / ``s16``
+    / ``s24`` (integer PCM, format 1) or ``f32`` (IEEE-float PCM,
+    format 3) — round 12 widens the HASH path to the float, 24-bit and
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE) shapes a real crawl corpus
+    contains (the r9 rejection existed because hashing their bytes AS
+    ``<h`` would pair wrong files; decoding them properly removes the
+    hazard instead of the files). Extensible headers must carry the
+    standard SubFormat GUID (effective tag in its first two bytes) —
+    a corrupted GUID is rejected, not guessed. Unsupported
+    combinations still return None."""
     import struct
 
     try:
@@ -236,24 +285,40 @@ def _wav_pcm_view(payload: bytes | None):
             return None
         if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
             return None
-        pos, fmt_info, data_span = 12, None, None
+        pos, fmt_info, fmt_raw, data_span = 12, None, b"", None
         while pos + 8 <= len(payload):
             cid, csize = struct.unpack_from("<4sI", payload, pos)
             if cid == b"fmt " and csize >= 16:
                 fmt_info = struct.unpack_from("<HHIIHH", payload, pos + 8)
+                fmt_raw = payload[pos + 8 : pos + 8 + csize]
             elif cid == b"data":
                 data_span = (pos + 8, csize)
             pos += 8 + csize + (csize % 2)
         if fmt_info is None or data_span is None:
             return None
         fmt, channels, rate, _brate, block_align, bits = fmt_info
-        if fmt != 1 or block_align == 0 or rate == 0 or bits not in (8, 16):
+        if fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: tag lives in the GUID
+            if len(fmt_raw) < 40:
+                return None
+            guid = fmt_raw[24:40]
+            if guid[2:16] != _WAVE_EXT_GUID_SUFFIX:
+                return None
+            fmt = struct.unpack_from("<H", guid, 0)[0]
+        if block_align == 0 or rate == 0:
+            return None
+        if fmt == 1:
+            sample_fmt = {8: "u8", 16: "s16", 24: "s24"}.get(bits)
+        elif fmt == 3:
+            sample_fmt = "f32" if bits == 32 else None
+        else:
+            sample_fmt = None
+        if sample_fmt is None:
             return None
         off, size = data_span
         data = payload[off : off + size]
         if len(data) != size:
             return None
-        return (rate, channels, bits, size // block_align, data)
+        return (rate, channels, bits, size // block_align, data, sample_fmt)
     except Exception:
         return None
 
@@ -290,7 +355,7 @@ def wav_energy_hash(
     dec = _wav_pcm_view(payload)
     if dec is None:
         return None
-    rate, channels, bits, frames, data = dec
+    rate, channels, bits, frames, data, sample_fmt = dec
     if frames < n_windows:
         return None
     width = bits // 8
@@ -298,16 +363,28 @@ def wav_energy_hash(
     read_channels = channels if mixdown else 1
     sums = [0] * n_windows
     counts = [0] * n_windows
+    import math
+
     for i in range(frames):
         w = i * n_windows // frames
         off = i * step
         amp = 0
         for c in range(read_channels):
             coff = off + c * width
-            if bits == 8:
+            if sample_fmt == "u8":
                 amp += abs(data[coff] - 128)
-            else:
+            elif sample_fmt == "s16":
                 amp += abs(struct.unpack_from("<h", data, coff)[0])
+            elif sample_fmt == "s24":  # 3-byte LE signed
+                v = int.from_bytes(data[coff : coff + 3], "little")
+                amp += abs(v - (1 << 24) if v >= (1 << 23) else v)
+            else:  # f32 — quantize to Q15 integers (round half up),
+                # exact for fixtures storing k/32768-grid values, and
+                # the envelope stays integer-exact either way
+                f = struct.unpack_from("<f", data, coff)[0]
+                if not math.isfinite(f):
+                    return None
+                amp += abs(int(math.floor(f * 32768.0 + 0.5)))
         sums[w] += amp
         counts[w] += 1
     means = []
@@ -423,22 +500,14 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def synth_png(width: int, height: int, base: int, color_type: int) -> bytes:
-    """Minimal but fully valid 8-bit PNG (grayscale color_type=0 or RGB
-    color_type=2): row ``r`` is the constant sample ``base + r``, and each
-    scanline is encoded with filter type ``r % 5`` — so decoding exercises
-    every unfilter path (None/Sub/Up/Average/Paeth), not just the trivial
-    one. Deterministic fixture generator; the bytes are a real PNG any
-    viewer opens."""
-    import struct
-    import zlib
-
-    bpp = 1 if color_type == 0 else 3
-    stride = width * bpp
+def _filter_rows(rows: list[bytes], bpp: int) -> bytearray:
+    """PNG-filter a list of raw scanlines (filter type ``r % 5`` per
+    row, so every unfilter path is exercised); rows must share one
+    stride. Shared by the linear and per-Adam7-pass encoders."""
+    stride = len(rows[0]) if rows else 0
     raw = bytearray()
     prev = bytes(stride)
-    for r in range(height):
-        row = bytes([(base + r) & 0xFF]) * stride
+    for r, row in enumerate(rows):
         ftype = r % 5
         filt = bytearray(stride)
         for i in range(stride):
@@ -461,8 +530,53 @@ def synth_png(width: int, height: int, base: int, color_type: int) -> bytes:
                 filt[i] = (x - pred) & 0xFF
         raw.append(ftype)
         raw += filt
-        prev = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+        prev = bytes(row)
+    return raw
+
+
+def synth_png(
+    width: int, height: int, base: int, color_type: int,
+    interlace: bool = False,
+) -> bytes:
+    """Minimal but fully valid 8-bit PNG (grayscale color_type=0 or RGB
+    color_type=2): row ``r`` is the constant sample ``base + r``, and each
+    scanline is encoded with filter type ``r % 5`` — so decoding exercises
+    every unfilter path (None/Sub/Up/Average/Paeth), not just the trivial
+    one. ``interlace=True`` (round 12) writes the SAME pixels in Adam7
+    order — seven independently filtered sub-images — so the interlaced
+    decode path is pinned against identical expected pixels (and the
+    same closed-form mean). Deterministic fixture generator; the bytes
+    are a real PNG any viewer opens."""
+    import struct
+    import zlib
+
+    bpp = 1 if color_type == 0 else 3
+    rows = [
+        bytes([(base + r) & 0xFF]) * (width * bpp) for r in range(height)
+    ]
+    if not interlace:
+        raw = _filter_rows(rows, bpp)
+    else:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            prows = [
+                bytes(
+                    b
+                    for k in range(pw)
+                    for b in rows[y0 + j * dy][
+                        (x0 + k * dx) * bpp : (x0 + k * dx + 1) * bpp
+                    ]
+                )
+                for j in range(ph)
+            ]
+            raw += _filter_rows(prows, bpp)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     return (
         PNG_SIGNATURE
         + _png_chunk(b"IHDR", ihdr)
@@ -471,12 +585,70 @@ def synth_png(width: int, height: int, base: int, color_type: int) -> bytes:
     )
 
 
+#: Adam7 interlace pass layout: (x_start, y_start, x_step, y_step) —
+#: PNG spec §8.2; every interlaced PNG stores seven independently
+#: filtered sub-images in this order.
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _unfilter(raw, height: int, stride: int, bpp: int):
+    """Undo PNG scanline filtering over one filtered segment (the whole
+    image when non-interlaced, one Adam7 pass when interlaced — each
+    pass filters independently with a zero previous row, PNG spec
+    §8.2). Returns the list of unfiltered row bytearrays, or None on an
+    unknown filter type."""
+    rows = []
+    prev = bytes(stride)
+    for r in range(height):
+        off = r * (stride + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype == 1:
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ftype == 4:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                line[i] = (
+                    line[i]
+                    + (a if (pa <= pb and pa <= pc) else (b if pb <= pc else c))
+                ) & 0xFF
+        elif ftype != 0:
+            return None
+        rows.append(line)
+        prev = bytes(line)
+    return rows
+
+
 def _png_decode_rows(payload: bytes | None):
     """(width, height, n_channels, rows) with ``rows`` the fully
     unfiltered scanlines (list of bytearrays, ``width × n_channels``
     bytes each), or None for anything invalid/corrupt — the shared
     decode core of :func:`parse_png` (metadata + mean) and
-    :func:`png_average_hash` (perceptual hash)."""
+    :func:`png_average_hash` (perceptual hash). Round 12: Adam7
+    interlaced PNGs (interlace=1) decode too — seven independently
+    filtered sub-images de-interlaced into the final grid — closing
+    the same real-world-corpus gap for PNG that progressive decode
+    closed for JPEG."""
     import struct
     import zlib
 
@@ -504,44 +676,45 @@ def _png_decode_rows(payload: bytes | None):
             return None
         width, height, depth, color_type, _comp, _filt, interlace = ihdr
         channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-        if channels is None or depth != 8 or interlace != 0 or width == 0:
+        if channels is None or depth != 8 or interlace not in (0, 1) or width == 0:
             return None
         raw = zlib.decompress(bytes(idat))
         bpp = channels
         stride = width * bpp
-        if len(raw) != height * (stride + 1):
-            return None
-        rows = []
-        prev = bytes(stride)
-        for r in range(height):
-            off = r * (stride + 1)
-            ftype = raw[off]
-            line = bytearray(raw[off + 1 : off + 1 + stride])
-            if ftype == 1:
-                for i in range(bpp, stride):
-                    line[i] = (line[i] + line[i - bpp]) & 0xFF
-            elif ftype == 2:
-                for i in range(stride):
-                    line[i] = (line[i] + prev[i]) & 0xFF
-            elif ftype == 3:
-                for i in range(stride):
-                    a = line[i - bpp] if i >= bpp else 0
-                    line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
-            elif ftype == 4:
-                for i in range(stride):
-                    a = line[i - bpp] if i >= bpp else 0
-                    b = prev[i]
-                    c = prev[i - bpp] if i >= bpp else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    line[i] = (
-                        line[i]
-                        + (a if (pa <= pb and pa <= pc) else (b if pb <= pc else c))
-                    ) & 0xFF
-            elif ftype != 0:
+        if interlace == 0:
+            if len(raw) != height * (stride + 1):
                 return None
-            rows.append(line)
-            prev = bytes(line)
+            rows = _unfilter(raw, height, stride, bpp)
+            if rows is None:
+                return None
+            return (width, height, channels, rows)
+        # Adam7: seven sub-images, each filtered independently; empty
+        # passes (a dimension rounds to zero) occupy no bytes at all
+        rows = [bytearray(stride) for _ in range(height)]
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * bpp
+            need = ph * (pstride + 1)
+            seg = raw[off : off + need]
+            if len(seg) != need:
+                return None
+            off += need
+            prows = _unfilter(seg, ph, pstride, bpp)
+            if prows is None:
+                return None
+            for j, prow in enumerate(prows):
+                row = rows[y0 + j * dy]
+                for k in range(pw):
+                    x = x0 + k * dx
+                    row[x * bpp : (x + 1) * bpp] = prow[
+                        k * bpp : (k + 1) * bpp
+                    ]
+        if off != len(raw):
+            return None  # trailing garbage / short stream
         return (width, height, channels, rows)
     except Exception:
         return None

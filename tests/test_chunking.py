@@ -499,26 +499,66 @@ def _wav_bytes(fmt_code, channels, bits, n_frames, frame_bytes_fn, rate=8000):
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def test_wav_hash_rejects_non_integer_pcm():
-    """Round-10 robustness (r9 verdict #6): the HASH path only accepts
-    format-1 integer 8/16-bit PCM — 24-bit, IEEE-float (format 3) and
-    WAVE_FORMAT_EXTENSIBLE (0xFFFE) payloads hash to None instead of
-    garbage fingerprints, while parse_wav_header still reports their
-    metadata (different validity bars)."""
+def test_wav_hash_format_support_and_rejects():
+    """Round 12 widens the HASH path (the r9/r10 rejection existed
+    because hashing float/24-bit bytes AS <h paired wrong files;
+    decoding them properly removes the hazard instead of the files):
+
+    * 24-bit PCM and IEEE-float (format 3, 32-bit) now hash — and
+      because the energy hash thresholds window means against their
+      own global mean, any positive rescaling of all samples leaves
+      the bits invariant, so the 24-bit (×256) and float (÷32768→Q15)
+      encodings of the SAME samples hash identically to the 16-bit
+      one.
+    * WAVE_FORMAT_EXTENSIBLE hashes when its SubFormat GUID is the
+      standard PCM/float one; a truncated (16-byte fmt) or corrupted
+      GUID still → None — never guessed.
+    * format-3 with non-32-bit samples and non-finite float samples
+      still → None."""
     import struct
 
     from petk_spark.operators.multimodal import (
         parse_wav_header,
+        synth_wav_float_tone,
+        synth_wav_tone,
         wav_energy_hash,
     )
 
-    pcm24 = _wav_bytes(1, 1, 24, 200, lambda i: struct.pack("<i", i * 999)[:3])
-    fl32 = _wav_bytes(3, 1, 32, 200, lambda i: struct.pack("<f", i / 200.0))
-    ext16 = _wav_bytes(0xFFFE, 1, 16, 200, lambda i: struct.pack("<h", i * 7))
-    for payload in (pcm24, fl32, ext16):
-        assert wav_energy_hash(payload) is None
+    def s16(i):
+        return ((i * 7) % 65536) - 32768
+
+    ref = wav_energy_hash(synth_wav_tone(8000, 1, 16, 200, 7))
+    assert ref is not None
+    pcm24 = _wav_bytes(
+        1, 1, 24, 200,
+        lambda i: ((s16(i) * 256) & 0xFFFFFF).to_bytes(3, "little"),
+    )
+    assert wav_energy_hash(pcm24) == ref  # ×256 rescale: bits invariant
+    fl32 = synth_wav_float_tone(8000, 200, 7)
+    fl32_ext = synth_wav_float_tone(8000, 200, 7, extensible=True)
+    assert wav_energy_hash(fl32) == wav_energy_hash(fl32_ext) == ref
+    for payload in (pcm24, fl32):
         valid, rate, ch, bits, frames, _ = parse_wav_header(payload)
-        assert valid and frames == 200  # metadata still reported
+        assert valid and frames == 200  # metadata reported as before
+
+    # extensible WITHOUT the 24-byte extension (bare 16-byte fmt): the
+    # effective format is unknowable → None (the old r10 reject case)
+    ext16 = _wav_bytes(0xFFFE, 1, 16, 200, lambda i: struct.pack("<h", i * 7))
+    assert wav_energy_hash(ext16) is None
+    # corrupted GUID → None
+    b = bytearray(fl32_ext)
+    gi = b.find(struct.pack("<H", 3) + b"\x00\x00\x00\x00\x10\x00")
+    assert gi > 0
+    b[gi + 5] ^= 0xFF
+    assert wav_energy_hash(bytes(b)) is None
+    # format-3 with 16-bit samples → None
+    f3_16 = _wav_bytes(3, 1, 16, 200, lambda i: struct.pack("<h", i * 7))
+    assert wav_energy_hash(f3_16) is None
+    # a NaN sample → None, never an exception
+    nan = bytearray(synth_wav_float_tone(8000, 200, 3))
+    off = nan.rfind(b"data") + 8
+    nan[off : off + 4] = struct.pack("<f", float("nan"))
+    assert wav_energy_hash(bytes(nan)) is None
     # and plain integer PCM still hashes
     ok16 = _wav_bytes(1, 1, 16, 200, lambda i: struct.pack("<h", (i * 37) % 4096))
     assert wav_energy_hash(ok16) is not None
@@ -571,4 +611,47 @@ def test_wav_mixdown_frame(spark):
     mixed = {r["id"]: r["whash"] for r in
              wav_ahash_frame(df, "id", "payload", mixdown=True).collect()}
     assert first[1] == "0" * 16 and mixed[1] != "0" * 16
-    assert first[2] is None and mixed[2] is None  # 24-bit rejected both ways
+    # 24-bit PCM DECODES since round 12; this doc's samples are a
+    # constant, so every window mean ties the global mean and the
+    # strict-> threshold packs all-zero bits — on both read modes
+    assert first[2] == mixed[2] == "0" * 16
+
+
+def test_png_adam7_interlace_decode():
+    """Adam7-interlaced PNGs (round 12) decode to the SAME pixels as
+    their linear encoding across sizes that exercise empty passes
+    (w or h < pass offsets), both color types, and every filter type
+    (synth cycles r % 5 within each pass); parse/aHash/pHash are
+    interlace-transparent; truncation and flips never raise."""
+    from petk_spark.operators.multimodal import (
+        _png_decode_rows,
+        image_phash,
+        parse_png,
+        png_average_hash,
+        synth_png,
+    )
+
+    for (w, h, base, ct) in [
+        (16, 16, 10, 0), (23, 17, 40, 2), (1, 1, 5, 0), (2, 3, 7, 2),
+        (8, 8, 0, 0), (7, 5, 100, 2), (33, 24, 199, 0),
+    ]:
+        a = _png_decode_rows(synth_png(w, h, base, ct))
+        b = _png_decode_rows(synth_png(w, h, base, ct, interlace=True))
+        assert a is not None and b is not None, (w, h, ct)
+        assert a[:3] == b[:3]
+        assert [bytes(r) for r in a[3]] == [bytes(r) for r in b[3]], (w, h, ct)
+
+    p = synth_png(24, 20, 33, 2)
+    pi = synth_png(24, 20, 33, 2, interlace=True)
+    assert pi != p
+    assert parse_png(p) == parse_png(pi)
+    assert png_average_hash(p) == png_average_hash(pi) is not None
+    assert image_phash(p, 16) == image_phash(pi, 16) is not None
+
+    for cut in range(0, len(pi), 13):
+        r = _png_decode_rows(pi[:cut])
+        assert r is None or len(r[3]) == 20
+    for flip in range(8, len(pi), 17):
+        bb = bytearray(pi)
+        bb[flip] ^= 0x41
+        _png_decode_rows(bytes(bb))  # None or valid, never raises
