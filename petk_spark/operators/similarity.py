@@ -1016,6 +1016,59 @@ def retrain_ivf_index(
     return cents, info
 
 
+def maybe_retrain_ivf_index(
+    spark,
+    path: str,
+    score_drop_threshold: float = 0.05,
+    share_growth_threshold: float = 2.0,
+    max_generations: int | None = 64,
+    iterations: int = 2,
+) -> dict:
+    """The scheduled-maintenance entry point tying the IVF lifecycle
+    together (round 12): run :func:`ivf_index_health`; if ANY cell
+    flags ``needs_rebuild`` (or the cheaper thin-drift aggregate
+    ``avg(score_drop) > score_drop_threshold / 2`` trips), run
+    :func:`retrain_ivf_index`; otherwise, if the index has accumulated
+    more than ``max_generations`` ingest directories, run the pure
+    rewrite :func:`compact_ivf_index` (file-count hygiene without
+    touching assignments). One call per maintenance tick — the same
+    run-it-every-N-appends cadence ``append_to_ivf_index`` documents,
+    now with the decision logic in one audited place instead of
+    caller folklore.
+
+    Returns a summary dict: ``action`` (``"retrained"`` /
+    ``"compacted"`` / ``"none"``), ``flagged`` (cell ids that tripped
+    needs_rebuild), ``avg_score_drop``, and ``generations`` (count
+    BEFORE the action). Read-only when nothing trips — one health
+    scan and a directory listing."""
+    from petk_spark.sources import swap
+
+    health = ivf_index_health(
+        spark, path,
+        score_drop_threshold=score_drop_threshold,
+        share_growth_threshold=share_growth_threshold,
+    ).collect()
+    flagged = [r["centroid_id"] for r in health if r["needs_rebuild"]]
+    drops = [
+        r["score_drop"] for r in health if r["score_drop"] is not None
+    ]
+    avg_drop = sum(drops) / len(drops) if drops else 0.0
+    gens = swap.list_children(spark, path, "ingest=")
+    out = {
+        "action": "none",
+        "flagged": sorted(flagged),
+        "avg_score_drop": avg_drop,
+        "generations": len(gens),
+    }
+    if flagged or avg_drop > score_drop_threshold / 2:
+        retrain_ivf_index(spark, path, iterations=iterations)
+        out["action"] = "retrained"
+    elif max_generations is not None and len(gens) > max_generations:
+        compact_ivf_index(spark, path)
+        out["action"] = "compacted"
+    return out
+
+
 def query_ivf_index(
     spark,
     path: str,

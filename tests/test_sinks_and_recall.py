@@ -997,3 +997,63 @@ def test_retrain_update_plan_constant_in_dim(spark, tmp_path):
     assert "element_at" not in plan
     assert plan.count("sum(") == 1, plan.count("sum(")
     assert plan.count("count(") == 1
+
+
+def test_maybe_retrain_ivf_index_decision_arms(spark, tmp_path):
+    """The maintenance tick's three arms: a fresh index → 'none'
+    (read-only); an absorbing-cell drift (table-sized pile of one
+    vector appended) → 'retrained' with the flagged cell reported and
+    the health baseline reset so the NEXT tick is quiet; a quiet index
+    with too many generations → 'compacted' (pure rewrite, one
+    directory after)."""
+    from petk_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        maybe_retrain_ivf_index,
+    )
+    from petk_spark.sources import swap
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_centroids=4)
+
+    out = maybe_retrain_ivf_index(spark, idx)
+    assert out["action"] == "none" and out["flagged"] == []
+    assert out["generations"] == 1
+
+    # absorbing-cell drift: one copy of vector 0 per existing row
+    pile = (
+        emb.select((F.col("vec_id") + 10_000_000).alias("vec_id"))
+        .crossJoin(
+            F.broadcast(
+                emb.filter(F.col("vec_id") == 0).select(
+                    F.col("embedding").alias("e")
+                )
+            )
+        )
+        .select("vec_id", F.col("e").alias("embedding"))
+    )
+    append_to_ivf_index(pile, idx)
+    out = maybe_retrain_ivf_index(spark, idx)
+    assert out["action"] == "retrained" and out["flagged"], out
+    # retrain folded generations and re-baselined health: quiet now
+    assert swap.list_children(spark, idx, "ingest=") == ["ingest=base"]
+    out2 = maybe_retrain_ivf_index(spark, idx)
+    assert out2["action"] == "none", out2
+
+    # generation-count hygiene on a QUIET index: uniform whole-corpus
+    # appends (every cell grows alike, mean scores unchanged — the
+    # health docstring's flag-nothing case), just directories pile up
+    idx2 = str(tmp_path / "ivf2")
+    build_ivf_index(emb, idx2, n_centroids=4)
+    for m in range(1, 5):
+        append_to_ivf_index(
+            emb.select(
+                (F.col("vec_id") + 1_000_000 * m).alias("vec_id"),
+                "embedding",
+            ),
+            idx2,
+        )
+    out3 = maybe_retrain_ivf_index(spark, idx2, max_generations=3)
+    assert out3["action"] == "compacted" and out3["generations"] == 5, out3
+    assert swap.list_children(spark, idx2, "ingest=") == ["ingest=base"]
