@@ -655,3 +655,70 @@ def test_png_adam7_interlace_decode():
         bb = bytearray(pi)
         bb[flip] ^= 0x41
         _png_decode_rows(bytes(bb))  # None or valid, never raises
+
+
+def test_png_adam7_fuzz_random_content():
+    """Property over ARBITRARY pixel content (constant-row synth can
+    mask scatter/offset bugs whose misplaced pixels happen to carry
+    equal values): random images written linearly and Adam7-interlaced
+    with the module's own filter/chunk helpers decode to identical
+    rows."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from petk_spark.operators.multimodal import (
+        _ADAM7,
+        PNG_SIGNATURE,
+        _filter_rows,
+        _png_chunk,
+        _png_decode_rows,
+    )
+
+    def write_png(rows, w, h, ct, interlace):
+        bpp = 1 if ct == 0 else 3
+        if not interlace:
+            raw = _filter_rows(rows, bpp)
+        else:
+            raw = bytearray()
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                prows = [
+                    bytes(
+                        b
+                        for k in range(pw)
+                        for b in rows[y0 + j * dy][
+                            (x0 + k * dx) * bpp : (x0 + k * dx + 1) * bpp
+                        ]
+                    )
+                    for j in range(ph)
+                ]
+                raw += _filter_rows(prows, bpp)
+        ihdr = struct.pack(
+            ">IIBBBBB", w, h, 8, ct, 0, 0, 1 if interlace else 0
+        )
+        return (
+            PNG_SIGNATURE
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(29)
+    for trial in range(12):
+        w = int(rng.integers(1, 30))
+        h = int(rng.integers(1, 30))
+        ct = int(rng.choice([0, 2]))
+        bpp = 1 if ct == 0 else 3
+        rows = [bytes(rng.integers(0, 256, w * bpp, dtype=np.uint8))
+                for _ in range(h)]
+        lin = _png_decode_rows(write_png(rows, w, h, ct, False))
+        itl = _png_decode_rows(write_png(rows, w, h, ct, True))
+        assert lin is not None and itl is not None, (w, h, ct)
+        assert [bytes(r) for r in lin[3]] == rows == [bytes(r) for r in itl[3]], (
+            w, h, ct, trial,
+        )
