@@ -1,0 +1,196 @@
+"""WARC / WET ingestion (SURVEY §2.A1 widening, round 12) — the
+Common Crawl wire formats an LLM training-data pipeline actually
+ingests. Beyond-reference (petk reads local tabular files only); the
+format is public ISO 28500 / the Common Crawl WET convention.
+
+Scale design: the unit of parallelism is the FILE — Common Crawl
+publishes ~10⁵ WET/WARC files per crawl at ~150 MB gzip each, so a
+``binaryFile`` scan gives one task per file with no splitting logic
+(and Common Crawl's per-record gzip members make anything finer
+unnecessary: a whole member must be inflated to be read anyway). The
+parse is a map-only Arrow kernel — zero shuffles; downstream operators
+(dedup, quality, language ID) see an ordinary ``documents``-shaped
+frame. Per-task memory is bounded by one inflated file (~400 MB for a
+crawl WET), which is the format's own design point; pathological
+single files are the caller's `maxBytesPerTrigger`-style concern, not
+a shuffle problem.
+
+Corrupt data contract (repo-wide, like the media decoders): a
+malformed region STOPS the parse of that file at the last whole
+record — records already parsed are emitted, the task never fails.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: WARC named fields surfaced as columns (lowercased header names).
+_FIELDS = (
+    "warc-record-id",
+    "warc-type",
+    "warc-target-uri",
+    "warc-date",
+    "content-type",
+)
+
+WARC_SCHEMA = (
+    "file string, record_id string, warc_type string, target_uri string, "
+    "warc_date string, content_type string, content_length long, "
+    "payload binary"
+)
+
+
+def gunzip_members(data: bytes) -> bytes:
+    """Inflate a (possibly multi-member) gzip stream — Common Crawl
+    writes ONE gzip member PER RECORD, concatenated. Plain data passes
+    through; a corrupt member truncates to the bytes inflated so far
+    (the stop-at-last-whole-record contract)."""
+    if data[:2] != b"\x1f\x8b":
+        return data
+    out = []
+    while data[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out.append(d.decompress(data))
+            out.append(d.flush())
+        except zlib.error:
+            break
+        if not d.eof:
+            break
+        data = d.unused_data
+    return b"".join(out)
+
+
+def parse_warc_records(data: bytes) -> list[dict]:
+    """Parse concatenated WARC records from an inflated byte string.
+    Returns dicts with the _FIELDS values, ``content_length`` and
+    ``payload``. Header names are case-insensitive (ISO 28500 §4);
+    a malformed header block / truncated payload ends the parse."""
+    records: list[dict] = []
+    pos, n = 0, len(data)
+    while pos < n:
+        while data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        if not data.startswith(b"WARC/", pos):
+            break
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            break
+        lines = data[pos:hdr_end].decode("utf-8", "replace").split("\r\n")
+        fields: dict[str, str] = {}
+        for line in lines[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                fields[k.strip().lower()] = v.strip()
+        try:
+            clen = int(fields["content-length"])
+        except (KeyError, ValueError):
+            break
+        body = hdr_end + 4
+        if clen < 0 or body + clen > n:
+            break
+        rec = {f: fields.get(f) for f in _FIELDS}
+        rec["content_length"] = clen
+        rec["payload"] = data[body : body + clen]
+        records.append(rec)
+        pos = body + clen
+    return records
+
+
+def synth_warc(records: list[dict], gzip_per_record: bool = True) -> bytes:
+    """Serialize WARC records for fixtures/tests. Each dict may carry
+    ``warc_type``, ``record_id``, ``target_uri``, ``warc_date``,
+    ``content_type`` and ``payload`` (bytes). ``gzip_per_record``
+    writes the Common Crawl member-per-record layout."""
+    out = []
+    for r in records:
+        payload = r.get("payload", b"")
+        head = [b"WARC/1.0"]
+        for key, name in (
+            ("warc_type", b"WARC-Type"),
+            ("record_id", b"WARC-Record-ID"),
+            ("warc_date", b"WARC-Date"),
+            ("target_uri", b"WARC-Target-URI"),
+            ("content_type", b"Content-Type"),
+        ):
+            v = r.get(key)
+            if v is not None:
+                head.append(name + b": " + str(v).encode())
+        head.append(b"Content-Length: " + str(len(payload)).encode())
+        blob = b"\r\n".join(head) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+        out.append(zlib.compress(blob, 6, wbits=31) if gzip_per_record
+                   else blob)
+    return b"".join(out)
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Scan WARC/WET files into ``WARC_SCHEMA`` rows. ``record_types``
+    filters on WARC-Type INSIDE the kernel (e.g. ``("response",)`` /
+    ``("conversion",)``) so unwanted payload bytes never enter the
+    Arrow batch."""
+    bf = spark.read.format("binaryFile").load(path).select("path", "content")
+    want = tuple(record_types) if record_types else None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "file", "record_id", "warc_type", "target_uri",
+            "warc_date", "content_type", "content_length", "payload",
+        ]
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                data = gunzip_members(bytes(content))
+                for rec in parse_warc_records(data):
+                    if want and rec["warc-type"] not in want:
+                        continue
+                    rows["file"].append(fpath)
+                    rows["record_id"].append(rec["warc-record-id"])
+                    rows["warc_type"].append(rec["warc-type"])
+                    rows["target_uri"].append(rec["warc-target-uri"])
+                    rows["warc_date"].append(rec["warc-date"])
+                    rows["content_type"].append(rec["content-type"])
+                    rows["content_length"].append(rec["content_length"])
+                    rows["payload"].append(rec["payload"])
+            out = pd.DataFrame(rows, columns=cols)
+            out["content_length"] = out["content_length"].astype("int64")
+            yield out
+
+    return bf.mapInPandas(run, WARC_SCHEMA)
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET convenience view: ``conversion`` records with the payload
+    decoded as UTF-8 text — the ``documents``-shaped frame the text
+    operators consume directly."""
+    return read_warc(spark, path, record_types=("conversion",)).select(
+        "file",
+        "record_id",
+        "target_uri",
+        "warc_date",
+        "content_length",
+        F.decode("payload", "UTF-8").alias("text"),
+    )
+
+
+def http_split(payload: bytes | None) -> tuple[str | None, bytes | None]:
+    """Split a WARC ``response`` payload into (status_line, body) —
+    the HTTP envelope is part of the record in response WARCs. Returns
+    (None, None) when the payload carries no HTTP header block."""
+    if payload is None or not payload.startswith(b"HTTP/"):
+        return None, None
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        return None, None
+    status = payload[: payload.find(b"\r\n")].decode("utf-8", "replace")
+    return status, payload[sep + 4 :]

@@ -1,0 +1,139 @@
+"""WARC/WET ingestion (sources/warc.py, round 12): pure-parser round
+trips, the Common Crawl member-per-record gzip layout, the
+stop-at-last-whole-record corruption contract, and the Spark reader
+surface. The registry `wet_rt` family on corpus_clean hash-pins the
+end-to-end round trip against the oracle."""
+
+from __future__ import annotations
+
+import os
+import sys
+import zlib
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from petk_spark.sources.warc import (
+    gunzip_members,
+    http_split,
+    parse_warc_records,
+    read_warc,
+    read_wet,
+    synth_warc,
+)
+
+RECS = [
+    {
+        "warc_type": "warcinfo",
+        "record_id": "<urn:uuid:0>",
+        "warc_date": "2026-08-16T00:00:00Z",
+        "content_type": "application/warc-fields",
+        "payload": b"software: test\r\n",
+    },
+    {
+        "warc_type": "conversion",
+        "record_id": "<urn:uuid:1>",
+        "target_uri": "http://example.com/a",
+        "warc_date": "2026-08-16T00:00:01Z",
+        "content_type": "text/plain",
+        "payload": "the quick brown fox\njumpsé".encode(),
+    },
+    {
+        "warc_type": "response",
+        "record_id": "<urn:uuid:2>",
+        "target_uri": "http://example.com/b",
+        "warc_date": "2026-08-16T00:00:02Z",
+        "content_type": "application/http; msgtype=response",
+        "payload": b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>hi</html>",
+    },
+]
+
+
+def test_parse_round_trip_plain_and_gzip():
+    for gz in (False, True):
+        blob = synth_warc(RECS, gzip_per_record=gz)
+        recs = parse_warc_records(gunzip_members(blob))
+        assert [r["warc-type"] for r in recs] == [
+            "warcinfo", "conversion", "response",
+        ]
+        assert recs[1]["payload"].decode() == "the quick brown fox\njumpsé"
+        assert recs[1]["warc-target-uri"] == "http://example.com/a"
+        assert recs[2]["content_length"] == len(RECS[2]["payload"])
+
+
+def test_multi_member_gzip_is_member_per_record():
+    blob = synth_warc(RECS, gzip_per_record=True)
+    # three independent gzip members, each inflatable alone
+    n_members = blob.count(b"\x1f\x8b\x08")
+    assert n_members == 3
+    assert len(parse_warc_records(gunzip_members(blob))) == 3
+
+
+def test_truncated_tail_stops_at_last_whole_record():
+    blob = synth_warc(RECS, gzip_per_record=False)
+    cut = blob[: len(blob) - len(RECS[2]["payload"]) // 2 - 4]
+    recs = parse_warc_records(cut)
+    assert [r["warc-type"] for r in recs] == ["warcinfo", "conversion"]
+    # corrupt gzip member: earlier members still parse
+    gz = synth_warc(RECS, gzip_per_record=True)
+    second = gz.index(b"\x1f\x8b\x08", 1)
+    third = gz.index(b"\x1f\x8b\x08", second + 1)
+    mangled = gz[:third] + b"\x1f\x8b\x08" + b"\x00" * 8 + gz[third + 11:]
+    recs2 = parse_warc_records(gunzip_members(mangled))
+    assert [r["warc-type"] for r in recs2] == ["warcinfo", "conversion"]
+
+
+def test_bad_header_never_raises():
+    assert parse_warc_records(b"WARC/1.0\r\nContent-Length: x\r\n\r\n") == []
+    assert parse_warc_records(b"not a warc at all") == []
+    assert parse_warc_records(b"") == []
+    assert gunzip_members(b"\x1f\x8b\x08garbage") == b""
+
+
+def test_http_split():
+    status, body = http_split(RECS[2]["payload"])
+    assert status == "HTTP/1.1 200 OK"
+    assert body == b"<html>hi</html>"
+    assert http_split(b"no http") == (None, None)
+    assert http_split(None) == (None, None)
+
+
+@pytest.fixture(scope="module")
+def warc_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("warc")
+    (d / "a.warc.gz").write_bytes(synth_warc(RECS, gzip_per_record=True))
+    more = [
+        {
+            "warc_type": "conversion",
+            "record_id": "<urn:uuid:9>",
+            "target_uri": "http://example.com/c",
+            "warc_date": "2026-08-16T01:00:00Z",
+            "content_type": "text/plain",
+            "payload": b"second file text",
+        }
+    ]
+    (d / "b.warc").write_bytes(synth_warc(more, gzip_per_record=False))
+    return str(d)
+
+
+def test_read_warc_spark(spark, warc_dir):
+    df = read_warc(spark, warc_dir)
+    rows = df.collect()
+    assert len(rows) == 4
+    assert {r["warc_type"] for r in rows} == {
+        "warcinfo", "conversion", "response",
+    }
+    resp = [r for r in rows if r["warc_type"] == "response"]
+    assert bytes(resp[0]["payload"]).startswith(b"HTTP/1.1 200")
+    only = read_warc(spark, warc_dir, record_types=("response",)).collect()
+    assert len(only) == 1
+
+
+def test_read_wet_spark(spark, warc_dir):
+    df = read_wet(spark, warc_dir)
+    rows = {r["record_id"]: r for r in df.collect()}
+    assert len(rows) == 2
+    assert rows["<urn:uuid:1>"]["text"] == "the quick brown fox\njumpsé"
+    assert rows["<urn:uuid:9>"]["text"] == "second file text"
+    assert rows["<urn:uuid:9>"]["target_uri"] == "http://example.com/c"
