@@ -905,8 +905,15 @@ def _decode_image(payload: bytes) -> tuple[int, int, int, float]:
             raise NotImplementedError("corrupt/unsupported JPEG")
         w, h, nc, px = dec
         return (w, h, nc, float(px.mean()))
+    if payload[:4] == b"GIF8":
+        from petk_spark.operators.gif import decode_gif, gif_mean_luma
+
+        dec = decode_gif(payload)
+        if dec is None:
+            raise NotImplementedError("corrupt/unsupported GIF")
+        return (dec[0], dec[1], 3, gif_mean_luma(dec))
     raise NotImplementedError(
-        "unsupported image format (PNG and baseline JPEG implemented)"
+        "unsupported image format (PNG, baseline JPEG, GIF implemented)"
     )
 
 
@@ -914,7 +921,7 @@ def decode_image_features(
     df: DataFrame, id_col: str, payload_col: str
 ) -> DataFrame:
     """Arrow-batched per-item image feature extraction via mapInPandas
-    — REAL decode (PNG + baseline JPEG), undecodable rows → all-NULL
+    — REAL decode (PNG + baseline/progressive JPEG + GIF), undecodable rows → all-NULL
     features, never task failures.
 
     The iterator-of-batches shape keeps memory bounded regardless of
@@ -970,6 +977,58 @@ def jpeg_features_frame(df: DataFrame, id_col: str, payload_col: str) -> DataFra
 
     return df.select(id_col, payload_col).mapInPandas(
         run, schema=PNG_FEATURES_SCHEMA
+    )
+
+
+GIF_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("valid", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("bit_depth", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def gif_features_frame(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Arrow-batched REAL GIF feature decode (``operators/gif.py``:
+    LZW + color tables + 4-pass interlace) — the GIF sibling of
+    :func:`png_features_frame`, plus the format's own ``n_frames``
+    (animation frame COUNT; pixels come from the first frame — the
+    metadata-profiling policy shared with the AVI sampler). Corrupt
+    payloads yield valid=false rows, never task failures. Row-local,
+    zero shuffles."""
+    from petk_spark.operators.gif import decode_gif, gif_mean_luma
+
+    id_name, payload_name = id_col, payload_col
+
+    def one(payload):
+        dec = decode_gif(None if payload is None else bytes(payload))
+        if dec is None:
+            return (False, None, None, None, None, None, None)
+        w, h, nf, _il, _idx, _pal = dec
+        return (True, w, h, nf, 3, 8, gif_mean_luma(dec))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (rid, *one(payload))
+                for rid, payload in zip(pdf[id_name], pdf[payload_name])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "valid", "width", "height", "n_frames",
+                    "n_channels", "bit_depth", "mean_luma",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=GIF_FEATURES_SCHEMA
     )
 
 
