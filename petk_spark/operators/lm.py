@@ -219,3 +219,166 @@ def lm_bits_per_token(
             F.when(n_toks > 0, -acc / n_toks).alias("bits_per_token"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM with Laplace backoff (round 12 — F53): one step toward the
+# CCNet recipe's real n-gram model
+# ---------------------------------------------------------------------------
+
+#: Out-of-vocabulary sentinel for MAPPED tokens. A control character:
+#: it cannot collide with any token of the whitespace tokenizer in
+#: normal text (the oracle uses chr(1) identically). Documents whose
+#: raw tokens legitimately contain \x01 would alias with OOV — a
+#: declared, vanishingly-rare bar, like the oracle's chr(31) joiner.
+UNK = "\x01"
+
+
+def train_bigram_lm(
+    df: DataFrame, text_col: str, vocab_size: int = 50000
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Train a Laplace-smoothed BIGRAM model over the vocab-mapped
+    token stream (every token outside the top-``vocab_size`` unigram
+    cut maps to the single :data:`UNK` class first — the CCNet-style
+    closed vocabulary, which keeps the model V'²-bounded instead of
+    open-ended):
+
+    * ``p(w₁)            = (c(m(w₁)) + 1) / (N + V' + 1)``  (unigram)
+    * ``p(wᵢ | wᵢ₋₁)     = (c(m(wᵢ₋₁), m(wᵢ)) + 1) / (c(m(wᵢ₋₁)) + V' + 1)``
+
+    with ``V' = |vocab| + 1`` (the UNK class), all counts exact
+    integers. Returns ``(bigrams, contexts, stats)``: ``bigrams`` =
+    (a, b, n, logp) over OBSERVED mapped pairs; ``contexts`` =
+    (token, n, ulogp, fb_logp) for every vocab token + the UNK row —
+    ``ulogp`` is the first-token unigram term, ``fb_logp`` the
+    unseen-bigram fallback ``log2(1 / (c(ctx) + V' + 1))``; ``stats``
+    carries N / vocab_size / V'. Every logp is computed JVM-side
+    (``F.log2``) so the Arrow scorer sums engine-computed values, the
+    same absorption contract as the unigram model.
+
+    Scale: pass 1 = the unigram count aggregate (shuffle on token) +
+    a bounded top-V collect (the vocab artifact, ≤ vocab_size rows);
+    pass 2 = an Arrow pair-emit kernel (vocab set in the closure) +
+    one hash aggregate on the bigram key. Both passes are one corpus
+    scan each; the model artifacts are broadcast-class frames."""
+    cnt = (
+        df.select(F.explode(_tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_total = int(cnt.agg(F.sum("n")).collect()[0][0] or 0)
+    voc_rows = (
+        cnt.orderBy(F.desc("n"), F.asc("token")).limit(vocab_size).collect()
+    )
+    vocab = {r["token"]: int(r["n"]) for r in voc_rows}
+    unk_n = n_total - sum(vocab.values())
+    v2 = len(vocab) + 1
+    spark = df.sparkSession
+
+    ctx_src = spark.createDataFrame(
+        [(t, n) for t, n in vocab.items()] + [(UNK, unk_n)],
+        "token string, n long",
+    )
+    contexts = ctx_src.select(
+        "token",
+        "n",
+        F.log2((F.col("n") + F.lit(1.0)) / F.lit(float(n_total + v2 + 1))
+               ).alias("ulogp"),
+        F.log2(F.lit(1.0) / (F.col("n") + F.lit(float(v2 + 1)))
+               ).alias("fb_logp"),
+    )
+
+    vset = set(vocab)
+
+    def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        ws = re.compile(r"\s+", re.ASCII)
+        for pdf in batches:
+            a_out, b_out = [], []
+            for t in pdf["_t"]:
+                if t is None or (not isinstance(t, str) and pd.isna(t)):
+                    continue
+                toks = [w for w in ws.split(t.lower()) if w]
+                m = [w if w in vset else UNK for w in toks]
+                a_out.extend(m[:-1])
+                b_out.extend(m[1:])
+            yield pd.DataFrame({"a": a_out, "b": b_out})
+
+    bigrams = (
+        df.select(F.col(text_col).alias("_t"))
+        .mapInPandas(pairs, "a string, b string")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(ctx_src.withColumnRenamed("n", "_cn")),
+              F.col("a") == F.col("token"))
+        .select(
+            "a", "b", "n",
+            F.log2((F.col("n") + F.lit(1.0))
+                   / (F.col("_cn") + F.lit(float(v2 + 1)))).alias("logp"),
+        )
+    )
+    return bigrams, contexts, {
+        "n_total": n_total,
+        "vocab_size": len(vocab),
+        "v2": v2,
+    }
+
+
+def bigram_bits_per_token(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bigrams: DataFrame,
+    contexts: DataFrame,
+) -> DataFrame:
+    """Score documents against a trained bigram model:
+    ``(id, n_tokens, bits_per_token)`` with bits = −(log2 p(w₁) +
+    Σᵢ₌₂ log2 p(wᵢ|wᵢ₋₁)) / T, the left fold in document order (the
+    oracle replays it with map() probes + list fold). Documents with
+    no tokens are dropped (no transitions, no estimate). Map-only
+    Arrow kernel; both model artifacts collapse to dict closures
+    (broadcast-class, like the unigram path)."""
+    ctx = {
+        r["token"]: (r["ulogp"], r["fb_logp"])
+        for r in contexts.select("token", "ulogp", "fb_logp").collect()
+    }
+    bi = {
+        (r["a"], r["b"]): r["logp"]
+        for r in bigrams.select("a", "b", "logp").collect()
+    }
+    vset = {t for t in ctx if t != UNK}
+
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nt, bits = [], [], []
+            for rid, t in zip(pdf["id"], pdf["_t"]):
+                if t is None or (not isinstance(t, str) and pd.isna(t)):
+                    continue
+                toks = [w for w in ws.split(t.lower()) if w]
+                if not toks:
+                    continue
+                m = [w if w in vset else UNK for w in toks]
+                acc = ctx[m[0]][0]
+                for a, b in zip(m, m[1:]):
+                    got = bi.get((a, b))
+                    acc += got if got is not None else ctx[a][1]
+                ids.append(rid)
+                nt.append(len(m))
+                bits.append(-acc / len(m))
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "n_tokens": pd.array(nt, dtype="int64"),
+                    "bits_per_token": pd.array(bits, dtype="float64"),
+                }
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_t")
+    ).mapInPandas(kern, f"id {id_type}, n_tokens long, bits_per_token double")
