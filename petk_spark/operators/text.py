@@ -497,3 +497,83 @@ def document_signals_frame(
         tk.alias("__toks"),
     )
     return _append_top_ngram_frac(base, ngram)
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (round 12 — F54): the stage between read_warc
+# response records and the documents-shaped corpus
+# ---------------------------------------------------------------------------
+
+#: The tag-strip rule chain, shared verbatim by the Spark expression
+#: and the DuckDB oracle builder below (they may only change
+#: TOGETHER). RE2 (DuckDB) has no backreferences, so the script/style
+#: closer is the same alternation on both engines — a script body
+#: containing a literal "</style>" closes the block early (documented
+#: approximation; real extractors share it).
+_HTML_RULES: list[tuple[str, str]] = [
+    (r"(?is)<(script|style)\b.*?</(script|style)\s*>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?i)<(br|/p|/div|/li|/h[1-6]|/tr)\b[^>]*>", "\n"),
+    (r"<[^>]*>", " "),
+]
+
+#: Minimal entity set (the high-frequency ASCII entities; numeric
+#: escapes beyond &#39; are out of scope — a full HTML5 entity table
+#: is a data file, not a rule chain).
+_HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+]
+
+_WS_RULES: list[tuple[str, str]] = [
+    (r"[ \t\r]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n{3,}", "\n\n"),
+]
+
+
+def html_to_text(col: Column) -> Column:
+    """Readability-style HTML → plain text, entirely JVM-side
+    (regexp_replace/replace chain — zero Python, whole-stage codegen):
+    drop script/style/comments, turn block-closers into newlines,
+    strip remaining tags, decode the common entities, collapse
+    whitespace. The stage between ``read_warc`` response payloads
+    (``http_split``) and every text operator in the repo; the
+    ``html_rt`` family on corpus_clean pins the chain against the
+    DuckDB replay built by :func:`duckdb_html_to_text`."""
+    e = col
+    for pat, rep in _HTML_RULES:
+        e = F.regexp_replace(e, pat, rep)
+    for ent, rep in _HTML_ENTITIES:
+        e = F.replace(e, F.lit(ent), F.lit(rep))
+    for pat, rep in _WS_RULES:
+        e = F.regexp_replace(e, pat, rep)
+    return F.trim(e)
+
+
+def duckdb_html_to_text(expr: str) -> str:
+    """The oracle twin of :func:`html_to_text`: the SAME rule chain as
+    a DuckDB SQL expression (RE2 needs the explicit 'g' flag; newlines
+    spell chr(10) so the SQL survives string embedding)."""
+
+    def sq(s: str) -> str:
+        if s == "\n":
+            return "chr(10)"
+        if s == "\n\n":
+            return "chr(10) || chr(10)"
+        if s == "'":
+            return "chr(39)"
+        return "'" + s.replace("'", "''") + "'"
+
+    e = expr
+    for pat, rep in _HTML_RULES:
+        e = f"regexp_replace({e}, '{pat}', {sq(rep)}, 'g')"
+    for ent, rep in _HTML_ENTITIES:
+        e = f"replace({e}, '{ent}', {sq(rep)})"
+    for pat, rep in _WS_RULES:
+        e = f"regexp_replace({e}, '{pat}', {sq(rep)}, 'g')"
+    return f"trim({e})"

@@ -194,3 +194,45 @@ def http_split(payload: bytes | None) -> tuple[str | None, bytes | None]:
         return None, None
     status = payload[: payload.find(b"\r\n")].decode("utf-8", "replace")
     return status, payload[sep + 4 :]
+
+
+def warc_text_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """The full Common Crawl ingestion composition: ``response``
+    records → HTTP envelope split (Arrow kernel) → JVM-side
+    :func:`~petk_spark.operators.text.html_to_text` →
+    ``(record_id, target_uri, warc_date, status, text)`` — a
+    documents-shaped frame ready for the dedup/quality/language
+    operators. Map-only end-to-end (per-file parallelism, zero
+    shuffles); the tag-strip chain itself is hash-pinned by the
+    ``html_rt`` family on corpus_clean, the container walk by
+    ``wet_rt``."""
+    from petk_spark.operators.text import html_to_text
+
+    resp = read_warc(spark, path, record_types=("response",))
+
+    def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stat, body = [], []
+            for p in pdf["payload"]:
+                s, b = http_split(None if p is None else bytes(p))
+                stat.append(s)
+                body.append(
+                    b.decode("utf-8", "replace") if b is not None else None
+                )
+            out = pdf[["record_id", "target_uri", "warc_date"]].copy()
+            out["status"] = stat
+            out["html"] = body
+            yield out
+
+    frame = resp.mapInPandas(
+        split,
+        "record_id string, target_uri string, warc_date string, "
+        "status string, html string",
+    )
+    return frame.select(
+        "record_id",
+        "target_uri",
+        "warc_date",
+        "status",
+        html_to_text(F.col("html")).alias("text"),
+    )

@@ -137,3 +137,106 @@ def test_read_wet_spark(spark, warc_dir):
     assert rows["<urn:uuid:1>"]["text"] == "the quick brown fox\njumpsé"
     assert rows["<urn:uuid:9>"]["text"] == "second file text"
     assert rows["<urn:uuid:9>"]["target_uri"] == "http://example.com/c"
+
+
+# ---------------------------------------------------------------------------
+# F54: html_to_text + the full WARC response → text composition
+# ---------------------------------------------------------------------------
+
+HTML = (
+    "<html><head><title>T</title><script>var x='</style>';</script>"
+    "<style>p{color:red}</style></head><body><h1>Head&nbsp;line</h1>"
+    "<p>Hello &amp; world</p><ul><li>A</li><li>B</li></ul>"
+    "<!-- hidden --><div>tail &#39;q&#39;</div></body></html>"
+)
+
+
+def test_html_to_text_cross_engine_parity(spark):
+    """The Spark expression chain and the DuckDB builder agree
+    byte-for-byte on adversarial inputs (the hash contract the
+    html_rt family rides on)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from petk_spark.operators.text import duckdb_html_to_text, html_to_text
+
+    cases = [
+        HTML,
+        "plain, no tags",
+        "<p>a</p>\n\n\n\n\n<p>b</p>",
+        "<div class='x'>&lt;tag&gt; &quot;q&quot;</div>",
+        "<TABLE><TR><TD>a</TD></TR><TR><TD>b</TD></TR></TABLE>",
+        "<br><br /><BR>lines",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, h string"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", html_to_text(F.col("h")).alias("t")).collect()
+    }
+    con = duckdb.connect()
+    sql = f"SELECT {duckdb_html_to_text('?')}"
+    for i, c in enumerate(cases):
+        assert got[i] == con.execute(sql, [c]).fetchone()[0], (i, got[i])
+
+
+def test_html_to_text_content(spark):
+    from pyspark.sql import functions as F
+
+    from petk_spark.operators.text import html_to_text
+
+    df = spark.createDataFrame([(0, HTML)], "i long, h string")
+    t = df.select(html_to_text(F.col("h")).alias("t")).collect()[0]["t"]
+    assert "Hello & world" in t
+    assert "Head line" in t          # &nbsp; decoded
+    assert "'q'" in t                # &#39; decoded
+    assert "color:red" not in t      # style dropped
+    assert "hidden" not in t         # comment dropped
+    assert "var x" not in t          # script dropped
+    assert "<" not in t.replace("<tag>", "")  # no tags survive
+
+
+def test_warc_text_corpus_composition(spark, tmp_path):
+    from petk_spark.sources.warc import synth_warc, warc_text_corpus
+
+    recs = [
+        {
+            "warc_type": "response",
+            "record_id": "<urn:uuid:42>",
+            "target_uri": "http://example.com/page",
+            "warc_date": "2026-08-16T02:00:00Z",
+            "content_type": "application/http; msgtype=response",
+            "payload": (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + HTML.encode()
+            ),
+        },
+        {   # non-HTTP payload → NULL text, row preserved
+            "warc_type": "response",
+            "record_id": "<urn:uuid:43>",
+            "target_uri": "http://example.com/raw",
+            "payload": b"raw bytes, no envelope",
+        },
+        {   # conversion record must be filtered out
+            "warc_type": "conversion",
+            "record_id": "<urn:uuid:44>",
+            "payload": b"wet text",
+        },
+    ]
+    d = tmp_path / "w"
+    d.mkdir()
+    (d / "f.warc.gz").write_bytes(synth_warc(recs))
+    rows = {
+        r["record_id"]: r
+        for r in warc_text_corpus(spark, str(d)).collect()
+    }
+    assert set(rows) == {"<urn:uuid:42>", "<urn:uuid:43>"}
+    page = rows["<urn:uuid:42>"]
+    assert page["status"] == "HTTP/1.1 200 OK"
+    assert "Hello & world" in page["text"]
+    assert "var x" not in page["text"]
+    assert rows["<urn:uuid:43>"]["status"] is None
+    assert rows["<urn:uuid:43>"]["text"] is None
