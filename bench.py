@@ -83,16 +83,16 @@ def build_spark(cpus: str) -> SparkSession:
     )
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1).rstrip(".")) if m else -1.0
-
+def build_registry(spark: SparkSession, sf_dir: str):
+    """Build the full bench registry (driver queries + bench-only
+    timing entries), run the untimed twin pre-warms and the JVM
+    warmup, and return ``(registry, warm_state)``. Extracted from
+    main() in round 13 so tools/ab_probe.py can replay the EXACT
+    bench context (same entries, same pre-warm state) when
+    adjudicating regressions in isolation."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
 
-    spark = build_spark(cpus)
     registry = dict(entrymod.queries())
 
     # Bench-only timing entry (NOT part of the driver contract): the
@@ -358,6 +358,23 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - warmup is best-effort
         print(f"# bench warmup skipped: {exc}", file=sys.stderr)
 
+    warm_state = {
+        "cosine_topk_ivf_fresh_index_prewarmed": ivf_twin_prewarmed,
+        "media_twin_payloads_prewarmed": media_twin_prewarmed,
+        "approx_validator_bands_prewarmed": approx_twin_prewarmed,
+    }
+    return registry, warm_state
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    spark = build_spark(cpus)
+    registry, warm_state = build_registry(spark, sf_dir)
+
     # CONTROL query (round 8, self-adjudication): engine-independent,
     # frozen Spark — edits here would break cross-round comparability
     # of the control series, so DON'T touch it. It is deliberately not
@@ -407,6 +424,13 @@ def main() -> None:
     for _ in range(5):
         _control_once()
     control_samples.append(round(_control_point(), 4))
+    # Adjudication knob (round 13): run the EXACT bench protocol
+    # (ordering, runs, control points, settle) but stop after the
+    # named query — lets a regression whose debt source is protocol
+    # state (not plan) be reproduced in half a run. Not set in
+    # driver/record runs; a record produced with it set is partial by
+    # construction and says so via the truncated query map.
+    stop_after = os.environ.get("SPARK_GRAFT_BENCH_STOP_AFTER")
     for qi, name in enumerate(sorted(registry)):
         if qi and qi % control_every == 0:
             control_samples.append(round(_control_point(), 4))
@@ -457,6 +481,8 @@ def main() -> None:
             samples[name] = [round(t, 4) for t in ts]
         else:
             timings[name] = -1.0
+        if stop_after and name == stop_after:
+            break
 
     control_samples.append(round(_control_point(), 4))
     c_min, c_max = min(control_samples), max(control_samples)
@@ -536,11 +562,7 @@ def main() -> None:
         # untimed at session setup since r11; if the warm failed, the
         # first timed sample paid the build and per-query comparison
         # against a warmed record is apples-to-oranges.
-        "warm_state": {
-            "cosine_topk_ivf_fresh_index_prewarmed": ivf_twin_prewarmed,
-            "media_twin_payloads_prewarmed": media_twin_prewarmed,
-            "approx_validator_bands_prewarmed": approx_twin_prewarmed,
-        },
+        "warm_state": warm_state,
         "samples": samples,
     }
     # The driver captures stdout's tail, which truncated BENCH_r03.json

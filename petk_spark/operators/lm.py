@@ -247,7 +247,20 @@ def train_bigram_lm(
     * ``p(wᵢ | wᵢ₋₁)     = (c(m(wᵢ₋₁), m(wᵢ)) + 1) / (c(m(wᵢ₋₁)) + V' + 1)``
 
     with ``V' = |vocab| + 1`` (the UNK class), all counts exact
-    integers. Returns ``(bigrams, contexts, stats)``: ``bigrams`` =
+    integers.
+
+    DENOMINATOR CONVENTION (deliberate deviation from textbook
+    Laplace, r12 advisory): ``c(ctx)`` is the context token's FULL
+    unigram count — including its occurrences as a document-final
+    token, which are never bigram prefixes — and the add-one class
+    count is ``V' + 1`` rather than ``V'``. Consequently
+    ``Σ_b p(b|a) < 1``: the scores are a reproducible, monotone
+    quality signal (the CCNet use case ranks documents; it never sums
+    the conditional), not a normalized probability model. Chosen
+    because the unigram count is already materialized by pass 1 —
+    counting contexts as non-final occurrences would need a second
+    per-document boundary aggregate — and both engine twins + the
+    DuckDB oracle share the identical convention. Returns ``(bigrams, contexts, stats)``: ``bigrams`` =
     (a, b, n, logp) over OBSERVED mapped pairs; ``contexts`` =
     (token, n, ulogp, fb_logp) for every vocab token + the UNK row —
     ``ulogp`` is the first-token unigram term, ``fb_logp`` the
@@ -331,14 +344,45 @@ def bigram_bits_per_token(
     text_col: str,
     bigrams: DataFrame,
     contexts: DataFrame,
+    max_closure_rows: int = 2_000_000,
+    tier: str = "auto",
 ) -> DataFrame:
     """Score documents against a trained bigram model:
     ``(id, n_tokens, bits_per_token)`` with bits = −(log2 p(w₁) +
     Σᵢ₌₂ log2 p(wᵢ|wᵢ₋₁)) / T, the left fold in document order (the
     oracle replays it with map() probes + list fold). Documents with
-    no tokens are dropped (no transitions, no estimate). Map-only
-    Arrow kernel; both model artifacts collapse to dict closures
-    (broadcast-class, like the unigram path)."""
+    no tokens are dropped (no transitions, no estimate).
+
+    Two tiers (round 13, r12 advisory: the observed-bigram table is
+    bounded only by V'² ≈ 2.5e9 at the default vocab and grows with
+    the reference corpus, so collecting it into a dict closure is NOT
+    broadcast-class in general):
+
+    * **closure** — map-only Arrow kernel, both model artifacts as
+      dict closures; the per-document sum is the exact left fold in
+      document order (the oracle contract). Used when the observed
+      pair table fits (≤ ``max_closure_rows``).
+    * **join** — the pair table never touches the driver: a map-only
+      transition emitter (vocab set closure, bounded by vocab_size)
+      + one equi-join against ``bigrams`` on (a, b) (AQE broadcasts
+      it when small, sort-merge otherwise) + one hash aggregate on
+      the document id. Same model, same terms; the floating-point
+      SUM ORDER is aggregate-determined rather than document-order,
+      so scores can differ from the closure tier in the last ulps —
+      the fmt contract absorbs it in practice but bit-for-bit
+      equality is only guaranteed by the closure tier.
+
+    ``tier="auto"`` probes ``bigrams.limit(max_closure_rows+1)``
+    (one bounded job) and picks; pass ``tier="closure"`` /
+    ``tier="join"`` to skip the probe when the caller already knows
+    the model size (the registry twin passes "closure": its fixture
+    model is ≤ a few thousand pairs and the probe job would be an
+    undeclared bench reshape)."""
+    if tier == "auto":
+        probed = bigrams.limit(max_closure_rows + 1).count()
+        tier = "join" if probed > max_closure_rows else "closure"
+    if tier == "join":
+        return _bigram_bits_join(df, id_col, text_col, bigrams, contexts)
     ctx = {
         r["token"]: (r["ulogp"], r["fb_logp"])
         for r in contexts.select("token", "ulogp", "fb_logp").collect()
@@ -382,3 +426,80 @@ def bigram_bits_per_token(
     return df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("_t")
     ).mapInPandas(kern, f"id {id_type}, n_tokens long, bits_per_token double")
+
+
+def _bigram_bits_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bigrams: DataFrame,
+    contexts: DataFrame,
+) -> DataFrame:
+    """Unbounded-model scoring tier (see :func:`bigram_bits_per_token`).
+
+    Per document the emitter yields one row per transition
+    ``(id, a, b)`` plus a single first-token marker ``(id, m₀, NULL)``
+    — so ``count(*)`` per id IS the token count, and the marker row
+    carries the unigram term while transition rows carry
+    ``coalesce(bigram logp, fb_logp(a))``. Only the VOCAB (bounded:
+    ≤ vocab_size+1 rows by construction) is collected into the
+    emitter's closure; the observed-pair table stays distributed.
+
+    Plan: one corpus scan (map-only Arrow emitter) → left equi-join
+    on (a, b) → broadcast join on the context frame → one hash
+    aggregate on id. Two shuffles total at any model size."""
+    vset = {
+        r["token"] for r in contexts.select("token").collect()
+    } - {UNK}
+
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, a_out, b_out = [], [], []
+            for rid, t in zip(pdf["id"], pdf["_t"]):
+                if t is None or (not isinstance(t, str) and pd.isna(t)):
+                    continue
+                toks = [w for w in ws.split(t.lower()) if w]
+                if not toks:
+                    continue
+                m = [w if w in vset else UNK for w in toks]
+                ids.append(rid)
+                a_out.append(m[0])
+                b_out.append(None)
+                ids.extend([rid] * (len(m) - 1))
+                a_out.extend(m[:-1])
+                b_out.extend(m[1:])
+            yield pd.DataFrame({"id": ids, "a": a_out, "b": b_out})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    tr = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_t")
+    ).mapInPandas(emit, f"id {id_type}, a string, b string")
+
+    bg = bigrams.select("a", "b", "logp")
+    ctxs = F.broadcast(
+        contexts.select(
+            F.col("token").alias("a"), "ulogp", "fb_logp"
+        )
+    )
+    term = (
+        F.when(F.col("b").isNull(), F.col("ulogp"))
+        .otherwise(F.coalesce(F.col("logp"), F.col("fb_logp")))
+    )
+    return (
+        tr.join(bg, ["a", "b"], "left")
+        .join(ctxs, "a")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(term).alias("_total"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            (-F.col("_total") / F.col("n_tokens")).alias("bits_per_token"),
+        )
+    )

@@ -517,16 +517,48 @@ _HTML_RULES: list[tuple[str, str]] = [
     (r"<[^>]*>", " "),
 ]
 
-#: Minimal entity set (the high-frequency ASCII entities; numeric
-#: escapes beyond &#39; are out of scope — a full HTML5 entity table
-#: is a data file, not a rule chain).
-_HTML_ENTITIES: list[tuple[str, str]] = [
-    ("&nbsp;", " "),
-    ("&amp;", "&"),
-    ("&lt;", "<"),
-    ("&gt;", ">"),
-    ("&quot;", '"'),
-    ("&#39;", "'"),
+def _num_ent(dec: int) -> str:
+    """RE2-compatible pattern matching every numeric-reference spelling
+    of one code point: decimal and hex, any zero padding, any case
+    (``&#8217; &#08217; &#x2019; &#X2019;`` all match for 8217)."""
+    return rf"(?i)&#0*{dec};|&#x0*{dec:x};"
+
+
+#: Entity decode chain, ORDERED (round 13). Literal named entities
+#: plus one numeric-reference regexp per code point for the
+#: high-frequency ASCII + Windows-1252-punctuation set a real crawl
+#: actually contains (a full HTML5 entity table is a data file, not a
+#: rule chain). The AMPERSAND FAMILY IS LAST (r12 advisory): with
+#: ("&amp;", "&") first, escaped entity references double-decoded —
+#: "&amp;lt;" in source HTML became "<" in extracted text instead of
+#: the literal "&lt;" a browser renders. Decoding every other entity
+#: first and the ampersand last makes the sequential replace chain
+#: agree with one-pass reference semantics on escaped references.
+#: Kinds: "lit" → engine string replace, "re" → regexp_replace on
+#: both engines (RE2-safe: alternation + (?i) only, no backrefs).
+_HTML_ENTITIES: list[tuple[str, str, str]] = [
+    ("lit", "&nbsp;", " "),
+    ("lit", "&lt;", "<"),
+    ("lit", "&gt;", ">"),
+    ("lit", "&quot;", '"'),
+    ("re", _num_ent(160), " "),     # no-break space → plain space
+    ("re", _num_ent(34), '"'),
+    ("re", _num_ent(39), "'"),      # subsumes the old &#39; literal
+    ("re", _num_ent(60), "<"),
+    ("re", _num_ent(62), ">"),
+    ("re", _num_ent(169), "©"),   # ©
+    ("re", _num_ent(174), "®"),   # ®
+    ("re", _num_ent(8211), "–"),  # – en dash
+    ("re", _num_ent(8212), "—"),  # — em dash
+    ("re", _num_ent(8216), "‘"),  # ' left single quote
+    ("re", _num_ent(8217), "’"),  # ' right single quote
+    ("re", _num_ent(8220), "“"),  # " left double quote
+    ("re", _num_ent(8221), "”"),  # " right double quote
+    ("re", _num_ent(8226), "•"),  # • bullet
+    ("re", _num_ent(8230), "…"),  # … ellipsis
+    ("re", _num_ent(8364), "€"),  # € euro
+    # ampersand family LAST — see the ordering note above
+    ("re", r"(?i)&amp;|&#0*38;|&#x0*26;", "&"),
 ]
 
 _WS_RULES: list[tuple[str, str]] = [
@@ -548,8 +580,11 @@ def html_to_text(col: Column) -> Column:
     e = col
     for pat, rep in _HTML_RULES:
         e = F.regexp_replace(e, pat, rep)
-    for ent, rep in _HTML_ENTITIES:
-        e = F.replace(e, F.lit(ent), F.lit(rep))
+    for kind, ent, rep in _HTML_ENTITIES:
+        if kind == "lit":
+            e = F.replace(e, F.lit(ent), F.lit(rep))
+        else:
+            e = F.regexp_replace(e, ent, rep)
     for pat, rep in _WS_RULES:
         e = F.regexp_replace(e, pat, rep)
     return F.trim(e)
@@ -572,8 +607,11 @@ def duckdb_html_to_text(expr: str) -> str:
     e = expr
     for pat, rep in _HTML_RULES:
         e = f"regexp_replace({e}, '{pat}', {sq(rep)}, 'g')"
-    for ent, rep in _HTML_ENTITIES:
-        e = f"replace({e}, '{ent}', {sq(rep)})"
+    for kind, ent, rep in _HTML_ENTITIES:
+        if kind == "lit":
+            e = f"replace({e}, '{ent}', {sq(rep)})"
+        else:
+            e = f"regexp_replace({e}, '{ent}', {sq(rep)}, 'g')"
     for pat, rep in _WS_RULES:
         e = f"regexp_replace({e}, '{pat}', {sq(rep)}, 'g')"
     return f"trim({e})"

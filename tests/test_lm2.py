@@ -99,3 +99,51 @@ def test_unk_counted_when_vocab_truncated(spark):
     bim = {(r["a"], r["b"]): r["n"] for r in bi.collect()}
     # mapped stream: x x x U U → (x,x)×2 (x,U)×1 (U,U)×1
     assert bim == {("x", "x"): 2, ("x", UNK): 1, (UNK, UNK): 1}
+
+
+def test_join_tier_matches_closure(model, spark):
+    """R12 advisory: the observed-bigram table must not be collected
+    driver-side when it is not broadcast-class. The join tier keeps it
+    distributed; same terms, so scores agree to float-sum-order ulps
+    and token counts exactly."""
+    df, bi, ctx, _stats = model
+    probe = spark.createDataFrame(
+        DOCS + [(7, "zzz a qqq"), (8, None), (9, "a")],
+        "doc_id long, text string",
+    )
+    closure = {
+        r["id"]: r for r in bigram_bits_per_token(
+            probe, "doc_id", "text", bi, ctx, tier="closure"
+        ).collect()
+    }
+    joined = {
+        r["id"]: r for r in bigram_bits_per_token(
+            probe, "doc_id", "text", bi, ctx, tier="join"
+        ).collect()
+    }
+    assert set(joined) == set(closure) == {0, 1, 7, 9}
+    for k in closure:
+        assert joined[k]["n_tokens"] == closure[k]["n_tokens"]
+        assert joined[k]["bits_per_token"] == pytest.approx(
+            closure[k]["bits_per_token"], abs=1e-9
+        )
+    # single-token doc: no transitions, bits = -ulogp(a)
+    assert joined[9]["n_tokens"] == 1
+    assert joined[9]["bits_per_token"] == pytest.approx(
+        -math.log2(3 / 9), abs=1e-9
+    )
+
+
+def test_auto_gate_picks_join_above_cap(model):
+    """max_closure_rows below the observed pair count must route to the
+    join tier (no driver collect of the pair table) and still score
+    identically within tolerance."""
+    df, bi, ctx, _stats = model
+    got = {
+        r["id"]: r for r in bigram_bits_per_token(
+            df, "doc_id", "text", bi, ctx, max_closure_rows=1
+        ).collect()
+    }
+    exp0 = -(math.log2(3 / 9) + math.log2(2 / 6) + math.log2(2 / 7)) / 3
+    assert got[0]["n_tokens"] == 3
+    assert got[0]["bits_per_token"] == pytest.approx(exp0, abs=1e-9)

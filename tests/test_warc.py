@@ -169,6 +169,12 @@ def test_html_to_text_cross_engine_parity(spark):
         "<TABLE><TR><TD>a</TD></TR><TR><TD>b</TD></TR></TABLE>",
         "<br><br /><BR>lines",
         "",
+        # round 13: numeric references (dec/hex/zero-pad/case) and
+        # escaped entity references (the &amp;-last ordering fix)
+        "d&#8217;arc &#x2019; &#X2019; &#08217; quote&#039;s",
+        "&amp;lt;not-a-tag&amp;gt; &amp;amp; &#38;quot; &#x26;nbsp;",
+        "dash &#8211;&#x2013; em &#8212; euro &#8364;&#x20ac;"
+        " &#169;&#xA9; bullet&#8226; &#8230; &#160;nbsp",
     ]
     df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cases)], "i long, h string"
@@ -197,6 +203,36 @@ def test_html_to_text_content(spark):
     assert "hidden" not in t         # comment dropped
     assert "var x" not in t          # script dropped
     assert "<" not in t.replace("<tag>", "")  # no tags survive
+
+
+def test_html_entities_numeric_and_escaped(spark):
+    """Round 13 (r12 verdict #7 + advisory): numeric character
+    references decode to their code points, and ESCAPED entity
+    references decode exactly one level — '&amp;lt;' is the literal
+    text '&lt;', not '<' (the old &amp;-first ordering double-decoded
+    it)."""
+    from pyspark.sql import functions as F
+
+    from petk_spark.operators.text import html_to_text
+
+    cases = {
+        0: "<p>d&#8217;arc &#x2019; &#039;</p>",
+        1: "<p>&amp;lt;esc&amp;gt; &amp;amp; Tom &amp; Jerry</p>",
+        2: "<p>&#8211; &#8212; &#8364; &#169; &#8230;</p>",
+        3: "<p>a&#160;b &#34;q&#x22;</p>",
+    }
+    df = spark.createDataFrame(list(cases.items()), "i long, h string")
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", html_to_text(F.col("h")).alias("t")).collect()
+    }
+    assert "d’arc ’ '" in got[0]
+    # one-level decode: the literal entity text survives
+    assert "&lt;esc&gt;" in got[1]
+    assert "&amp;" in got[1]
+    assert "Tom & Jerry" in got[1]
+    assert "– — € © …" in got[2]
+    assert 'a b "q"' in got[3]       # &#160; → plain space
 
 
 def test_warc_text_corpus_composition(spark, tmp_path):
