@@ -101,11 +101,15 @@ def _pair_counts(seg: DataFrame) -> DataFrame:
     return pairs.groupBy("p.a", "p.b").agg(F.sum("n").alias("cnt"))
 
 
-def word_frequency(df: DataFrame, text_col: str) -> DataFrame:
+def word_frequency(
+    df: DataFrame, text_col: str, split_cjk: bool = False
+) -> DataFrame:
     """The one corpus pass of training: distinct-word frequencies
-    ``(word, n)`` under the repo-wide tokenizer."""
+    ``(word, n)`` under the repo-wide tokenizer (``split_cjk`` is the
+    round-13 non-spacing-script pre-tokenization — CJK chars become
+    single-char "words", the byte/char-level BPE starting point)."""
     return (
-        df.select(F.explode(_tokens(text_col)).alias("word"))
+        df.select(F.explode(_tokens(text_col, split_cjk)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -176,9 +180,20 @@ def train_bpe(
     min_count: int = 2,
     driver_dict_rows: int = 65536,
     lineage_cut_every: int = 16,
+    split_cjk: bool = False,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
-    """Learn ``n_merges`` BPE merge rules from a corpus. Returns
-    ``(merges, seg)``: ``merges`` is ``[(rank, a, b, count), …]`` in
+    """Learn ``n_merges`` BPE merge rules from a corpus.
+
+    CJK note (round 13): for non-spacing scripts the PLAIN tokenizer
+    is already the right BPE pre-tokenization — a CJK run is one
+    "word" and segmentation starts at chars, so merges are learned
+    within the run. ``split_cjk=True`` pre-splits runs into
+    single-char words, which have no intra-word pairs and therefore
+    learn NO merges — use it only when the char stream itself is the
+    wanted encoding (count-parity with the LM surface's split_cjk
+    mode); pinned by tests/test_cjk.py.
+
+    Returns ``(merges, seg)``: ``merges`` is ``[(rank, a, b, count), …]`` in
     learned order (possibly shorter than ``n_merges`` — training
     stops when the best pair's count drops below ``min_count``), and
     ``seg`` is the final ``(word, n, syms)`` training-dict
@@ -195,7 +210,7 @@ def train_bpe(
     Every ``lineage_cut_every`` distributed rounds the dict is
     ``localCheckpoint``-ed so the nested fold-expression plan stays
     bounded for large ``n_merges``."""
-    seg = word_frequency(df, text_col).select(
+    seg = word_frequency(df, text_col, split_cjk).select(
         "word",
         "n",
         F.filter(F.split("word", ""), lambda c: c != "").alias("syms"),
@@ -205,7 +220,18 @@ def train_bpe(
     if n_words <= driver_dict_rows:
         words = [(r["word"], r["n"]) for r in cur.select("word", "n").collect()]
         merges = _train_driver(words, n_merges, min_count)
-        return merges, _segment_frame(cur, merges)
+        # r12 advisory: the returned frame used to be a mapInPandas
+        # over the persisted `cur`, so callers' seg.unpersist() never
+        # reached the persisted dict and its blocks leaked for the
+        # session. The dict is already ON the driver here — segment it
+        # locally (same segment_word contract as the Arrow kernel) and
+        # return a local relation with no tie to `cur`, then drop the
+        # persisted blocks before returning.
+        rows = [(w, n, segment_word(w, merges)) for w, n in words]
+        cur.unpersist()
+        return merges, df.sparkSession.createDataFrame(
+            rows, "word string, n long, syms array<string>"
+        )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         best = (
@@ -251,6 +277,7 @@ def bpe_encode(
     text_col: str,
     merges: list[tuple[int, str, str, int]],
     keep_columns: bool = False,
+    split_cjk: bool = False,
 ) -> DataFrame:
     """Tokenize a corpus with a learned merge list. Returns
     ``(id, n_tokens_bpe, bpe_tokens)`` — or, with ``keep_columns``,
@@ -260,18 +287,16 @@ def bpe_encode(
     Map-only Arrow kernel: the merge list lives in the task closure;
     a per-batch ``word → segmentation`` memo makes repeated words
     (Zipf's law: most of the corpus) one dict probe each."""
-    import re
+    from petk_spark.operators.lm import _py_splitter
 
-    ws = re.compile(r"\s+", re.ASCII)
+    tokenize = _py_splitter(split_cjk)
     rules = [(r, a, b, c) for (r, a, b, c) in merges]
 
     def encode_text(t, memo):
         if t is None or (not isinstance(t, str) and pd.isna(t)):
             return 0, []
         toks: list[str] = []
-        for w in ws.split(t.lower()):
-            if not w:
-                continue
+        for w in tokenize(t):
             got = memo.get(w)
             if got is None:
                 got = segment_word(w, rules)

@@ -35,16 +35,71 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _tokens(text_col: str):
+#: Scripts written WITHOUT word-separating whitespace (round 13 —
+#: r12 verdict #2): CJK ideographs (URO + Ext A + compatibility),
+#: kana, and Thai. On these, the whitespace tokenizer degenerates — a
+#: whole Chinese document is ONE token, so token counts, tf-idf,
+#: token-budget selection, LM scoring, and BPE all collapse. The
+#: ``split_cjk`` mode emits ONE TOKEN PER CHARACTER for runs in these
+#: ranges (the standard char-level fallback; SentencePiece/fastText
+#: pre-tokenization does the same before subword modeling), leaving
+#: space-delimited scripts untouched. Hangul is NOT here: Korean is
+#: written with spaces. The three spellings below (JVM regex, RE2 for
+#: the DuckDB oracle, Python for the Arrow kernels) may only change
+#: together.
+_CJK_RANGES: list[tuple[int, int]] = [
+    (0x0E00, 0x0E7F),   # Thai
+    (0x3040, 0x30FF),   # hiragana + katakana
+    (0x3400, 0x4DBF),   # CJK ext A
+    (0x4E00, 0x9FFF),   # CJK unified
+    (0xF900, 0xFAFF),   # CJK compatibility ideographs
+]
+#: \x{...} is the Java∩RE2 spelling, so the SAME pattern string works
+#: in Spark regexp_replace and DuckDB (the oracle builder uses it
+#: verbatim); only the replacement differs ("$1" vs "\1").
+CJK_CHAR_PATTERN = (
+    "([" + "".join(rf"\x{{{a:X}}}-\x{{{b:X}}}" for a, b in _CJK_RANGES) + "])"
+)
+_CJK_CLASS_PY = (
+    "[" + "".join(rf"\u{a:04x}-\u{b:04x}" for a, b in _CJK_RANGES) + "]"
+)
+
+
+def _py_splitter(split_cjk: bool = False):
+    """Python-side tokenizer factory for the Arrow kernels, matching
+    :func:`_tokens` mode for mode (the regexes are locals so the
+    kernel closure serializes by value)."""
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)
+    if not split_cjk:
+        return lambda t: [w for w in ws.split(t.lower()) if w]
+    cjk = re.compile(_CJK_CLASS_PY)
+
+    def tok(t: str) -> list[str]:
+        t = cjk.sub(lambda m: " " + m.group(0) + " ", t)
+        return [w for w in ws.split(t.lower()) if w]
+
+    return tok
+
+
+def _tokens(text_col, split_cjk: bool = False):
     """The repo-wide tokenizer: ASCII-whitespace split of the lowered
-    text, empties dropped (≡ the oracle's _TOKS_CTE)."""
-    return F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
-    )
+    text, empties dropped (≡ the oracle's _TOKS_CTE). With
+    ``split_cjk=True``, characters of non-spacing scripts are first
+    isolated into their own tokens (see :data:`_CJK_RANGES`) — opt-in
+    so every existing oracle hash is byte-stable."""
+    e = F.col(text_col) if isinstance(text_col, str) else text_col
+    if split_cjk:
+        e = F.regexp_replace(e, CJK_CHAR_PATTERN, " $1 ")
+    return F.filter(F.split(F.lower(e), r"\s+"), lambda t: t != "")
 
 
 def train_unigram_lm(
-    df: DataFrame, text_col: str, vocab_size: int = 50000
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int = 50000,
+    split_cjk: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Train the smoothed unigram model on a reference corpus. Returns
     ``(vocab_frame, stats)``: the frame is ``(token, n, logp)`` —
@@ -56,7 +111,7 @@ def train_unigram_lm(
     producing a small broadcastable artifact, the same lifecycle as
     the IVF centroid sample."""
     cnt = (
-        df.select(F.explode(_tokens(text_col)).alias("token"))
+        df.select(F.explode(_tokens(text_col, split_cjk)).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -83,6 +138,7 @@ def _score_arrow(
     logp: dict,
     oov_logp: float,
     keep_columns: bool = False,
+    split_cjk: bool = False,
 ) -> DataFrame:
     """Production scoring kernel: the vocab dict lives in the task
     closure (one broadcast), each token is one hash probe, the sum is
@@ -90,9 +146,7 @@ def _score_arrow(
     appends (n_tokens, bits_per_token) to the FULL input row instead
     of projecting (id, …) — the pipeline-composition shape, scoring
     in-band with no join-back against the upstream lineage."""
-    import re
-
-    ws = re.compile(r"\s+", re.ASCII)
+    tokenize = _py_splitter(split_cjk)
 
     def score_lists(texts):
         nt, bits = [], []
@@ -101,7 +155,7 @@ def _score_arrow(
                 nt.append(0)
                 bits.append(None)
                 continue
-            toks = [w for w in ws.split(t.lower()) if w]
+            toks = tokenize(t)
             nt.append(len(toks))
             if not toks:
                 bits.append(None)
@@ -155,6 +209,7 @@ def lm_bits_per_token(
     oov_logp: float,
     method: str | None = None,
     keep_columns: bool = False,
+    split_cjk: bool = False,
 ) -> DataFrame:
     """Score every document against a trained unigram model:
     ``(id, n_tokens, bits_per_token)`` where bits_per_token =
@@ -190,7 +245,8 @@ def lm_bits_per_token(
             r["token"]: r["logp"] for r in lm.select("token", "logp").collect()
         }
         return _score_arrow(
-            df, id_col, text_col, table, float(oov_logp), keep_columns
+            df, id_col, text_col, table, float(oov_logp), keep_columns,
+            split_cjk,
         )
     spark = df.sparkSession
     mp = lm.agg(
@@ -198,7 +254,7 @@ def lm_bits_per_token(
             F.collect_list(F.struct("token", "logp"))
         ).alias("__lm")
     )
-    toks = _tokens(text_col)
+    toks = _tokens(text_col, split_cjk)
     acc = F.aggregate(
         toks,
         F.lit(0.0),
@@ -235,7 +291,10 @@ UNK = "\x01"
 
 
 def train_bigram_lm(
-    df: DataFrame, text_col: str, vocab_size: int = 50000
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int = 50000,
+    split_cjk: bool = False,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """Train a Laplace-smoothed BIGRAM model over the vocab-mapped
     token stream (every token outside the top-``vocab_size`` unigram
@@ -275,7 +334,7 @@ def train_bigram_lm(
     one hash aggregate on the bigram key. Both passes are one corpus
     scan each; the model artifacts are broadcast-class frames."""
     cnt = (
-        df.select(F.explode(_tokens(text_col)).alias("token"))
+        df.select(F.explode(_tokens(text_col, split_cjk)).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -303,16 +362,15 @@ def train_bigram_lm(
 
     vset = set(vocab)
 
-    def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import re
+    tokenize = _py_splitter(split_cjk)
 
-        ws = re.compile(r"\s+", re.ASCII)
+    def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             a_out, b_out = [], []
             for t in pdf["_t"]:
                 if t is None or (not isinstance(t, str) and pd.isna(t)):
                     continue
-                toks = [w for w in ws.split(t.lower()) if w]
+                toks = tokenize(t)
                 m = [w if w in vset else UNK for w in toks]
                 a_out.extend(m[:-1])
                 b_out.extend(m[1:])
@@ -346,6 +404,7 @@ def bigram_bits_per_token(
     contexts: DataFrame,
     max_closure_rows: int = 2_000_000,
     tier: str = "auto",
+    split_cjk: bool = False,
 ) -> DataFrame:
     """Score documents against a trained bigram model:
     ``(id, n_tokens, bits_per_token)`` with bits = −(log2 p(w₁) +
@@ -382,7 +441,9 @@ def bigram_bits_per_token(
         probed = bigrams.limit(max_closure_rows + 1).count()
         tier = "join" if probed > max_closure_rows else "closure"
     if tier == "join":
-        return _bigram_bits_join(df, id_col, text_col, bigrams, contexts)
+        return _bigram_bits_join(
+            df, id_col, text_col, bigrams, contexts, split_cjk
+        )
     ctx = {
         r["token"]: (r["ulogp"], r["fb_logp"])
         for r in contexts.select("token", "ulogp", "fb_logp").collect()
@@ -392,10 +453,7 @@ def bigram_bits_per_token(
         for r in bigrams.select("a", "b", "logp").collect()
     }
     vset = {t for t in ctx if t != UNK}
-
-    import re
-
-    ws = re.compile(r"\s+", re.ASCII)
+    tokenize = _py_splitter(split_cjk)
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -403,7 +461,7 @@ def bigram_bits_per_token(
             for rid, t in zip(pdf["id"], pdf["_t"]):
                 if t is None or (not isinstance(t, str) and pd.isna(t)):
                     continue
-                toks = [w for w in ws.split(t.lower()) if w]
+                toks = tokenize(t)
                 if not toks:
                     continue
                 m = [w if w in vset else UNK for w in toks]
@@ -434,6 +492,7 @@ def _bigram_bits_join(
     text_col: str,
     bigrams: DataFrame,
     contexts: DataFrame,
+    split_cjk: bool = False,
 ) -> DataFrame:
     """Unbounded-model scoring tier (see :func:`bigram_bits_per_token`).
 
@@ -451,10 +510,7 @@ def _bigram_bits_join(
     vset = {
         r["token"] for r in contexts.select("token").collect()
     } - {UNK}
-
-    import re
-
-    ws = re.compile(r"\s+", re.ASCII)
+    tokenize = _py_splitter(split_cjk)
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -462,7 +518,7 @@ def _bigram_bits_join(
             for rid, t in zip(pdf["id"], pdf["_t"]):
                 if t is None or (not isinstance(t, str) and pd.isna(t)):
                     continue
-                toks = [w for w in ws.split(t.lower()) if w]
+                toks = tokenize(t)
                 if not toks:
                     continue
                 m = [w if w in vset else UNK for w in toks]
