@@ -155,7 +155,20 @@ def langid_predict_frame(
     ``model`` is the training frame (collected here, once — it is
     ≤ langs × vocab_size rows by construction) or an already-collected
     ``{(lang, gram): w}`` dict. The kernel is the F46 dict-closure
-    shape: Arrow batches, one hash probe per gram, zero shuffles."""
+    shape: Arrow batches, zero shuffles. Round 13 (r12 verdict #3):
+    the per-document scoring is VECTORIZED — the model collapses to a
+    ``(n_vocab_grams × n_langs)`` int64 numpy matrix built once in the
+    closure, each document does ONE dict probe per gram (language-
+    independent, to a matrix row index) and the per-language sums are
+    a counted matrix-row reduction — replacing the old
+    O(langs × grams) interpreted-Python accumulation with O(grams)
+    probes + BLAS-class integer math. Identical integer scores by
+    construction (int64 sums are exact; ``argmax`` takes the FIRST
+    maximum, which over the sorted language axis is the same
+    lexicographic tie-break as the scalar loop), pinned bit-for-bit
+    by tests/test_langid.py against a kept scalar reference."""
+    import numpy as np
+
     n = stats["n"]
     langs = list(stats["langs"])
     base = dict(stats["base"])
@@ -166,6 +179,17 @@ def langid_predict_frame(
     else:
         weights = dict(model)
 
+    lang_pos = {lg: j for j, lg in enumerate(langs)}
+    gram_index: dict[str, int] = {}
+    for (_lg, g) in weights:
+        if g not in gram_index:
+            gram_index[g] = len(gram_index)
+    W = np.zeros((max(len(gram_index), 1), len(langs)), dtype=np.int64)
+    for (lg, g), w in weights.items():
+        W[gram_index[g], lang_pos[lg]] = int(w)
+    base_vec = np.array([base[lg] for lg in langs], dtype=np.int64)
+    langs_arr = np.array(langs)
+
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             preds = []
@@ -174,19 +198,21 @@ def langid_predict_frame(
                     preds.append("und")
                     continue
                 grams = _grams(s, n)
-                if not grams:
+                if not grams or not langs:
                     preds.append("und")
                     continue
                 t = len(grams)
-                best_lang, best_score = "und", None
-                for lang in langs:  # sorted: first wins ties
-                    acc = 0
-                    for g in grams:
-                        acc += weights.get((lang, g), 0)
-                    score = acc - t * base[lang]
-                    if best_score is None or score > best_score:
-                        best_lang, best_score = lang, score
-                preds.append(best_lang)
+                gi = gram_index
+                known = [j for j in map(gi.get, grams) if j is not None]
+                if known:
+                    u, c = np.unique(
+                        np.asarray(known, dtype=np.int64),
+                        return_counts=True,
+                    )
+                    scores = c @ W[u] - t * base_vec
+                else:
+                    scores = -t * base_vec
+                preds.append(str(langs_arr[int(np.argmax(scores))]))
             yield pd.DataFrame({"id": pdf["id"], "lang_pred": preds})
 
     id_type = df.schema[id_col].dataType.simpleString()
