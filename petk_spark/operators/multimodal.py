@@ -912,8 +912,18 @@ def _decode_image(payload: bytes) -> tuple[int, int, int, float]:
         if dec is None:
             raise NotImplementedError("corrupt/unsupported GIF")
         return (dec[0], dec[1], 3, gif_mean_luma(dec))
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # Recognized, deliberately not pixel-decoded (round 13 — the
+        # AVI metadata policy): dims/variant/alpha/frame-count come
+        # from operators/webp.py's header parse; a full VP8/VP8L
+        # entropy decode is the documented libwebp swap seam.
+        raise NotImplementedError(
+            "WebP: metadata-only (webp.parse_webp_metadata); no pixel"
+            " decode"
+        )
     raise NotImplementedError(
-        "unsupported image format (PNG, baseline JPEG, GIF implemented)"
+        "unsupported image format (PNG, baseline JPEG, GIF implemented;"
+        " WebP metadata-only)"
     )
 
 
