@@ -440,6 +440,188 @@ def wav_ahash_frame(
     return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 
+# ---------------------------------------------------------------------------
+# MP3 (MPEG audio Layer III) frame-header metadata — round 13, r12
+# verdict #6. Crawl audio is overwhelmingly MP3; the WAV-only audio
+# surface gets the same metadata-not-full-decode policy as AVI/GIF
+# animation: walk the real frame headers (sync, version, layer,
+# bitrate/sample-rate indices, padding), step exact frame sizes, count
+# frames, and derive the duration — no Huffman/MDCT decode (the
+# documented libmad/minimp3 swap seam).
+# ---------------------------------------------------------------------------
+
+#: Layer III bitrate tables, kbps, index 1..14 (0 = "free", 15 =
+#: invalid — both rejected). MPEG-2/2.5 share one table.
+_MP3_BITRATES_V1 = (
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+_MP3_BITRATES_V2 = (
+    0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160,
+)
+#: Sample rates by the header's 2-bit version field value
+#: (0 = MPEG-2.5, 2 = MPEG-2, 3 = MPEG-1; 1 is reserved).
+_MP3_RATES = {
+    0: (11025, 12000, 8000),
+    2: (22050, 24000, 16000),
+    3: (44100, 48000, 32000),
+}
+
+
+def _mp3_frame_size(vbits: int, bitrate_bps: int, rate: int,
+                    padding: int) -> int:
+    """Whole-frame byte length (header included): Layer III is
+    ``(1152/8)·bitrate/rate`` for MPEG-1 and ``(576/8)·…`` for
+    MPEG-2/2.5, floored, plus the padding byte."""
+    spf = 1152 if vbits == 3 else 576
+    return (spf // 8) * bitrate_bps // rate + padding
+
+
+def synth_mp3(
+    n_frames: int,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    version: int = 1,
+    mono: bool = False,
+    id3_size: int = 0,
+) -> bytes:
+    """Fixed-bitrate Layer III stream with genuine frame headers and
+    zeroed (never-parsed) frame bodies; ``id3_size > 0`` prepends a
+    real ID3v2 tag (syncsafe size) the parser must skip."""
+    import struct
+
+    vbits = {1: 3, 2: 2}[version]
+    table = _MP3_BITRATES_V1 if vbits == 3 else _MP3_BITRATES_V2
+    bridx = table.index(bitrate_kbps)
+    sridx = _MP3_RATES[vbits].index(sample_rate)
+    out = bytearray()
+    if id3_size > 0:
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+             (id3_size >> 7) & 0x7F, id3_size & 0x7F]
+        ) + b"\x00" * id3_size
+    hdr = struct.pack(
+        ">I",
+        (0x7FF << 21) | (vbits << 19) | (0b01 << 17) | (1 << 16)
+        | (bridx << 12) | (sridx << 10) | (0 << 9)
+        | ((0b11 if mono else 0b00) << 6),
+    )
+    fs = _mp3_frame_size(vbits, bitrate_kbps * 1000, sample_rate, 0)
+    frame = hdr + b"\x00" * (fs - 4)
+    for _ in range(n_frames):
+        out += frame
+    return bytes(out)
+
+
+def parse_mp3_metadata(payload: bytes | None) -> dict | None:
+    """Frame-header walk: skip an ID3v2 tag, then parse consecutive
+    Layer III headers, stepping each frame's exact byte length —
+    stop-at-last-whole-frame (the WARC corruption contract), so a
+    truncated tail shortens the duration instead of failing. Returns
+    ``{version, layer, bitrate_kbps (first frame), is_cbr,
+    sample_rate, n_channels, n_frames, duration_ms}`` or ``None``
+    when no valid first frame exists."""
+    if payload is None or len(payload) < 4:
+        return None
+    pos = 0
+    if payload[0:3] == b"ID3" and len(payload) >= 10:
+        sz = (
+            ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14)
+            | ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
+        )
+        pos = 10 + sz
+    first = None
+    n_frames = 0
+    total_samples = 0
+    cbr = True
+    while pos + 4 <= len(payload):
+        h = payload[pos : pos + 4]
+        if h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
+            break
+        vbits = (h[1] >> 3) & 0x3
+        lbits = (h[1] >> 1) & 0x3
+        if vbits == 1 or lbits != 0b01:       # reserved / not Layer III
+            break
+        bridx = (h[2] >> 4) & 0xF
+        sridx = (h[2] >> 2) & 0x3
+        padding = (h[2] >> 1) & 0x1
+        mode = (h[3] >> 6) & 0x3
+        if bridx in (0, 15) or sridx == 3:
+            break
+        rate = _MP3_RATES[vbits][sridx]
+        table = _MP3_BITRATES_V1 if vbits == 3 else _MP3_BITRATES_V2
+        br = table[bridx] * 1000
+        fs = _mp3_frame_size(vbits, br, rate, padding)
+        if fs <= 4 or pos + fs > len(payload):
+            break                              # stop at last whole frame
+        if first is None:
+            first = (vbits, rate, br, 1 if mode == 0b11 else 2)
+        elif br != first[2]:
+            cbr = False
+        n_frames += 1
+        total_samples += 1152 if vbits == 3 else 576
+        pos += fs
+    if first is None or n_frames == 0:
+        return None
+    vbits, rate, br, ch = first
+    return {
+        "version": {0: "2.5", 2: "2", 3: "1"}[vbits],
+        "layer": 3,
+        "bitrate_kbps": br // 1000,
+        "is_cbr": cbr,
+        "sample_rate": rate,
+        "n_channels": ch,
+        "n_frames": n_frames,
+        "duration_ms": total_samples * 1000 // rate,
+    }
+
+
+MP3_FEATURES_SCHEMA = (
+    "id long, valid boolean, version string, bitrate_kbps int, "
+    "is_cbr boolean, sample_rate int, n_channels int, n_frames int, "
+    "duration_ms long"
+)
+
+
+def mp3_features_frame(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """Arrow-batched MP3 metadata extraction — the WAV sibling for the
+    dominant crawl audio format: row-local, zero shuffles, corrupt
+    payloads → valid=false rows."""
+    id_name, payload_name = id_col, payload_col
+
+    def one(payload):
+        meta = parse_mp3_metadata(
+            None if payload is None else bytes(payload)
+        )
+        if meta is None:
+            return (False, None, None, None, None, None, None, None)
+        return (
+            True, meta["version"], meta["bitrate_kbps"], meta["is_cbr"],
+            meta["sample_rate"], meta["n_channels"], meta["n_frames"],
+            meta["duration_ms"],
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (rid, *one(payload))
+                for rid, payload in zip(pdf[id_name], pdf[payload_name])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "valid", "version", "bitrate_kbps", "is_cbr",
+                    "sample_rate", "n_channels", "n_frames",
+                    "duration_ms",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=MP3_FEATURES_SCHEMA
+    )
+
+
 def wav_metadata_frame(
     df: DataFrame, id_col: str, payload_col: str
 ) -> DataFrame:
