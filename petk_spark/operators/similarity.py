@@ -905,13 +905,23 @@ def append_to_ivf_index(
     return generation
 
 
-def compact_ivf_index(spark, path: str) -> int:
+def compact_ivf_index(
+    spark, path: str, exclude_generations=()
+) -> int:
     """Fold every ingest generation of a stored IVF index into ONE
     (``ingest=base``) — file-count hygiene for long-lived indexes fed
     by :func:`append_to_ivf_index` / streaming micro-batches (a year
     of 1-minute streaming generations is ~525k directories; queries
     stay correct but planning and listing degrade). Pure rewrite, no
     re-assignment: vectors keep their stored centroid cells.
+
+    ``exclude_generations`` (round 13, r12 verdict #8) is the live-
+    stream guard — the ``keep_recent`` of the partial store, by NAME:
+    generations listed (``"ingest=stream-7"`` form) are left out of
+    both the rewrite and the purge, so an at-least-once retry of the
+    in-flight micro-batch can idempotently overwrite its own
+    generation without double-counting rows already folded into
+    base.
 
     Crash safety: the shared write-ahead-manifest fold protocol in
     ``sources/swap.py`` — unlike the partial store's fold, the
@@ -926,11 +936,18 @@ def compact_ivf_index(spark, path: str) -> int:
     lock_tok = swap.acquire_lock(spark, path)
     try:
         swap.recover_pending_swap(spark, path)
-        gens = swap.list_children(spark, path, "ingest=")
+        excl = set(exclude_generations)
+        gens = [
+            g for g in swap.list_children(spark, path, "ingest=")
+            if g not in excl
+        ]
         if len(gens) <= 1:
             return 0
+        vals = [g.split("=", 1)[1] for g in gens]
         tmp = swap.clear_tmp(spark, path)
-        spark.read.parquet(path).drop("ingest").write.mode(
+        spark.read.parquet(path).filter(
+            F.col("ingest").isin(vals)
+        ).drop("ingest").write.mode(
             "overwrite"
         ).partitionBy("centroid_id").parquet(tmp)
         swap.committed_swap(spark, path, gens, "ingest=base")
@@ -945,6 +962,7 @@ def retrain_ivf_index(
     k: int | None = None,
     iterations: int = 2,
     round_decimals: int | None = 6,
+    exclude_generations=(),
 ) -> tuple[list[list[float]], dict]:
     """Retrain a stored IVF index's centroids on its OWN full corpus
     and reassign every vector — the action arm of
@@ -987,7 +1005,12 @@ def retrain_ivf_index(
         stored = load_ivf_centroids(spark, path)
         if not stored:
             raise ValueError(f"no stored centroids at {path}")
-        corpus = spark.read.parquet(path).select("neighbor_id", "cv")
+        excl = set(exclude_generations)
+        corpus = spark.read.parquet(path)
+        if excl:
+            vals = [g.split("=", 1)[1] for g in excl]
+            corpus = corpus.filter(~F.col("ingest").isin(vals))
+        corpus = corpus.select("neighbor_id", "cv")
         if k is None or (stored and k == len(stored)):
             cents, info = kmeans_fit(
                 corpus, len(stored), id_col="neighbor_id", vec_col="cv",
@@ -999,7 +1022,10 @@ def retrain_ivf_index(
                 corpus, k, id_col="neighbor_id", vec_col="cv",
                 iterations=iterations, round_decimals=round_decimals,
             )
-        gens = swap.list_children(spark, path, "ingest=")
+        gens = [
+            g for g in swap.list_children(spark, path, "ingest=")
+            if g not in excl
+        ]
         tmp = swap.clear_tmp(spark, path)
         _write_ivf_generation(
             corpus, cents, path, "base", "neighbor_id", "cv", out_dir=tmp
@@ -1023,6 +1049,7 @@ def maybe_retrain_ivf_index(
     share_growth_threshold: float = 2.0,
     max_generations: int | None = 64,
     iterations: int = 2,
+    exclude_generations=(),
 ) -> dict:
     """The scheduled-maintenance entry point tying the IVF lifecycle
     together (round 12): run :func:`ivf_index_health`; if ANY cell
@@ -1061,10 +1088,15 @@ def maybe_retrain_ivf_index(
         "generations": len(gens),
     }
     if flagged or avg_drop > score_drop_threshold / 2:
-        retrain_ivf_index(spark, path, iterations=iterations)
+        retrain_ivf_index(
+            spark, path, iterations=iterations,
+            exclude_generations=exclude_generations,
+        )
         out["action"] = "retrained"
     elif max_generations is not None and len(gens) > max_generations:
-        compact_ivf_index(spark, path)
+        compact_ivf_index(
+            spark, path, exclude_generations=exclude_generations
+        )
         out["action"] = "compacted"
     return out
 

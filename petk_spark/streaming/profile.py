@@ -512,6 +512,8 @@ def streaming_ivf_append(
     index_path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    maintain_every: int | None = None,
+    maintain_kwargs: dict | None = None,
 ):
     """Stream NEW vectors into a stored IVF index
     (``operators.similarity.build_ivf_index``): each micro-batch is
@@ -525,20 +527,48 @@ def streaming_ivf_append(
     commits, with partition pruning intact. Single ingest pipeline per
     index (don't mix with concurrent batch appends).
 
+    ``maintain_every`` (round 13, r12 verdict #8 — the
+    ``compact_every`` cadence for the index): every N-th micro-batch,
+    AFTER its own generation commits, runs
+    ``similarity.maybe_retrain_ivf_index`` (health check → retrain /
+    compact / no-op) with the in-flight generation EXCLUDED from any
+    fold — foreachBatch is at-least-once, and a retry of batch N must
+    remain an idempotent overwrite of ``ingest=stream-N`` (the exact
+    keep_recent reasoning of :func:`compact_store`, by name). The
+    tick runs on the driver inside foreachBatch, the index's single
+    writer, so the fold lock never contends with anything but a
+    crashed predecessor. When the tick retrained, the wiring-time
+    centroid snapshot is RELOADED so later batches assign against the
+    new model instead of silently degrading every future cell
+    assignment. ``maintain_kwargs`` forwards thresholds (e.g.
+    ``max_generations``) to the tick.
+
     Returns the ``DataStreamWriter`` (caller sets checkpoint/trigger
     and calls ``start()``)."""
     from petk_spark.operators.similarity import (
         _write_ivf_generation,
         load_ivf_centroids,
+        maybe_retrain_ivf_index,
     )
 
-    centroids = load_ivf_centroids(sdf.sparkSession, index_path)
+    state = {"centroids": load_ivf_centroids(sdf.sparkSession, index_path)}
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         _write_ivf_generation(
-            batch_df, centroids, index_path, f"stream-{batch_id}",
-            id_col, vec_col,
+            batch_df, state["centroids"], index_path,
+            f"stream-{batch_id}", id_col, vec_col,
         )
+        if maintain_every and batch_id > 0 and batch_id % maintain_every == 0:
+            out = maybe_retrain_ivf_index(
+                batch_df.sparkSession,
+                index_path,
+                exclude_generations=(f"ingest=stream-{batch_id}",),
+                **(maintain_kwargs or {}),
+            )
+            if out["action"] == "retrained":
+                state["centroids"] = load_ivf_centroids(
+                    batch_df.sparkSession, index_path
+                )
 
     return sdf.writeStream.foreachBatch(write_batch)
 
