@@ -622,6 +622,122 @@ def mp3_features_frame(
     )
 
 
+# ---------------------------------------------------------------------------
+# FLAC STREAMINFO metadata — round 13 (with MP3 this closes the audio
+# container surface: WAV lossless-raw, MP3 lossy, FLAC lossless-coded).
+# Same metadata-not-full-decode policy; the subframe/residual decode is
+# the documented libFLAC swap seam.
+# ---------------------------------------------------------------------------
+
+def synth_flac(
+    sample_rate: int,
+    n_channels: int,
+    bits_per_sample: int,
+    total_samples: int,
+    with_padding: bool = False,
+) -> bytes:
+    """Minimal valid FLAC file head: ``fLaC`` magic + a genuine
+    STREAMINFO block (the spec's required first block), optionally
+    followed by a PADDING block the walker must step over. Audio
+    frames omitted — the metadata policy never reads them."""
+    body = bytearray()
+    body += (4096).to_bytes(2, "big")            # min blocksize
+    body += (4096).to_bytes(2, "big")            # max blocksize
+    body += (0).to_bytes(3, "big")               # min framesize (unknown)
+    body += (0).to_bytes(3, "big")               # max framesize
+    packed = (
+        (sample_rate << 44)
+        | ((n_channels - 1) << 41)
+        | ((bits_per_sample - 1) << 36)
+        | (total_samples & ((1 << 36) - 1))
+    )
+    body += packed.to_bytes(8, "big")
+    body += b"\x00" * 16                         # unset MD5
+    out = bytearray(b"fLaC")
+    last = 0x00 if with_padding else 0x80
+    out += bytes([last | 0x00]) + len(body).to_bytes(3, "big") + body
+    if with_padding:
+        out += bytes([0x80 | 0x01]) + (8).to_bytes(3, "big") + b"\x00" * 8
+    return bytes(out)
+
+
+def parse_flac_metadata(payload: bytes | None) -> dict | None:
+    """Metadata-block walk to STREAMINFO: ``{sample_rate, n_channels,
+    bits_per_sample, n_frames (total samples), duration_ms}`` or
+    ``None`` for anything not a well-formed FLAC head (bad magic,
+    truncated block, STREAMINFO missing/short, zero sample rate)."""
+    if payload is None or len(payload) < 8 or payload[0:4] != b"fLaC":
+        return None
+    pos = 4
+    while pos + 4 <= len(payload):
+        hdr = payload[pos]
+        btype = hdr & 0x7F
+        blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + blen]
+        if len(body) < blen:
+            return None                          # truncated block
+        if btype == 0:                           # STREAMINFO
+            if blen < 34:
+                return None
+            packed = int.from_bytes(body[10:18], "big")
+            rate = (packed >> 44) & ((1 << 20) - 1)
+            channels = ((packed >> 41) & 0x7) + 1
+            bps = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+            if rate == 0:
+                return None
+            return {
+                "sample_rate": rate,
+                "n_channels": channels,
+                "bits_per_sample": bps,
+                "n_frames": total,
+                "duration_ms": total * 1000 // rate,
+            }
+        if hdr & 0x80:                           # last block, no STREAMINFO
+            return None
+        pos += 4 + blen
+    return None
+
+
+def flac_features_frame(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """Arrow-batched FLAC STREAMINFO extraction — the WAV/MP3 sibling:
+    row-local, zero shuffles, corrupt payloads → valid=false rows.
+    Reuses the WAV metadata schema (same columns, same meanings)."""
+    id_name, payload_name = id_col, payload_col
+
+    def one(payload):
+        meta = parse_flac_metadata(
+            None if payload is None else bytes(payload)
+        )
+        if meta is None:
+            return (False, None, None, None, None, None)
+        return (
+            True, meta["sample_rate"], meta["n_channels"],
+            meta["bits_per_sample"], meta["n_frames"],
+            meta["duration_ms"],
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (rid, *one(payload))
+                for rid, payload in zip(pdf[id_name], pdf[payload_name])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "valid", "sample_rate", "n_channels",
+                    "bits_per_sample", "n_frames", "duration_ms",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=WAV_METADATA_SCHEMA
+    )
+
+
 def wav_metadata_frame(
     df: DataFrame, id_col: str, payload_col: str
 ) -> DataFrame:
