@@ -259,10 +259,14 @@ def build_registry(spark: SparkSession, sf_dir: str):
 
     registry["cosine_topk_ivf_single"] = _ivf_single
 
+    import atexit
     import shutil
     import tempfile
 
+    # cleanup at interpreter exit: this temp index is a build_registry
+    # local since the round-13 extraction, so main() can't rmtree it
     _ivf_root = tempfile.mkdtemp(prefix="bench_ivf_")
+    atexit.register(shutil.rmtree, _ivf_root, ignore_errors=True)
     _ivf_path = os.path.join(_ivf_root, "idx")
     try:
         from pyspark.sql import functions as _BF
@@ -581,7 +585,6 @@ def main() -> None:
     except OSError as exc:  # pragma: no cover - bench robustness
         print(f"# bench result file not written: {exc}", file=sys.stderr)
     print(json.dumps(result))
-    shutil.rmtree(_ivf_root, ignore_errors=True)
     spark.stop()
 
 

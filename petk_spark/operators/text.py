@@ -615,3 +615,83 @@ def duckdb_html_to_text(expr: str) -> str:
     for pat, rep in _WS_RULES:
         e = f"regexp_replace({e}, '{pat}', {sq(rep)}, 'g')"
     return f"trim({e})"
+
+
+# ---------------------------------------------------------------------------
+# Unicode text canonicalization (round 13 — F59): the dedup-prep stage
+# real crawls need — the same visible text arrives precomposed (é) and
+# decomposed (e + U+0301), with zero-width characters scattered by
+# CMSes, so byte-exact dedup misses visually identical documents.
+# ---------------------------------------------------------------------------
+
+#: Zero-width / invisible characters stripped by canonicalization:
+#: ZWSP/ZWNJ/ZWJ, soft hyphen, word joiner, BOM-as-ZWNBSP. The JVM∩RE2
+#: spelling (shared verbatim with the DuckDB oracle) and the Python
+#: class may only change together.
+ZERO_WIDTH_PATTERN = r"[\x{200B}-\x{200D}\x{00AD}\x{2060}\x{FEFF}]"
+_ZERO_WIDTH_PY = "[\u200b-\u200d\u00ad\u2060\ufeff]"
+
+
+def canonicalize_text_frame(
+    df: DataFrame,
+    text_col: str,
+    form: str = "NFC",
+    strip_zero_width: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Append a Unicode-canonicalized copy of ``text_col`` (default
+    overwrite in place): ``unicodedata.normalize(form, ·)`` then the
+    zero-width strip. Arrow kernel, row-local, zero shuffles — the
+    stage to run BEFORE exact/near dedup so composed and decomposed
+    spellings of the same text fingerprint identically.
+
+    Cross-engine contract: ``form="NFC"`` is the oracle-replayable
+    mode (DuckDB ``nfc_normalize`` ≡ Python ``unicodedata`` NFC —
+    both implement UAX #15; parity pinned on combining-sequence
+    adversaries by tests). NFKC/NFD/NFKD are accepted for engine use
+    but excluded from the oracle contract (DuckDB exposes only NFC).
+    Case folding is deliberately NOT offered here: Python
+    ``casefold`` and SQL ``lower`` disagree (ß→ss vs ß), so folding
+    stays in the tokenizer layer where each path is pinned."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    import re as _re
+
+    from collections.abc import Iterator as _Iterator
+
+    dst = out_col or text_col
+    zw = _re.compile(_ZERO_WIDTH_PY)
+
+    schema_str = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    if dst not in df.columns:
+        schema_str += f", {dst} string"
+
+    def run(batches):
+        import unicodedata
+
+        for pdf in batches:
+            out = pdf.copy()
+            vals = []
+            for t in pdf[text_col]:
+                if t is None or (not isinstance(t, str) and pd.isna(t)):
+                    vals.append(None)
+                    continue
+                c = unicodedata.normalize(form, t)
+                if strip_zero_width:
+                    c = zw.sub("", c)
+                vals.append(c)
+            out[dst] = vals
+            yield out
+
+    return df.mapInPandas(run, schema_str)
+
+
+def duckdb_canonicalize_text(expr: str, strip_zero_width: bool = True) -> str:
+    """Oracle twin of :func:`canonicalize_text_frame` (NFC mode): the
+    same normalize-then-strip order, RE2 class shared verbatim."""
+    e = f"nfc_normalize({expr})"
+    if strip_zero_width:
+        e = f"regexp_replace({e}, '{ZERO_WIDTH_PATTERN}', '', 'g')"
+    return e
