@@ -33,7 +33,11 @@ from pyspark.sql import functions as F
 BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
 
-def whitespace_token_count(text: Column) -> Column:
+def whitespace_token_count(text: Column, split_cjk: bool = False) -> Column:
+    if split_cjk:
+        from petk_spark.operators.lm import CJK_CHAR_PATTERN
+
+        text = F.regexp_replace(text, CJK_CHAR_PATTERN, " $1 ")
     toks = F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
     return F.size(toks)
 
@@ -54,16 +58,27 @@ STOPWORDS = [
 ]
 
 
-def _toks_of(text: Column) -> Column:
-    """Lowercased whitespace token array of a text column."""
+def _toks_of(text: Column, split_cjk: bool = False) -> Column:
+    """Lowercased whitespace token array of a text column.
+    ``split_cjk`` (round 13) isolates non-spacing-script characters
+    into their own tokens first — the same opt-in char-level fallback
+    as ``lm._tokens`` (one shared JVM∩RE2 pattern), so every
+    token-consuming signal in this module is usable on CJK/Thai text
+    where the whitespace split degenerates to one doc-long token."""
+    from petk_spark.operators.lm import CJK_CHAR_PATTERN
+
+    if split_cjk:
+        text = F.regexp_replace(text, CJK_CHAR_PATTERN, " $1 ")
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
 
 
-def quality_signals(text: Column, toks: Column | None = None) -> dict[str, Column]:
+def quality_signals(
+    text: Column, toks: Column | None = None, split_cjk: bool = False
+) -> dict[str, Column]:
     """Per-document quality features, each a single JVM expression.
     Pass a pre-tokenized ``toks`` column to share one tokenization
     across signal families (see :func:`document_signals_frame`)."""
-    toks = _toks_of(text) if toks is None else toks
+    toks = _toks_of(text, split_cjk) if toks is None else toks
     n_tok = F.size(toks)
     n_chars = F.length(text)
     n_punct = F.regexp_count(text, F.lit("[^a-zA-Z0-9\\s]"))
@@ -89,10 +104,12 @@ def quality_signals(text: Column, toks: Column | None = None) -> dict[str, Colum
     }
 
 
-def quality_score(text: Column, toks: Column | None = None) -> Column:
+def quality_score(
+    text: Column, toks: Column | None = None, split_cjk: bool = False
+) -> Column:
     """Composite [0,1] quality heuristic: long-enough, low punctuation,
     some stopwords (prose-like), plausible word lengths."""
-    s = quality_signals(text, toks)
+    s = quality_signals(text, toks, split_cjk)
     len_ok = F.least(s["n_tokens"].cast("double") / F.lit(20.0), F.lit(1.0))
     punct_ok = F.greatest(F.lit(0.0), F.lit(1.0) - s["punct_ratio"] * 4)
     stop_ok = F.least(s["stopword_ratio"] * 5, F.lit(1.0))
@@ -102,14 +119,17 @@ def quality_score(text: Column, toks: Column | None = None) -> Column:
     return (len_ok + punct_ok + stop_ok + wordlen_ok) / 4
 
 
-def text_quality_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def text_quality_frame(
+    df: DataFrame, id_col: str, text_col: str, split_cjk: bool = False
+) -> DataFrame:
     """(id, <quality signal columns>, quality_score) per document."""
     t = F.col(text_col)
-    sig = quality_signals(t)
+    toks = _toks_of(t, split_cjk)
+    sig = quality_signals(t, toks)
     return df.select(
         F.col(id_col).alias("id"),
         *[c.alias(name) for name, c in sig.items()],
-        quality_score(t).alias("quality_score"),
+        quality_score(t, toks).alias("quality_score"),
     )
 
 
@@ -129,13 +149,17 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
-def language_id(text: Column, toks: Column | None = None) -> Column:
+def language_id(
+    text: Column, toks: Column | None = None, split_cjk: bool = False
+) -> Column:
     """Predicted language code by marker-word hit count (ties broken by
     language code order; 0 hits → 'und'). ``toks`` as in
     :func:`quality_signals` — NOTE each language's score passes the
     token array once, so sharing a materialized column here saves 5
-    tokenizations per row."""
-    toks = _toks_of(text) if toks is None else toks
+    tokenizations per row. ``split_cjk=True`` makes the zh marker
+    chars matchable in SPACELESS Chinese text — without it a Chinese
+    document is one giant token and no marker ever hits."""
+    toks = _toks_of(text, split_cjk) if toks is None else toks
     # Fold langs in reverse-lexicographic order with a >= comparison, so
     # on equal scores the lexicographically FIRST language wins.
     score = F.lit(-1)
@@ -147,9 +171,12 @@ def language_id(text: Column, toks: Column | None = None) -> Column:
     return out
 
 
-def language_id_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def language_id_frame(
+    df: DataFrame, id_col: str, text_col: str, split_cjk: bool = False
+) -> DataFrame:
     return df.select(
-        F.col(id_col).alias("id"), language_id(F.col(text_col)).alias("lang_pred")
+        F.col(id_col).alias("id"),
+        language_id(F.col(text_col), split_cjk=split_cjk).alias("lang_pred"),
     )
 
 
@@ -226,13 +253,16 @@ def fingerprint_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def text_profile(
-    df: DataFrame, text_col: str, group_by: str | None = None
+    df: DataFrame,
+    text_col: str,
+    group_by: str | None = None,
+    split_cjk: bool = False,
 ) -> DataFrame:
     """Aggregate profile of a text column: doc/char/token counts, length
     stats, token-length stats — optionally per group (e.g. per lang).
     One scan, one shuffle iff grouped."""
     t = F.col(text_col)
-    toks = whitespace_token_count(t)
+    toks = whitespace_token_count(t, split_cjk)
     aggs = [
         F.count(t).alias("n_docs"),
         F.sum(F.length(t)).alias("total_chars"),
@@ -249,7 +279,8 @@ def text_profile(
 
 
 def top_terms_tfidf(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
+    df: DataFrame, id_col: str, text_col: str, k: int = 3,
+    split_cjk: bool = False,
 ) -> DataFrame:
     """Top-k distinguishing terms per document with their tf-idf score:
     ``(id, term, tf, df_docs, tfidf, rank)``.
@@ -265,9 +296,7 @@ def top_terms_tfidf(
     ``tf·ln(N/df)`` itself would let a last-ulp ``ln`` difference
     between engines flip near-equal ranks; the float score is attached
     as a VALUE (absorbed by the %.6e contract) but never compared."""
-    toks = F.explode(
-        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
-    ).alias("term")
+    toks = F.explode(_toks_of(F.col(text_col), split_cjk)).alias("term")
     long = df.select(F.col(id_col).alias("id"), toks)
     tf = long.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
@@ -292,11 +321,11 @@ def top_terms_tfidf(
     )
 
 
-def token_histogram(df: DataFrame, text_col: str, top_n: int = 20) -> DataFrame:
+def token_histogram(
+    df: DataFrame, text_col: str, top_n: int = 20, split_cjk: bool = False
+) -> DataFrame:
     """Top-n token frequencies (count desc, token asc — deterministic)."""
-    toks = F.explode(
-        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
-    ).alias("token")
+    toks = F.explode(_toks_of(F.col(text_col), split_cjk)).alias("token")
     counts = df.select(toks).groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(top_n)
 
@@ -459,7 +488,8 @@ def _append_top_ngram_frac(staged: DataFrame, ngram: int) -> DataFrame:
 
 
 def document_signals_frame(
-    df: DataFrame, id_col: str, text_col: str, ngram: int = 2
+    df: DataFrame, id_col: str, text_col: str, ngram: int = 2,
+    split_cjk: bool = False,
 ) -> DataFrame:
     """EVERY per-document text signal in ONE projection on the scan:
     the quality block (:func:`quality_signals` + ``quality_score``),
@@ -485,7 +515,7 @@ def document_signals_frame(
     staged = df.select(
         F.col(id_col).alias("id"),
         t.alias("__text"),
-        _toks_of(t).alias("__toks"),
+        _toks_of(t, split_cjk).alias("__toks"),
     )
     txt, tk = F.col("__text"), F.col("__toks")
     base = staged.select(

@@ -191,3 +191,50 @@ def test_bpe_on_cjk_modes(spark):
     }
     assert enc2[0]["n_tokens_bpe"] == len(ZH)     # pure char stream
     assert enc2[0]["bpe_tokens"] == list(ZH)
+
+
+def test_text_surface_cjk_mode(spark):
+    """split_cjk across the text.py signal surface (F4/F20): marker
+    language-ID detects zh on SPACELESS Chinese, quality/profile token
+    counts are non-degenerate, tf-idf terms are characters, and every
+    default-mode result is byte-identical to r12 behavior."""
+    from petk_spark.operators.text import (
+        language_id_frame,
+        text_profile,
+        text_quality_frame,
+        token_histogram,
+        top_terms_tfidf,
+    )
+
+    zh_doc = "的是了在我有和不这人" * 3          # 10 markers ×3, no spaces
+    docs = [(0, zh_doc), (1, "the cat and the dog")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # marker language-ID: und without the mode, zh with it
+    plain = {r["id"]: r["lang_pred"]
+             for r in language_id_frame(df, "doc_id", "text").collect()}
+    cjk = {r["id"]: r["lang_pred"]
+           for r in language_id_frame(df, "doc_id", "text",
+                                      split_cjk=True).collect()}
+    assert plain[0] == "und" and cjk[0] == "zh"
+    assert plain[1] == cjk[1] == "en"
+
+    # quality: token counts
+    q = {r["id"]: r for r in text_quality_frame(
+        df, "doc_id", "text", split_cjk=True).collect()}
+    assert q[0]["n_tokens"] == 30
+    qp = {r["id"]: r for r in text_quality_frame(
+        df, "doc_id", "text").collect()}
+    assert qp[0]["n_tokens"] == 1                 # the degeneration
+
+    # profile totals
+    prof = text_profile(df, "text", split_cjk=True).collect()[0]
+    assert prof["total_tokens"] == 30 + 5
+
+    # histogram + tf-idf yield characters as terms
+    hist = {r["token"]: r["n"] for r in token_histogram(
+        df, "text", top_n=50, split_cjk=True).collect()}
+    assert hist["的"] == 3
+    terms = {r["term"] for r in top_terms_tfidf(
+        df, "doc_id", "text", k=3, split_cjk=True).collect()}
+    assert terms & set("的是了在我有和不这人")
