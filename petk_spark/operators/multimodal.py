@@ -1211,13 +1211,22 @@ def _decode_image(payload: bytes) -> tuple[int, int, int, float]:
             raise NotImplementedError("corrupt/unsupported GIF")
         return (dec[0], dec[1], 3, gif_mean_luma(dec))
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
-        # Recognized, deliberately not pixel-decoded (round 13 — the
-        # AVI metadata policy): dims/variant/alpha/frame-count come
-        # from operators/webp.py's header parse; a full VP8/VP8L
-        # entropy decode is the documented libwebp swap seam.
+        # Round 13 second half: LOSSLESS (VP8L) files decode for real
+        # (operators/vp8l.py — prefix codes, LZ77, cache, transforms);
+        # lossy VP8 stays metadata-only (the documented libwebp swap
+        # seam — a full VP8 inter/intra predictor + bool-coder is a
+        # video codec, not a header walk).
+        from petk_spark.operators.vp8l import decode_webp as _dw
+
+        dec = _dw(payload)
+        if dec is not None:
+            w, h, alpha_used, px = dec
+            nc = 4 if alpha_used else 3
+            return (w, h, nc, float(px[:, :, :nc].mean()))
         raise NotImplementedError(
-            "WebP: metadata-only (webp.parse_webp_metadata); no pixel"
-            " decode"
+            "WebP: lossy/corrupt — metadata-only"
+            " (webp.parse_webp_metadata); VP8 pixel decode not"
+            " implemented"
         )
     raise NotImplementedError(
         "unsupported image format (PNG, baseline JPEG, GIF implemented;"

@@ -170,7 +170,7 @@ def parse_webp_metadata(payload: bytes | None) -> dict | None:
 
 WEBP_FEATURES_SCHEMA = (
     "id long, valid boolean, format string, width int, height int, "
-    "n_frames int, n_channels int, bit_depth int"
+    "n_frames int, n_channels int, bit_depth int, mean_luma double"
 )
 
 
@@ -181,15 +181,24 @@ def webp_features_frame(
     row-local, zero shuffles, corrupt payloads → valid=false rows.
     ``n_channels`` is 4 when the header declares alpha, else 3;
     ``bit_depth`` is 8 (the format's sample depth); ``format`` is the
-    container variant (lossy/lossless/extended)."""
+    container variant (lossy/lossless/extended). Round 13 second
+    half: LOSSLESS payloads get a REAL pixel decode
+    (operators/vp8l.py) and report ``mean_luma`` (mean over the RGB
+    channels); lossy/extended stay metadata-only (NULL)."""
     id_name, payload_name = id_col, payload_col
 
     def one(payload):
-        meta = parse_webp_metadata(
-            None if payload is None else bytes(payload)
-        )
+        raw = None if payload is None else bytes(payload)
+        meta = parse_webp_metadata(raw)
         if meta is None:
-            return (False, None, None, None, None, None, None)
+            return (False, None, None, None, None, None, None, None)
+        luma = None
+        if meta["format"] == "lossless":
+            from petk_spark.operators.vp8l import decode_webp
+
+            dec = decode_webp(raw)
+            if dec is not None:
+                luma = float(dec[3][:, :, :3].mean())
         return (
             True,
             meta["format"],
@@ -198,6 +207,7 @@ def webp_features_frame(
             meta["n_frames"],
             4 if meta["has_alpha"] else 3,
             8,
+            luma,
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -210,7 +220,7 @@ def webp_features_frame(
                 rows,
                 columns=[
                     "id", "valid", "format", "width", "height",
-                    "n_frames", "n_channels", "bit_depth",
+                    "n_frames", "n_channels", "bit_depth", "mean_luma",
                 ],
             )
 
