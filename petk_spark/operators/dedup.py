@@ -1164,8 +1164,9 @@ def filter_previously_seen(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    seen: DataFrame,
+    seen: DataFrame | None = None,
     fingerprint_col: str = "fingerprint",
+    store_table: str | None = None,
 ) -> DataFrame:
     """Incremental exact dedup against an EXISTING corpus: keep only
     rows whose normalized-text fingerprint
@@ -1179,18 +1180,104 @@ def filter_previously_seen(
     rows to the store keeps the next day O(new data) — the same
     mergeable-state discipline as incremental profiling (F32).
 
-    Scale: one left-anti hash join on the 16-byte fingerprint. The
-    store side is corpus-scale, so it is NOT broadcast — both sides
-    shuffle on the fingerprint key; AQE promotes the join when the
-    store is still small. Within-batch duplicates are intentionally
-    KEPT (dedup inside the batch is :func:`drop_exact_duplicates`' /
-    F13's job — composing the two stays one scan each)."""
+    Scale, frame tier (``seen=``): one left-anti hash join on the
+    16-byte fingerprint. The store side is corpus-scale, so it is NOT
+    broadcast — both sides shuffle on the fingerprint key; AQE
+    promotes the join when the store is still small. Within-batch
+    duplicates are intentionally KEPT (dedup inside the batch is
+    :func:`drop_exact_duplicates`' / F13's job — composing the two
+    stays one scan each).
+
+    Scale, store tier (``store_table=``, round 14 — r13 verdict #1):
+    against a store built by :func:`build_seen_store` /
+    :func:`append_seen`, the anti-join reads the store's co-located
+    buckets — NO shuffle and NO ``.distinct()`` on the store side
+    (uniqueness is the append-time invariant), so the daily run's
+    recurring cost is one store SCAN plus a shuffle of the NEW batch
+    only. At a 100 TB corpus store that scan-vs-reshuffle difference
+    is the single largest recurring saving in the pipeline
+    (plan-pinned by ``tests/test_seen_store.py``)."""
     from petk_spark.operators.text import fingerprint
 
     fp = fingerprint(F.col(text_col))
-    store = seen.select(F.col(fingerprint_col).alias("__seen_fp")).distinct()
+    if store_table is not None:
+        store = (
+            df.sparkSession.table(store_table)
+            .select(F.col(fingerprint_col).alias("__seen_fp"))
+        )
+    else:
+        if seen is None:
+            raise ValueError("pass either seen= or store_table=")
+        store = seen.select(
+            F.col(fingerprint_col).alias("__seen_fp")
+        ).distinct()
     return (
         df.withColumn("__fp", fp)
         .join(store, F.col("__fp") == F.col("__seen_fp"), "left_anti")
         .drop("__fp")
+    )
+
+
+def build_seen_store(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    table: str,
+    n_buckets: int = 128,
+    path: str | None = None,
+) -> None:
+    """Materialize the incremental-dedup fingerprint store as a table
+    hash-bucketed on ``fingerprint`` (the IVF-index lifecycle
+    precedent, similarity.build_ivf_index): one distinct at build
+    time, then every daily :func:`filter_previously_seen` /
+    :func:`append_seen` reads co-located buckets instead of
+    re-shuffling and re-distinct-ing the whole store.
+
+    Sizing: buckets should keep per-bucket bytes executor-friendly —
+    at ~32 bytes/row a 1-trillion-fingerprint store (100 TB corpus of
+    ~100 KB docs) is ~32 TB; 8192 buckets → ~4 GB/bucket, scanned
+    co-located. The default 128 suits sub-TB stores; pass the real
+    count at scale (Spark fails fast on a mismatched append)."""
+    from petk_spark.operators.text import fingerprint_frame
+
+    from petk_spark.sources.sinks import write_bucketed
+
+    fps = (
+        fingerprint_frame(df, id_col, text_col)
+        .select("fingerprint")
+        .where(F.col("fingerprint").isNotNull())
+        .distinct()
+    )
+    write_bucketed(fps, table, ["fingerprint"], n_buckets, path=path)
+
+
+def append_seen(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    table: str,
+    n_buckets: int = 128,
+) -> None:
+    """Append a new batch's fingerprints to a :func:`build_seen_store`
+    table, maintaining the store's uniqueness invariant AT APPEND TIME
+    (the reason :func:`filter_previously_seen`'s store tier may skip
+    ``.distinct()``): batch-local distinct, then a left-anti join
+    against the store reading co-located buckets (only the new batch
+    — O(day), not O(corpus) — shuffles), then a bucketed append.
+    ``n_buckets`` must match the build (Spark rejects a mismatch)."""
+    from petk_spark.operators.text import fingerprint_frame
+
+    spark = df.sparkSession
+    fps = (
+        fingerprint_frame(df, id_col, text_col)
+        .select("fingerprint")
+        .where(F.col("fingerprint").isNotNull())
+        .distinct()
+    )
+    fresh = fps.join(spark.table(table), "fingerprint", "left_anti")
+    (
+        fresh.write.format("parquet")
+        .mode("append")
+        .bucketBy(n_buckets, "fingerprint")
+        .saveAsTable(table)
     )

@@ -483,10 +483,15 @@ def synth_mp3(
     version: int = 1,
     mono: bool = False,
     id3_size: int = 0,
+    id3_footer: bool = False,
+    xing_frames: int | None = None,
 ) -> bytes:
     """Fixed-bitrate Layer III stream with genuine frame headers and
     zeroed (never-parsed) frame bodies; ``id3_size > 0`` prepends a
-    real ID3v2 tag (syncsafe size) the parser must skip."""
+    real ID3v2 tag (syncsafe size) the parser must skip —
+    ``id3_footer`` sets the v2.4 footer flag and appends the 10-byte
+    footer. ``xing_frames`` embeds a Xing VBR header (frames-only
+    flag) at the spec side-info offset of the first frame."""
     import struct
 
     vbits = {1: 3, 2: 2}[version]
@@ -495,10 +500,16 @@ def synth_mp3(
     sridx = _MP3_RATES[vbits].index(sample_rate)
     out = bytearray()
     if id3_size > 0:
-        out += b"ID3\x04\x00\x00" + bytes(
+        flags = 0x10 if id3_footer else 0x00
+        out += b"ID3\x04\x00" + bytes([flags]) + bytes(
             [(id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
              (id3_size >> 7) & 0x7F, id3_size & 0x7F]
         ) + b"\x00" * id3_size
+        if id3_footer:
+            out += b"3DI\x04\x00" + bytes([0x10]) + bytes(
+                [(id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+                 (id3_size >> 7) & 0x7F, id3_size & 0x7F]
+            )
     hdr = struct.pack(
         ">I",
         (0x7FF << 21) | (vbits << 19) | (0b01 << 17) | (1 << 16)
@@ -507,9 +518,28 @@ def synth_mp3(
     )
     fs = _mp3_frame_size(vbits, bitrate_kbps * 1000, sample_rate, 0)
     frame = hdr + b"\x00" * (fs - 4)
-    for _ in range(n_frames):
-        out += frame
+    for i in range(n_frames):
+        if i == 0 and xing_frames is not None:
+            first = bytearray(frame)
+            side = _mp3_side_info_len(vbits, mono)
+            tag = b"Xing" + struct.pack(">I", 0x1) + struct.pack(
+                ">I", xing_frames
+            )
+            assert 4 + side + len(tag) <= fs, "frame too small for Xing"
+            first[4 + side : 4 + side + len(tag)] = tag
+            out += bytes(first)
+        else:
+            out += frame
     return bytes(out)
+
+
+def _mp3_side_info_len(vbits: int, mono: bool) -> int:
+    """Layer III side-info byte length (the Xing/Info tag offset from
+    the end of the 4-byte header): MPEG-1 32/17, MPEG-2/2.5 17/9
+    (stereo-class / mono)."""
+    if vbits == 3:
+        return 17 if mono else 32
+    return 9 if mono else 17
 
 
 def parse_mp3_metadata(payload: bytes | None) -> dict | None:
@@ -529,10 +559,13 @@ def parse_mp3_metadata(payload: bytes | None) -> dict | None:
             | ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
         )
         pos = 10 + sz
+        if payload[5] & 0x10:                  # ID3v2.4 footer present
+            pos += 10
     first = None
     n_frames = 0
     total_samples = 0
     cbr = True
+    xing_frames = None
     while pos + 4 <= len(payload):
         h = payload[pos : pos + 4]
         if h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
@@ -555,6 +588,20 @@ def parse_mp3_metadata(payload: bytes | None) -> dict | None:
             break                              # stop at last whole frame
         if first is None:
             first = (vbits, rate, br, 1 if mode == 0b11 else 2)
+            # Xing/Info VBR header in the first frame at the side-info
+            # offset: declared whole-file frame count — the crawl
+            # cross-check against the walked (possibly truncated) one
+            side = _mp3_side_info_len(vbits, mode == 0b11)
+            tp = pos + 4 + side
+            if (
+                tp + 8 <= pos + fs
+                and payload[tp : tp + 4] in (b"Xing", b"Info")
+            ):
+                flags = int.from_bytes(payload[tp + 4 : tp + 8], "big")
+                if flags & 0x1 and tp + 12 <= pos + fs:
+                    xing_frames = int.from_bytes(
+                        payload[tp + 8 : tp + 12], "big"
+                    )
         elif br != first[2]:
             cbr = False
         n_frames += 1
@@ -572,13 +619,19 @@ def parse_mp3_metadata(payload: bytes | None) -> dict | None:
         "n_channels": ch,
         "n_frames": n_frames,
         "duration_ms": total_samples * 1000 // rate,
+        "xing_frames": xing_frames,
+        "declared_duration_ms": (
+            None if xing_frames is None
+            else xing_frames * (1152 if vbits == 3 else 576) * 1000
+            // rate
+        ),
     }
 
 
 MP3_FEATURES_SCHEMA = (
     "id long, valid boolean, version string, bitrate_kbps int, "
     "is_cbr boolean, sample_rate int, n_channels int, n_frames int, "
-    "duration_ms long"
+    "duration_ms long, xing_frames int, declared_duration_ms long"
 )
 
 
@@ -595,11 +648,13 @@ def mp3_features_frame(
             None if payload is None else bytes(payload)
         )
         if meta is None:
-            return (False, None, None, None, None, None, None, None)
+            return (False, None, None, None, None, None, None, None,
+                    None, None)
         return (
             True, meta["version"], meta["bitrate_kbps"], meta["is_cbr"],
             meta["sample_rate"], meta["n_channels"], meta["n_frames"],
-            meta["duration_ms"],
+            meta["duration_ms"], meta["xing_frames"],
+            meta["declared_duration_ms"],
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -613,7 +668,7 @@ def mp3_features_frame(
                 columns=[
                     "id", "valid", "version", "bitrate_kbps", "is_cbr",
                     "sample_rate", "n_channels", "n_frames",
-                    "duration_ms",
+                    "duration_ms", "xing_frames", "declared_duration_ms",
                 ],
             )
 

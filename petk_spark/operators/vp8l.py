@@ -262,8 +262,8 @@ _DIST_MAP = [
     (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
     (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
     (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
-    (-6, 6), (2, 8), (-2, 8), (7, 5), (-7, 5), (5, 7), (-5, 7), (8, 3),
-    (-8, 3), (6, 7), (-6, 7), (7, 6), (-7, 6), (8, 4),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
 ]
 
 
@@ -432,7 +432,11 @@ def _clamp_add_sub_half(c1: int, c2: int) -> int:
     for sh in (24, 16, 8, 0):
         ave = (c1 >> sh) & 0xFF
         c = (c2 >> sh) & 0xFF
-        v = ave + (ave - c) // 2
+        # (ave - c) / 2 with C truncation-toward-zero semantics (the
+        # spec's integer division) — floor division is off by one for
+        # negative odd differences and the clip does not mask it
+        d = ave - c
+        v = ave + (d // 2 if d >= 0 else -((-d) // 2))
         v = 0 if v < 0 else (255 if v > 255 else v)
         out |= v << sh
     return out
@@ -447,7 +451,7 @@ def _select(l: int, t: int, tl: int) -> int:
         p = lc + tc - tlc
         pl += abs(p - lc)
         pt += abs(p - tc)
-    return l if pl <= pt else t
+    return l if pl < pt else t
 
 
 def _inv_predictor(img: np.ndarray, sub: np.ndarray,
@@ -767,6 +771,184 @@ def encode_webp_lossless_gray(
         bw.write_code(*red_codes[0])
         bw.write_code(*blue_codes[0])
         bw.write_code(*alpha_codes[255])
+    body = b"\x2f" + bw.getvalue()
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+# ---------------------------------------------------------------------------
+# encoder, predictor tier (round 14, verdict #2): a SECOND forward
+# predictor implementation, independently spelled in libwebp's
+# formulation (Sub3 sign-sum Select; C truncation-toward-zero division
+# in ClampAddSubtractHalf) rather than sharing the decoder's kernels —
+# the GIF two-encoder precedent. A decoder inverse bug therefore
+# breaks the fixture round trip (and the media_metadata webp hash)
+# instead of cancelling out.
+# ---------------------------------------------------------------------------
+
+
+def _enc_avg2(p1: int, p2: int) -> int:
+    out = 0
+    for sh in (0, 8, 16, 24):
+        out |= ((((p1 >> sh) & 0xFF) + ((p2 >> sh) & 0xFF)) >> 1) << sh
+    return out
+
+
+def _enc_select(l: int, t: int, tl: int) -> int:
+    # Select(T, L, TL) via Sub3: Σ_ch (|L−TL| − |T−TL|); T wins ties
+    s = 0
+    for sh in (0, 8, 16, 24):
+        lc = (l >> sh) & 0xFF
+        tc = (t >> sh) & 0xFF
+        tlc = (tl >> sh) & 0xFF
+        s += abs(lc - tlc) - abs(tc - tlc)
+    return t if s <= 0 else l
+
+
+def _enc_clamp_full(a: int, b: int, c: int) -> int:
+    out = 0
+    for sh in (0, 8, 16, 24):
+        v = ((a >> sh) & 0xFF) + ((b >> sh) & 0xFF) - ((c >> sh) & 0xFF)
+        v = min(255, max(0, v))
+        out |= v << sh
+    return out
+
+
+def _enc_clamp_half(c1: int, c2: int) -> int:
+    out = 0
+    for sh in (0, 8, 16, 24):
+        a = (c1 >> sh) & 0xFF
+        b = (c2 >> sh) & 0xFF
+        v = a + int((a - b) / 2)            # C truncation toward zero
+        v = min(255, max(0, v))
+        out |= v << sh
+    return out
+
+
+def _enc_predict(mode: int, l: int, t: int, tl: int, tr: int) -> int:
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return l
+    if mode == 2:
+        return t
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _enc_avg2(_enc_avg2(l, tr), t)
+    if mode == 6:
+        return _enc_avg2(l, tl)
+    if mode == 7:
+        return _enc_avg2(l, t)
+    if mode == 8:
+        return _enc_avg2(tl, t)
+    if mode == 9:
+        return _enc_avg2(t, tr)
+    if mode == 10:
+        return _enc_avg2(_enc_avg2(l, tl), _enc_avg2(t, tr))
+    if mode == 11:
+        return _enc_select(l, t, tl)
+    if mode == 12:
+        return _enc_clamp_full(l, t, tl)
+    if mode == 13:
+        return _enc_clamp_half(_enc_avg2(l, t), tl)
+    raise ValueError(f"bad predictor mode {mode}")
+
+
+def _enc_forward_predict(target: np.ndarray, mode: int) -> np.ndarray:
+    """Residuals such that the decoder's inverse (same edge
+    conventions: (0,0) black, row 0 LEFT, column 0 TOP, last-column
+    top-right wraps to row-above index 0) reproduces ``target``."""
+    h, w = target.shape
+    res = np.zeros_like(target)
+    for y in range(h):
+        for x in range(w):
+            if y == 0 and x == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = int(target[0, x - 1])
+            elif x == 0:
+                pred = int(target[y - 1, 0])
+            else:
+                pred = _enc_predict(
+                    mode,
+                    int(target[y, x - 1]),
+                    int(target[y - 1, x]),
+                    int(target[y - 1, x - 1]),
+                    int(target[y - 1, x + 1]) if x + 1 < w
+                    else int(target[y - 1, 0]),
+                )
+            px = int(target[y, x])
+            v = 0
+            for sh in (0, 8, 16, 24):
+                v |= (((px >> sh) - (pred >> sh)) & 0xFF) << sh
+            res[y, x] = v
+    return res
+
+
+def _emit_argb_payload(bw: BitWriter, flat: np.ndarray) -> None:
+    """Entropy-code one ARGB image (no cache, no meta) from a flat
+    uint32 array: four per-channel canonical-Huffman codes + payload."""
+    a = (flat >> 24) & 0xFF
+    r = (flat >> 16) & 0xFF
+    g = (flat >> 8) & 0xFF
+    b = flat & 0xFF
+    bw.write(0, 1)                          # no color cache
+    bw.write(0, 1)                          # no meta prefix image
+
+    def lengths(vals):
+        counts: dict[int, int] = {}
+        for v in vals:
+            counts[int(v)] = counts.get(int(v), 0) + 1
+        return _huffman_lengths(counts)
+
+    gc = _write_prefix_code(bw, lengths(g), 256 + 24)
+    rc = _write_prefix_code(bw, lengths(r), 256)
+    bc = _write_prefix_code(bw, lengths(b), 256)
+    ac = _write_prefix_code(bw, lengths(a), 256)
+    _write_prefix_code(bw, {0: 1}, 40)      # distance (unused)
+    for i in range(flat.size):
+        bw.write_code(*gc[int(g[i])])
+        bw.write_code(*rc[int(r[i])])
+        bw.write_code(*bc[int(b[i])])
+        bw.write_code(*ac[int(a[i])])
+
+
+def encode_webp_lossless_gray_pred(
+    rows: np.ndarray, mode: int, alpha_flag: bool = False
+) -> bytes:
+    """VP8L encoding of a GRAY raster through the PREDICTOR transform
+    (one whole-image block carrying ``mode``), residuals computed by
+    the independent forward kernels above — decode exercises the
+    requested inverse predictor on every interior pixel."""
+    rows = np.asarray(rows, dtype=np.uint8)
+    h, w = rows.shape
+    gray = rows.astype(np.uint32)
+    target = (
+        (np.uint32(0xFF) << 24) | (gray << 16) | (gray << 8) | gray
+    ).astype(np.uint32)
+    res = _enc_forward_predict(target, mode)
+    bw = BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(1 if alpha_flag else 0, 1)
+    bw.write(0, 3)                          # version
+    bw.write(1, 1)                          # a transform follows
+    bw.write(0, 2)                          # PREDICTOR
+    bw.write(6, 3)                          # size_bits 8 → one block
+    # 1×1 predictor sub-image: mode rides the green channel
+    bw.write(0, 1)                          # sub-image: no cache
+    _write_prefix_code(bw, {mode: 1}, 256 + 24)
+    _write_prefix_code(bw, {0: 1}, 256)
+    _write_prefix_code(bw, {0: 1}, 256)
+    _write_prefix_code(bw, {0: 1}, 256)
+    _write_prefix_code(bw, {0: 1}, 40)
+    bw.write(0, 1)                          # no more transforms
+    _emit_argb_payload(bw, res.reshape(-1))
     body = b"\x2f" + bw.getvalue()
     chunk = b"VP8L" + struct.pack("<I", len(body)) + body
     if len(body) % 2:

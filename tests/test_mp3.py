@@ -27,6 +27,7 @@ def test_mpeg1_cbr_closed_form():
         "version": "1", "layer": 3, "bitrate_kbps": 128, "is_cbr": True,
         "sample_rate": 44100, "n_channels": 2, "n_frames": 40,
         "duration_ms": 40 * 1152 * 1000 // 44100,
+        "xing_frames": None, "declared_duration_ms": None,
     }
 
 
@@ -73,6 +74,48 @@ def test_corrupt_contract():
     assert parse_mp3_metadata(bytes(hdr)) is None
     hdr[2] = (15 << 4) | (hdr[2] & 0x0F)
     assert parse_mp3_metadata(bytes(hdr)) is None
+
+
+def test_id3v24_footer_skip():
+    """v2.4 footer flag (header byte 5, bit 0x10): the 10-byte footer
+    after the tag payload must be stepped over (round 14, ADVICE)."""
+    m = parse_mp3_metadata(
+        synth_mp3(5, 96, 44100, id3_size=200, id3_footer=True)
+    )
+    assert m is not None and m["n_frames"] == 5
+    assert m["bitrate_kbps"] == 96
+
+
+def test_xing_header_declared_frames():
+    """Xing VBR header in the first frame: declared frame count vs the
+    walked one — truncation shortens walked, not declared."""
+    for version, mono, rate, kbps in [
+        (1, False, 44100, 128), (1, True, 48000, 96),
+        (2, False, 22050, 64), (2, True, 24000, 32),
+    ]:
+        full = synth_mp3(
+            8, kbps, rate, version=version, mono=mono, xing_frames=20
+        )
+        m = parse_mp3_metadata(full)
+        spf = 1152 if version == 1 else 576
+        assert m["xing_frames"] == 20, (version, mono)
+        assert m["declared_duration_ms"] == 20 * spf * 1000 // rate
+        assert m["n_frames"] == 8
+        # truncate to 3 whole frames: walked shrinks, declared holds
+        from petk_spark.operators.multimodal import _mp3_frame_size
+        vbits = 3 if version == 1 else 2
+        fs = _mp3_frame_size(vbits, kbps * 1000, rate, 0)
+        t = parse_mp3_metadata(full[: 3 * fs + 1])
+        assert t["n_frames"] == 3 and t["xing_frames"] == 20
+    # an Info tag (CBR spelling) parses the same way
+    body = bytearray(synth_mp3(4, 128, 44100, xing_frames=9))
+    idx = body.find(b"Xing")
+    body[idx : idx + 4] = b"Info"
+    assert parse_mp3_metadata(bytes(body))["xing_frames"] == 9
+    # no tag → None, and a flags word without the frames bit → None
+    assert parse_mp3_metadata(
+        synth_mp3(4, 128, 44100)
+    )["xing_frames"] is None
 
 
 def test_vbr_detection():

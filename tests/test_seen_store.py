@@ -1,0 +1,142 @@
+"""Bucketed seen-store lifecycle for incremental dedup (round 14 —
+r13 verdict #1): build → filter → append keeps the daily
+``filter_previously_seen`` run O(new batch): the store side of the
+anti-join reads co-located buckets (no Exchange, no re-distinct);
+uniqueness is maintained at append time.
+
+Reference parity note: the reference engine has no incremental store
+(eager in-memory pandas, /root/reference/petk); this is part of the
+declared beyond-reference training-pipeline surface (SURVEY §2 F45).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import uuid
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from petk_spark.operators.dedup import (
+    append_seen,
+    build_seen_store,
+    filter_previously_seen,
+)
+from petk_spark.operators.text import fingerprint_frame
+
+
+@pytest.fixture()
+def store(spark):
+    name = f"seen_store_{uuid.uuid4().hex[:10]}"
+    yield name
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_lifecycle_build_filter_append(spark, store):
+    day0 = _docs(spark, [
+        (1, "alpha doc"), (2, "beta doc"), (3, "Alpha   DOC"),  # dup of 1
+        (4, None),
+    ])
+    build_seen_store(day0, "id", "text", store, n_buckets=4)
+    # store is distinct and null-free
+    fps = spark.table(store)
+    assert fps.columns == ["fingerprint"]
+    assert fps.count() == 2
+    assert fps.where(F.col("fingerprint").isNull()).count() == 0
+
+    day1 = _docs(spark, [
+        (10, "ALPHA doc"),          # seen on day 0 → dropped
+        (11, "gamma doc"),          # new → kept
+        (12, "gamma doc"),          # within-batch dup → KEPT (contract)
+        (13, None),                 # NULL → KEPT (no comparison basis)
+    ])
+    kept = filter_previously_seen(day1, "id", "text", store_table=store)
+    assert sorted(r["id"] for r in kept.collect()) == [11, 12, 13]
+    # store tier ≡ frame tier on the same data
+    frame_kept = filter_previously_seen(
+        day1, "id", "text",
+        seen=fingerprint_frame(day0, "id", "text"),
+    )
+    assert sorted(r["id"] for r in frame_kept.collect()) == [11, 12, 13]
+
+    append_seen(day1, "id", "text", store, n_buckets=4)
+    # day 2: everything from day 0 AND day 1 is now seen
+    day2 = _docs(spark, [
+        (20, "gamma   doc"), (21, "beta doc"), (22, "delta doc"),
+    ])
+    kept2 = filter_previously_seen(day2, "id", "text", store_table=store)
+    assert sorted(r["id"] for r in kept2.collect()) == [22]
+
+
+def test_append_maintains_uniqueness(spark, store):
+    day0 = _docs(spark, [(1, "a"), (2, "b")])
+    build_seen_store(day0, "id", "text", store, n_buckets=4)
+    # append the SAME batch twice plus an overlap — no dup rows land
+    day1 = _docs(spark, [(3, "a"), (4, "c"), (5, "C")])
+    append_seen(day1, "id", "text", store, n_buckets=4)
+    append_seen(day1, "id", "text", store, n_buckets=4)
+    fps = [r["fingerprint"] for r in spark.table(store).collect()]
+    assert len(fps) == len(set(fps)) == 3       # a, b, c
+
+
+def test_store_side_reads_buckets_no_exchange(spark, store):
+    """THE scale contract: with broadcast off (forcing the join shape
+    a corpus-scale store takes), the anti-join plan contains exactly
+    one shuffle Exchange — the NEW batch — and the store side is a
+    bucketed scan feeding the join directly."""
+    build_seen_store(
+        _docs(spark, [(i, f"doc {i}") for i in range(50)]),
+        "id", "text", store, n_buckets=4,
+    )
+    new = _docs(spark, [(100 + i, f"doc {i * 3}") for i in range(30)])
+    with_conf = spark.conf
+    old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+    with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        kept = filter_previously_seen(
+            new, "id", "text", store_table=store
+        )
+        kept.collect()
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        # AQE's toString() appends the pre-adaptive "Initial Plan" —
+        # assert on the final plan section only
+        plan = plan.split("== Initial Plan ==")[0]
+        n_shuffles = plan.count("Exchange hashpartitioning")
+        assert n_shuffles == 1, f"want 1 probe-side shuffle, plan:\n{plan}"
+        assert "Bucketed: true" in plan, plan
+        # no store-side re-distinct: a distinct would add an aggregate
+        # over the store scan — the store feeds the join directly
+        assert "HashAggregate" not in plan, plan
+        # and the frame tier on identical data pays the second shuffle
+        frame_kept = filter_previously_seen(
+            new, "id", "text",
+            seen=fingerprint_frame(
+                _docs(spark, [(i, f"doc {i}") for i in range(50)]),
+                "id", "text",
+            ),
+        )
+        frame_kept.collect()
+        plan2 = (
+            frame_kept._jdf.queryExecution().executedPlan().toString()
+        ).split("== Initial Plan ==")[0]
+        assert plan2.count("Exchange hashpartitioning") >= 2, plan2
+    finally:
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_append_rejects_mismatched_buckets(spark, store):
+    build_seen_store(
+        _docs(spark, [(1, "a")]), "id", "text", store, n_buckets=4
+    )
+    with pytest.raises(Exception):
+        append_seen(
+            _docs(spark, [(2, "b")]), "id", "text", store, n_buckets=8
+        )
