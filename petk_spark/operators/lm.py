@@ -49,19 +49,35 @@ from pyspark.sql import functions as F
 #: together.
 _CJK_RANGES: list[tuple[int, int]] = [
     (0x0E00, 0x0E7F),   # Thai
+    (0x0E80, 0x0EFF),   # Lao (round 14 — r13 verdict #3)
+    (0x0F00, 0x0FFF),   # Tibetan (round 14)
+    (0x1000, 0x109F),   # Myanmar (round 14)
+    (0x1780, 0x17FF),   # Khmer (round 14)
     (0x3040, 0x30FF),   # hiragana + katakana
     (0x3400, 0x4DBF),   # CJK ext A
     (0x4E00, 0x9FFF),   # CJK unified
     (0xF900, 0xFAFF),   # CJK compatibility ideographs
+    (0x20000, 0x2EBEF),  # CJK ext B–F, supplementary plane (round 14)
 ]
 #: \x{...} is the Java∩RE2 spelling, so the SAME pattern string works
 #: in Spark regexp_replace and DuckDB (the oracle builder uses it
-#: verbatim); only the replacement differs ("$1" vs "\1").
+#: verbatim) — including supplementary-plane endpoints, which both
+#: engines accept as code points in a class; only the replacement
+#: differs ("$1" vs "\1").
 CJK_CHAR_PATTERN = (
     "([" + "".join(rf"\x{{{a:X}}}-\x{{{b:X}}}" for a, b in _CJK_RANGES) + "])"
 )
+
+
+def _py_cp(cp: int) -> str:
+    """Python regex escape for one code point — \\u for the BMP, the
+    8-digit \\U form for supplementary-plane (astral) endpoints
+    (\\u20000 would silently parse as \\u2000 followed by '0')."""
+    return rf"\u{cp:04x}" if cp <= 0xFFFF else rf"\U{cp:08x}"
+
+
 _CJK_CLASS_PY = (
-    "[" + "".join(rf"\u{a:04x}-\u{b:04x}" for a, b in _CJK_RANGES) + "]"
+    "[" + "".join(f"{_py_cp(a)}-{_py_cp(b)}" for a, b in _CJK_RANGES) + "]"
 )
 
 

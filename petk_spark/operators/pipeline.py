@@ -43,6 +43,7 @@ def prepare_training_corpus(
     lm: DataFrame | None = None,
     lm_oov_logp: float | None = None,
     max_bits_per_token: float | None = None,
+    canonicalize: bool = False,
 ) -> DataFrame:
     """The full pre-training scrub+clean pass, stages in the order a
     production pipeline wants them (round 8, composing F37 → F36 →
@@ -72,6 +73,16 @@ def prepare_training_corpus(
     (defaults keep the round-8 three-stage contract byte-identical —
     the hashed ``prep`` twin family runs with them off).
 
+    Round 14 (r13 verdict #7) adds stage **0**: ``canonicalize=True``
+    runs F59's Unicode canonicalization (NFC + zero-width strip,
+    :func:`~petk_spark.operators.text.canonicalize_text_frame`) on the
+    raw text BEFORE everything else, so composed and decomposed
+    spellings — and zero-width-obfuscated PII — fold together in the
+    boilerplate, redaction, and dedup fingerprints instead of
+    requiring manual plumbing. Opt-in: the default keeps every
+    existing hash byte-stable. Row-local Arrow kernel, zero shuffles
+    added.
+
     Returns the kept rows as ``(id, text, lang_pred, quality,
     fingerprint)`` — ``text`` is the scrubbed form the filters were
     computed on, ready for tokenization (plus ``bits_per_token`` when
@@ -91,6 +102,10 @@ def prepare_training_corpus(
             "the LM stage needs all of lm, lm_oov_logp and "
             "max_bits_per_token (or none of them)"
         )
+    if canonicalize:
+        from petk_spark.operators.text import canonicalize_text_frame
+
+        df = canonicalize_text_frame(df, text_col)
     if boilerplate_min_docs is not None:
         scrubbed = remove_boilerplate(
             df, id_col, text_col, min_docs=boilerplate_min_docs

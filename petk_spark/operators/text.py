@@ -547,11 +547,17 @@ _HTML_RULES: list[tuple[str, str]] = [
     (r"<[^>]*>", " "),
 ]
 
-def _num_ent(dec: int) -> str:
-    """RE2-compatible pattern matching every numeric-reference spelling
-    of one code point: decimal and hex, any zero padding, any case
-    (``&#8217; &#08217; &#x2019; &#X2019;`` all match for 8217)."""
-    return rf"(?i)&#0*{dec};|&#x0*{dec:x};"
+def _num_ent(dec: int, *names: str) -> str:
+    """RE2-compatible pattern matching every spelling of one code
+    point: decimal and hex numeric references, any zero padding, any
+    case (``&#8217; &#08217; &#x2019; &#X2019;`` all match for 8217)
+    — plus the NAMED spellings (round 14, r13 verdict #5: real pages
+    overwhelmingly write ``&mdash; &rsquo; &hellip;`` by name). Names
+    ride the same (?i) as the numeric forms — browser-lenient; the
+    curated set has no case-sensitive HTML5 collisions."""
+    alts = [rf"&#0*{dec};", rf"&#x0*{dec:x};"]
+    alts += [f"&{n};" for n in names]
+    return "(?i)" + "|".join(alts)
 
 
 #: Entity decode chain, ORDERED (round 13). Literal named entities
@@ -573,20 +579,25 @@ _HTML_ENTITIES: list[tuple[str, str, str]] = [
     ("lit", "&quot;", '"'),
     ("re", _num_ent(160), " "),     # no-break space → plain space
     ("re", _num_ent(34), '"'),
-    ("re", _num_ent(39), "'"),      # subsumes the old &#39; literal
+    ("re", _num_ent(39, "apos"), "'"),  # subsumes the old &#39; literal
     ("re", _num_ent(60), "<"),
     ("re", _num_ent(62), ">"),
-    ("re", _num_ent(169), "©"),   # ©
-    ("re", _num_ent(174), "®"),   # ®
-    ("re", _num_ent(8211), "–"),  # – en dash
-    ("re", _num_ent(8212), "—"),  # — em dash
-    ("re", _num_ent(8216), "‘"),  # ' left single quote
-    ("re", _num_ent(8217), "’"),  # ' right single quote
-    ("re", _num_ent(8220), "“"),  # " left double quote
-    ("re", _num_ent(8221), "”"),  # " right double quote
-    ("re", _num_ent(8226), "•"),  # • bullet
-    ("re", _num_ent(8230), "…"),  # … ellipsis
-    ("re", _num_ent(8364), "€"),  # € euro
+    ("re", _num_ent(169, "copy"), "©"),    # ©
+    ("re", _num_ent(174, "reg"), "®"),     # ®
+    ("re", _num_ent(176, "deg"), "°"),     # ° (round 14)
+    ("re", _num_ent(171, "laquo"), "«"),   # « (round 14)
+    ("re", _num_ent(187, "raquo"), "»"),   # » (round 14)
+    ("re", _num_ent(183, "middot"), "·"),  # · (round 14)
+    ("re", _num_ent(8211, "ndash"), "–"),  # – en dash
+    ("re", _num_ent(8212, "mdash"), "—"),  # — em dash
+    ("re", _num_ent(8216, "lsquo"), "‘"),  # ' left single quote
+    ("re", _num_ent(8217, "rsquo"), "’"),  # ' right single quote
+    ("re", _num_ent(8220, "ldquo"), "“"),  # " left double quote
+    ("re", _num_ent(8221, "rdquo"), "”"),  # " right double quote
+    ("re", _num_ent(8226, "bull"), "•"),   # • bullet
+    ("re", _num_ent(8230, "hellip"), "…"),  # … ellipsis
+    ("re", _num_ent(8364, "euro"), "€"),   # € euro
+    ("re", _num_ent(8482, "trade"), "™"),  # ™ (round 14)
     # ampersand family LAST — see the ordering note above
     ("re", r"(?i)&amp;|&#0*38;|&#x0*26;", "&"),
 ]

@@ -186,3 +186,68 @@ def test_distributed_tier_deep_vocab_bounded_time(spark):
     assert {r["syms"].__len__() for r in seg2.collect()} == {1}  # exhausted
     seg2.unpersist()
     assert m_dst == m_drv
+
+
+def test_train_bpe_thresholded_zipf(spark):
+    """Round 14 (r13 verdict #6): the named 100 TB production path —
+    driver-tier training over the top-k dict with a MEASURED pair-mass
+    coverage contract. The coverage arithmetic is verified against an
+    independent computation, the full-gate case is exact (coverage
+    1.0, merges ≡ the untresholded driver tier), and the returned seg
+    re-segments the WHOLE dict, not just the head."""
+    import random
+
+    from petk_spark.operators.bpe import (
+        train_bpe,
+        train_bpe_thresholded,
+    )
+
+    rng = random.Random(4)
+    alphabet = "abcdefghij"
+    words, seen = [], set()
+    while len(words) < 400:
+        w = "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(2, 8))
+        )
+        if w not in seen:
+            seen.add(w)
+            words.append(w)
+    counts = {w: max(1, 2000 // r) for r, w in enumerate(words, 1)}
+    rows = [
+        (r, ((" " + w) * n).strip())
+        for r, (w, n) in enumerate(counts.items())
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+
+    # (a) default gate ≫ dict: trivially full coverage, merges exact
+    m_full, seg_full = train_bpe(df, "text", n_merges=6)
+    m_gate, seg_gate, st = train_bpe_thresholded(df, "text", n_merges=6)
+    assert st["coverage"] == 1.0
+    assert st["n_words_kept"] == st["n_words_total"] == 400
+    assert m_gate == m_full
+    assert seg_gate.count() == 400
+
+    # (b) a real threshold: coverage matches the independent math and
+    # reflects Zipf head concentration
+    m_t, seg_t, st_t = train_bpe_thresholded(
+        df, "text", n_merges=6, top_words=100
+    )
+    order = sorted(
+        ((n, w) for w, n in counts.items()), key=lambda t: (-t[0], t[1])
+    )
+    head = order[:100]
+    want_kept = sum(n * (len(w) - 1) for n, w in head)
+    want_total = sum(n * (len(w) - 1) for w, n in counts.items())
+    assert st_t["pair_mass_kept"] == want_kept
+    assert st_t["pair_mass_total"] == want_total
+    assert st_t["coverage"] == want_kept / want_total
+    assert 0.7 < st_t["coverage"] < 1.0
+    # high-mass merge RULES agree with the full tier on this
+    # head-heavy fixture; late low-count merges are legitimately
+    # tail-sensitive (that is exactly the approximation the coverage
+    # stat quantifies), so compare the head of the merge list
+    assert [(r, a, b) for r, a, b, _ in m_t[:4]] == [
+        (r, a, b) for r, a, b, _ in m_full[:4]
+    ]
+    # full-dict segmentation coverage: every word present
+    assert seg_t.count() == 400

@@ -31,6 +31,13 @@ ZH = "今天天气很好我们去公园"          # ideographs, no spaces
 JA = "日本語のテストです"              # kanji + kana, no spaces
 TH = "สวัสดี"  # Thai "sawasdee", 6 chars
 MIXED = "hello世界 spark引擎test"
+# round 14 (r13 verdict #3): supplementary-plane ideographs (CJK Ext
+# B/F endpoints) + the added no-space scripts
+ASTRAL = "\U00020000\U00020001x\U0002EBEF"
+LAO = "ສະບາຍດີ"
+KM = "សួស្តី"
+MY = "မင်္ဂလာပါ"
+TB = "བཀྲ་ཤིས།"
 
 
 def _expr_tokens(spark, text: str, **kw) -> list[str]:
@@ -52,6 +59,22 @@ def test_char_isolation_boundaries(spark):
     ]
 
 
+def test_astral_and_extended_scripts(spark):
+    """Round 14 (r13 verdict #3): supplementary-plane ideographs and
+    Lao/Khmer/Myanmar/Tibetan isolate per char; the astral class is
+    where surrogate handling breaks, so the JVM splitter must emit
+    whole code points, never surrogate halves."""
+    got = _expr_tokens(spark, ASTRAL, split_cjk=True)
+    assert got == ["\U00020000", "\U00020001", "x", "\U0002EBEF"]
+    # whole code points, never surrogate halves
+    assert all(len(t) == 1 for t in got)
+    for s in (LAO, KM, MY, TB):
+        toks = _expr_tokens(spark, s, split_cjk=True)
+        # every char of these scripts is its own token (combining
+        # marks included — char-level fallback is per code point)
+        assert toks == list(s), s
+
+
 def test_default_mode_unchanged_and_degenerate(spark):
     # opt-in: default mode is byte-stable with r12 (whole doc = 1 token)
     assert _expr_tokens(spark, ZH) == [ZH]
@@ -61,7 +84,8 @@ def test_default_mode_unchanged_and_degenerate(spark):
 def test_py_splitter_matches_expression(spark):
     tok_cjk = _py_splitter(split_cjk=True)
     tok_plain = _py_splitter()
-    for t in [ZH, JA, TH, MIXED, "plain ascii text", "  ", "a　b"]:
+    for t in [ZH, JA, TH, MIXED, "plain ascii text", "  ", "a　b",
+              ASTRAL, LAO, KM, MY, TB, "x" + ASTRAL + LAO + "y"]:
         assert tok_cjk(t) == _expr_tokens(spark, t, split_cjk=True), t
         assert tok_plain(t) == _expr_tokens(spark, t), t
 

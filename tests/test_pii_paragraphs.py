@@ -433,6 +433,36 @@ def test_prepare_training_corpus_composition(spark):
         assert got[i]["quality"] == want[i]["quality"]
 
 
+def test_prepare_training_corpus_canonicalize_stage(spark):
+    """Round 14 (r13 verdict #7): ``canonicalize=True`` runs F59's NFC
+    + zero-width strip as stage 0, so composed and decomposed
+    spellings of the same document fold to ONE kept row in the ACTUAL
+    dedup pass — and the default keeps the old behavior (they stay
+    distinct fingerprints)."""
+    from petk_spark.operators.pipeline import prepare_training_corpus
+
+    base = "the data of a table is on the scan and it is a fast plan"
+    rows = [
+        (1, base + " with a re\u0301sume\u0301 line"),  # decomposed
+        (2, base + " with a r\u00e9sum\u00e9 line"),    # composed
+        (3, base + " with a r\u00e9\u200bsum\u00e9 line"),  # zero-width
+        (4, "a different document about the fast scan of the table"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(min_quality=0.1, boilerplate_min_docs=None, redact=False)
+    plain = prepare_training_corpus(df, "doc_id", "text", **kw)
+    assert sorted(r["id"] for r in plain.collect()) == [1, 2, 3, 4]
+    canon = prepare_training_corpus(
+        df, "doc_id", "text", canonicalize=True, **kw
+    )
+    got = {r["id"]: r for r in canon.collect()}
+    # keep-first: doc 1 wins the folded trio; text is canonical NFC
+    assert sorted(got) == [1, 4]
+    assert "r\u00e9sum\u00e9" in got[1]["text"]
+    assert "\u0301" not in got[1]["text"]
+    assert "\u200b" not in got[1]["text"]
+
+
 def test_paragraph_split_parity_with_duckdb(spark):
     """The split regex + normalization + md5 replay identically in
     DuckDB — the seam the widened twin's boiler family rides on."""
