@@ -1767,3 +1767,74 @@ def frame_sample(
     return df.select(id_col, payload_col).mapInPandas(
         run, schema=FRAME_SAMPLE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Magic-byte MIME sniffing (round 14, F61) — the dispatch layer a real
+# multimodal crawl pipeline needs BEFORE any decoder runs: crawl
+# payloads arrive with missing or lying Content-Type headers, so
+# format routing goes by file signature (the whatwg mime-sniffing
+# model, prefix magic only — never a parse). Row-local, zero shuffles;
+# reference parity: the reference engine has no binary surface at all
+# (petk is tabular-only), declared beyond-reference.
+# ---------------------------------------------------------------------------
+
+def sniff_mime(payload: bytes | None) -> str | None:
+    """Classify a binary payload by magic bytes → short format token
+    (``wav png jpeg gif webp mp3 flac avi`` — the repo's decoder
+    surface) or ``'unknown'``; None payload → None. Prefix-only by
+    design: a truncated-but-headed file still routes to its decoder,
+    whose own corrupt contract (valid=false) then applies."""
+    if payload is None:
+        return None
+    p = bytes(payload)
+    if p[:4] == b"RIFF" and len(p) >= 12:
+        sub = p[8:12]
+        if sub == b"WAVE":
+            return "wav"
+        if sub == b"AVI ":
+            return "avi"
+        if sub == b"WEBP":
+            return "webp"
+        return "unknown"
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if p[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if p[:4] == b"fLaC":
+        return "flac"
+    if p[:3] == b"ID3":
+        return "mp3"
+    if len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0:
+        return "mp3"                       # bare MPEG frame sync
+    return "unknown"
+
+
+def mime_sniff_frame(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """Arrow-batched :func:`sniff_mime` over a binary column →
+    ``(id, mime)``. The routing stage for mixed-format corpora: one
+    map-only pass, then each format's feature frame runs on its
+    filtered slice."""
+    id_name, payload_name = id_col, payload_col
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_name],
+                    "mime": [
+                        sniff_mime(
+                            None if v is None else bytes(v)
+                        )
+                        for v in pdf[payload_name]
+                    ],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema="id long, mime string"
+    )

@@ -232,3 +232,68 @@ def filter_by_domain_blocklist(
     return df.filter(
         ~F.coalesce(F.exists(domains, _is_blocked), F.lit(False))
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (round 14, F60) — crawl dedup's other identity
+# problem: the same page is referenced as HTTPS://WWW.X.COM:443/p?utm_
+# source=a#top and https://x.com/p, so URL-keyed dedup, domain
+# curation, and recrawl scheduling all need one canonical spelling.
+# Same shared-table design as text._HTML_ENTITIES: ONE ordered rule
+# list drives both the Spark expression chain and the generated DuckDB
+# replay (they can only change together); every pattern is Java∩RE2
+# (no lookaround, no backrefs in patterns).
+# ---------------------------------------------------------------------------
+
+#: scheme://authority — the case-insensitive half of a URL (RFC 3986
+#: §6.2.2.1: scheme and host are case-insensitive, path/query are not)
+_URL_HEAD_PATTERN = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+#: ordered rewrite rules applied AFTER fragment strip + head lowering.
+#: Tracking params: the utm_* family plus the common click-id and
+#: share-id params — removal is the documented curation default, the
+#: list is deliberately short and explicit.
+_URL_CANON_RULES: list[tuple[str, str]] = [
+    (r"^(https?://)www\.", "$1"),                 # drop www.
+    (r"^(http://[^/?:]+):80([/?]|$)", "$1$2"),    # default port http
+    (r"^(https://[^/?:]+):443([/?]|$)", "$1$2"),  # default port https
+    (
+        r"([?&])(utm_[a-z0-9]+|gclid|fbclid|igshid|mc_cid|mc_eid"
+        r"|ref|ref_src)=[^&]*",
+        "$1",
+    ),
+    (r"&&+", "&"),                                # separator debris
+    (r"\?&", "?"),
+    (r"[?&]+$", ""),                              # trailing ? / &
+    (r"^(https?://[^/?]+)/$", "$1"),              # bare trailing slash
+]
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Canonical URL spelling, entirely JVM-side (trim → fragment
+    strip → lowercase scheme+host → the shared rule chain). Row-local,
+    codegen-friendly; NULL → NULL. The identity to dedup/aggregate
+    URLs on — compose with :func:`domain_frequency` or a keep-first
+    window the same way text dedup keys on the text fingerprint."""
+    u = F.regexp_replace(F.trim(col), r"#.*$", "")
+    head = F.regexp_extract(u, _URL_HEAD_PATTERN, 0)
+    tail = F.regexp_replace(u, _URL_HEAD_PATTERN, "")
+    u = F.concat(F.lower(head), tail)
+    for pat, rep in _URL_CANON_RULES:
+        u = F.regexp_replace(u, pat, rep)
+    return u
+
+
+def duckdb_canonicalize_url(expr: str) -> str:
+    """The oracle twin of :func:`canonicalize_url`: the SAME rule
+    chain as a DuckDB SQL expression, generated from the same tables
+    (RE2 spells group refs \\1 and needs the explicit 'g' flag)."""
+    e = f"regexp_replace(trim({expr}), '#.*$', '', 'g')"
+    e = (
+        f"concat(lower(regexp_extract({e}, '{_URL_HEAD_PATTERN}')), "
+        f"regexp_replace({e}, '{_URL_HEAD_PATTERN}', ''))"
+    )
+    for pat, rep in _URL_CANON_RULES:
+        rep_re2 = rep.replace("$1", "\\1").replace("$2", "\\2")
+        e = f"regexp_replace({e}, '{pat}', '{rep_re2}', 'g')"
+    return e

@@ -806,3 +806,61 @@ def test_prepare_training_corpus_optional_stages(spark):
 
     with _pytest.raises(ValueError):
         prepare_training_corpus(df, "id", "text", lm=vocab)
+
+
+def test_canonicalize_url_rules(spark):
+    """Round 14 (F60): the canonical URL spelling — case-insensitive
+    half lowered, fragment/default-port/www/tracking-params stripped,
+    separator debris cleaned — and cross-engine parity of the
+    generated DuckDB twin (the url_canon family's seam)."""
+    from petk_spark.operators.pii import (
+        canonicalize_url,
+        duckdb_canonicalize_url,
+    )
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/Path/9/?utm_source=f&id=9"
+         "&utm_campaign=X&ref=tw#Frag",
+         "https://example.com/Path/9/?id=9"),
+        ("http://Site.ORG:80/a?b=1", "http://site.org/a?b=1"),
+        ("https://x.com/", "https://x.com"),
+        ("http://x.com/?utm_a=1&utm_b=2", "http://x.com"),
+        # non-default port and path case PRESERVED
+        ("https://x.com:8443/Keep:Port", "https://x.com:8443/Keep:Port"),
+        ("  http://WWW.a.b/Q?gclid=z&q=UP#x  ", "http://a.b/Q?q=UP"),
+        ("https://x.com/p?ref=a&ref_src=b&keep=1",
+         "https://x.com/p?keep=1"),
+        # http on 443 / https on 80: NOT default, preserved
+        ("http://x.com:443/a", "http://x.com:443/a"),
+        ("not a url at all", "not a url at all"),
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, (c, _) in enumerate(cases)], "i long, u string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", canonicalize_url(F.col("u")).alias("c")
+        ).collect()
+    }
+    for i, (src, want) in enumerate(cases):
+        assert got[i] == want, (src, got[i], want)
+    # NULL passes through
+    ndf = spark.createDataFrame([(0, None)], "i long, u string")
+    assert ndf.select(
+        canonicalize_url(F.col("u")).alias("c")
+    ).collect()[0]["c"] is None
+    # DuckDB twin: byte-for-byte parity on every case
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{c}')" for i, (c, _) in enumerate(cases))
+        + ") v(i, u)"
+    )
+    want_d = dict(
+        con.execute(
+            f"SELECT i, {duckdb_canonicalize_url('u')} FROM t"
+        ).fetchall()
+    )
+    for i in range(len(cases)):
+        assert got[i] == want_d[i], (i, got[i], want_d[i])
