@@ -1838,3 +1838,126 @@ def mime_sniff_frame(
     return df.select(id_col, payload_col).mapInPandas(
         run, schema="id long, mime string"
     )
+
+
+MEDIA_AUTO_SCHEMA = (
+    "id long, mime string, valid boolean, sample_rate int, "
+    "n_channels int, bits_per_sample int, n_frames int, "
+    "duration_ms long, width int, height int, bit_depth int, "
+    "mean_luma double"
+)
+
+
+def _auto_one(payload) -> tuple:
+    """(mime, valid, sample_rate, n_channels, bits, n_frames,
+    duration_ms, width, height, bit_depth, mean_luma) for one payload
+    — sniff, then the matching parser; unknown/corrupt → valid=false,
+    never an exception (the repo-wide codec contract)."""
+    nine = (None,) * 9
+    if payload is None:
+        return (None, False) + nine
+    p = bytes(payload)
+    mime = sniff_mime(p)
+    try:
+        if mime == "wav":
+            valid, rate, ch, bits, frames, dur = parse_wav_header(p)
+            return (mime, valid, rate, ch, bits, frames, dur,
+                    None, None, None, None)
+        if mime == "mp3":
+            m = parse_mp3_metadata(p)
+            if m is None:
+                return (mime, False) + nine
+            return (mime, True, m["sample_rate"], m["n_channels"],
+                    None, m["n_frames"], m["duration_ms"],
+                    None, None, None, None)
+        if mime == "flac":
+            m = parse_flac_metadata(p)
+            if m is None:
+                return (mime, False) + nine
+            return (mime, True, m["sample_rate"], m["n_channels"],
+                    m["bits_per_sample"], m["n_frames"],
+                    m["duration_ms"], None, None, None, None)
+        if mime == "png":
+            valid, w, h, ch, depth, mean = parse_png(p)
+            return (mime, valid, None, ch, None, None, None,
+                    w, h, depth, mean)
+        if mime == "jpeg":
+            from petk_spark.operators.jpeg import decode_jpeg
+
+            dec = decode_jpeg(p)
+            if dec is None:
+                return (mime, False) + nine
+            w, h, ch, px = dec
+            return (mime, True, None, ch, None, None, None,
+                    w, h, 8, float(px.mean()))
+        if mime == "gif":
+            from petk_spark.operators.gif import decode_gif
+
+            dec = decode_gif(p)
+            if dec is None:
+                return (mime, False) + nine
+            w, h, frames, _il, idx, pal = dec
+            import numpy as np
+
+            mean = float(
+                np.asarray(pal, dtype=np.float64)[idx].mean()
+            )
+            return (mime, True, None, 3, None, frames, None,
+                    w, h, 8, mean)
+        if mime == "webp":
+            from petk_spark.operators.webp import parse_webp_metadata
+
+            m = parse_webp_metadata(p)
+            if m is None:
+                return (mime, False) + nine
+            mean = None
+            if m["format"] == "lossless":
+                from petk_spark.operators.vp8l import decode_webp
+
+                dec = decode_webp(p)
+                if dec is not None:
+                    mean = float(dec[3][:, :, :3].mean())
+            return (mime, True, None,
+                    4 if m["has_alpha"] else 3, None,
+                    m["n_frames"], None, m["width"], m["height"],
+                    8, mean)
+        if mime == "avi":
+            frames = sum(1 for _ in parse_avi_frames(p))
+            return (mime, frames > 0, None, None, None,
+                    frames if frames > 0 else None, None,
+                    None, None, None, None)
+    except Exception:
+        return (mime, False) + nine
+    return (mime, False) + nine
+
+
+def media_features_auto(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """Sniff-and-dispatch metadata extraction over a MIXED-format
+    binary column in ONE scan (round 14, composing F61 with every
+    typed parser): per row, magic-byte routing picks the parser, and
+    all formats emit the unified :data:`MEDIA_AUTO_SCHEMA` row — the
+    production shape for crawl media, where one frame holds whatever
+    the fetcher stored. Row-local Arrow kernel, zero shuffles; corrupt
+    or unknown payloads become valid=false rows, never exceptions."""
+    id_name, payload_name = id_col, payload_col
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (rid, *_auto_one(payload))
+                for rid, payload in zip(pdf[id_name], pdf[payload_name])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "mime", "valid", "sample_rate", "n_channels",
+                    "bits_per_sample", "n_frames", "duration_ms",
+                    "width", "height", "bit_depth", "mean_luma",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=MEDIA_AUTO_SCHEMA
+    )
