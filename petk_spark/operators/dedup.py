@@ -1264,7 +1264,14 @@ def append_seen(
     ``.distinct()``): batch-local distinct, then a left-anti join
     against the store reading co-located buckets (only the new batch
     — O(day), not O(corpus) — shuffles), then a bucketed append.
-    ``n_buckets`` must match the build (Spark rejects a mismatch)."""
+    ``n_buckets`` must match the build (Spark rejects a mismatch).
+
+    Concurrency note: read-then-append is not atomic — two writers
+    appending the SAME fingerprint concurrently can both pass the
+    anti-join. Run appends from one scheduler slot (the daily-batch
+    shape this is for); duplicate store rows are correctness-harmless
+    to the anti-join either way, they only waste scan bytes until the
+    next rebuild."""
     from petk_spark.operators.text import fingerprint_frame
 
     spark = df.sparkSession
