@@ -370,6 +370,26 @@ def build_registry(spark: SparkSession, sf_dir: str):
     return registry, warm_state
 
 
+def _resolve_out_path(argv: list, env) -> str:
+    """Result-file path policy (round 15, r14 verdict #7): the default
+    is NON-destructive — smokes land in ``bench_result.latest.json``
+    (gitignored scratch); only an explicit opt-in (``--record`` argv or
+    ``SPARK_GRAFT_BENCH_RECORD=1``) writes the committed record name,
+    so a smoke run can never clobber the committed record again.
+    ``SPARK_GRAFT_BENCH_OUT`` still overrides everything."""
+    explicit = env.get("SPARK_GRAFT_BENCH_OUT")
+    if explicit:
+        return explicit
+    here = os.path.dirname(os.path.abspath(__file__))
+    recording = (
+        "--record" in argv or env.get("SPARK_GRAFT_BENCH_RECORD") == "1"
+    )
+    return os.path.join(
+        here,
+        "bench_result.json" if recording else "bench_result.latest.json",
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -575,12 +595,31 @@ def main() -> None:
         # control.admissible changed in r11 (raw gate → trim-1 gate
         # when >=10 points); cross-round comparators should branch on
         # this field instead of guessing from key presence.
-        "record_schema": 2,
+        # record_schema 3 (round 15): additive — queries_n /
+        # queries_median3 (fixed-n adjudication, r14 ADVICE) and the
+        # non-destructive default output path (r14 verdict #7).
+        "record_schema": 3,
         "value": total,
         "unit": "sec",
         "queries": timings,
         "queries_min": {
             n: (min(samples[n]) if samples.get(n) else -1.0)
+            for n in timings
+        },
+        # round 15 (r14 ADVICE low): adaptive sampling (n 3→5 on high
+        # spread) means cross-round medians can be computed over a
+        # different n; record the per-query n AND the median over the
+        # FIRST 3 samples so adjudication near a gate can compare
+        # fixed-n medians without re-running anything.
+        "queries_n": {
+            n: (len(samples[n]) if samples.get(n) else 0)
+            for n in timings
+        },
+        "queries_median3": {
+            n: (
+                round(statistics.median(samples[n][:3]), 4)
+                if samples.get(n) else -1.0
+            )
             for n in timings
         },
         "sf": sf,
@@ -624,10 +663,12 @@ def main() -> None:
     # The driver captures stdout's tail, which truncated BENCH_r03.json
     # ("parsed": null) and lost the describe-family numbers from the
     # record — persist the full object to a file as well, atomically.
-    out_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json"),
-    )
+    # Round 15 (r14 verdict #7): the default path is NON-destructive —
+    # smokes land in bench_result.latest.json (gitignored scratch);
+    # only an explicit opt-in (--record argv or
+    # SPARK_GRAFT_BENCH_RECORD=1) writes the committed record name, so
+    # a smoke run can never clobber the committed record again.
+    out_path = _resolve_out_path(sys.argv[1:], os.environ)
     try:
         tmp = out_path + ".tmp"
         with open(tmp, "w") as f:

@@ -525,7 +525,14 @@ def synth_mp3(
             tag = b"Xing" + struct.pack(">I", 0x1) + struct.pack(
                 ">I", xing_frames
             )
-            assert 4 + side + len(tag) <= fs, "frame too small for Xing"
+            if 4 + side + len(tag) > fs:
+                # explicit raise, not assert: survives python -O, so an
+                # undersized frame can never silently truncate the tag
+                # write and desync fixture/oracle hashes (r15 ADVICE)
+                raise ValueError(
+                    f"frame too small for Xing tag: {fs} bytes, "
+                    f"needs {4 + side + len(tag)}"
+                )
             first[4 + side : 4 + side + len(tag)] = tag
             out += bytes(first)
         else:
@@ -1781,10 +1788,10 @@ def frame_sample(
 
 def sniff_mime(payload: bytes | None) -> str | None:
     """Classify a binary payload by magic bytes → short format token
-    (``wav png jpeg gif webp mp3 flac avi`` — the repo's decoder
-    surface) or ``'unknown'``; None payload → None. Prefix-only by
-    design: a truncated-but-headed file still routes to its decoder,
-    whose own corrupt contract (valid=false) then applies."""
+    (``wav png jpeg gif webp mp3 flac avi mp4 ogg`` — the repo's
+    decoder surface) or ``'unknown'``; None payload → None.
+    Prefix-only by design: a truncated-but-headed file still routes to
+    its decoder, whose own corrupt contract (valid=false) applies."""
     if payload is None:
         return None
     p = bytes(payload)
@@ -1805,6 +1812,10 @@ def sniff_mime(payload: bytes | None) -> str | None:
         return "gif"
     if p[:4] == b"fLaC":
         return "flac"
+    if len(p) >= 12 and p[4:8] == b"ftyp":
+        return "mp4"                       # ISO-BMFF (round 15, F62)
+    if p[:4] == b"OggS":
+        return "ogg"                       # Ogg container (round 15, F63)
     if p[:3] == b"ID3":
         return "mp3"
     if len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0:
@@ -1925,6 +1936,26 @@ def _auto_one(payload) -> tuple:
             frames = sum(1 for _ in parse_avi_frames(p))
             return (mime, frames > 0, None, None, None,
                     frames if frames > 0 else None, None,
+                    None, None, None, None)
+        if mime == "mp4":
+            from petk_spark.operators.mp4 import parse_mp4_metadata
+
+            m = parse_mp4_metadata(p)
+            if m is None:
+                return (mime, False) + nine
+            # timescale rides sample_rate (units/sec), trak count
+            # rides n_frames — the unified row's closest slots
+            return (mime, True, m["timescale"], None, None,
+                    m["n_tracks"], m["duration_ms"],
+                    m["width"], m["height"], None, None)
+        if mime == "ogg":
+            from petk_spark.operators.ogg import parse_ogg_metadata
+
+            m = parse_ogg_metadata(p)
+            if m is None:
+                return (mime, False) + nine
+            return (mime, True, m["sample_rate"], m["n_channels"],
+                    None, None, m["duration_ms"],
                     None, None, None, None)
     except Exception:
         return (mime, False) + nine

@@ -21,6 +21,8 @@ shared leftmost, non-overlapping scan both engines implement.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -249,42 +251,65 @@ def filter_by_domain_blocklist(
 #: §6.2.2.1: scheme and host are case-insensitive, path/query are not)
 _URL_HEAD_PATTERN = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
 
-#: ordered rewrite rules applied AFTER fragment strip + head lowering.
-#: Tracking params: the utm_* family plus the common click-id and
-#: share-id params — removal is the documented curation default, the
-#: list is deliberately short and explicit.
-_URL_CANON_RULES: list[tuple[str, str]] = [
-    (r"^(https?://)www\.", "$1"),                 # drop www.
-    (r"^(http://[^/?:]+):80([/?]|$)", "$1$2"),    # default port http
-    (r"^(https://[^/?:]+):443([/?]|$)", "$1$2"),  # default port https
-    (
-        r"([?&])(utm_[a-z0-9]+|gclid|fbclid|igshid|mc_cid|mc_eid"
-        r"|ref|ref_src)=[^&]*",
-        "$1",
-    ),
-    (r"&&+", "&"),                                # separator debris
-    (r"\?&", "?"),
-    (r"[?&]+$", ""),                              # trailing ? / &
-    (r"^(https?://[^/?]+)/$", "$1"),              # bare trailing slash
-]
+#: tracking query params stripped by default: the utm_* family plus
+#: the unambiguous click-id params. Deliberately NOT the bare ``ref``
+#: / ``ref_src`` names (round 15, ADVICE): on code/docs hosts
+#: ``?ref=main`` selects a branch — stripping it would merge distinct
+#: pages under URL-keyed dedup. Callers with a referral-heavy corpus
+#: pass their own list via ``tracking_params=``.
+_TRACKING_PARAMS: tuple[str, ...] = (
+    "utm_[a-z0-9]+", "gclid", "fbclid", "igshid", "mc_cid", "mc_eid",
+)
 
 
-def canonicalize_url(col: Column) -> Column:
+def _tracking_rule(params: Sequence[str]) -> tuple[str, str]:
+    return (r"([?&])(" + "|".join(params) + r")=[^&]*", "$1")
+
+
+def _url_canon_rules(
+    tracking_params: Sequence[str] = _TRACKING_PARAMS,
+) -> list[tuple[str, str]]:
+    """Ordered rewrite rules applied AFTER fragment strip + head
+    lowering — ONE table drives both the Spark chain and the DuckDB
+    replay."""
+    return [
+        (r"^(https?://)www\.", "$1"),                 # drop www.
+        (r"^(http://[^/?:]+):80([/?]|$)", "$1$2"),    # default port http
+        (r"^(https://[^/?:]+):443([/?]|$)", "$1$2"),  # default port https
+        _tracking_rule(tracking_params),
+        (r"&&+", "&"),                                # separator debris
+        (r"\?&", "?"),
+        (r"[?&]+$", ""),                              # trailing ? / &
+        (r"^(https?://[^/?]+)/$", "$1"),              # bare trailing slash
+    ]
+
+
+#: default-rule table (kept as a module constant for plan/doc audits)
+_URL_CANON_RULES: list[tuple[str, str]] = _url_canon_rules()
+
+
+def canonicalize_url(
+    col: Column, tracking_params: Sequence[str] = _TRACKING_PARAMS
+) -> Column:
     """Canonical URL spelling, entirely JVM-side (trim → fragment
     strip → lowercase scheme+host → the shared rule chain). Row-local,
     codegen-friendly; NULL → NULL. The identity to dedup/aggregate
     URLs on — compose with :func:`domain_frequency` or a keep-first
-    window the same way text dedup keys on the text fingerprint."""
+    window the same way text dedup keys on the text fingerprint.
+    ``tracking_params`` overrides the default strip list (regex
+    alternates, Java∩RE2 only)."""
     u = F.regexp_replace(F.trim(col), r"#.*$", "")
     head = F.regexp_extract(u, _URL_HEAD_PATTERN, 0)
     tail = F.regexp_replace(u, _URL_HEAD_PATTERN, "")
     u = F.concat(F.lower(head), tail)
-    for pat, rep in _URL_CANON_RULES:
+    for pat, rep in _url_canon_rules(tracking_params):
         u = F.regexp_replace(u, pat, rep)
     return u
 
 
-def duckdb_canonicalize_url(expr: str) -> str:
+def duckdb_canonicalize_url(
+    expr: str, tracking_params: Sequence[str] = _TRACKING_PARAMS
+) -> str:
     """The oracle twin of :func:`canonicalize_url`: the SAME rule
     chain as a DuckDB SQL expression, generated from the same tables
     (RE2 spells group refs \\1 and needs the explicit 'g' flag)."""
@@ -293,7 +318,7 @@ def duckdb_canonicalize_url(expr: str) -> str:
         f"concat(lower(regexp_extract({e}, '{_URL_HEAD_PATTERN}')), "
         f"regexp_replace({e}, '{_URL_HEAD_PATTERN}', ''))"
     )
-    for pat, rep in _URL_CANON_RULES:
+    for pat, rep in _url_canon_rules(tracking_params):
         rep_re2 = rep.replace("$1", "\\1").replace("$2", "\\2")
         e = f"regexp_replace({e}, '{pat}', '{rep_re2}', 'g')"
     return e

@@ -456,9 +456,11 @@ def _select(l: int, t: int, tl: int) -> int:
 
 def _inv_predictor(img: np.ndarray, sub: np.ndarray,
                    bits: int) -> np.ndarray:
-    """Inverse prediction (declared edge conventions: (0,0) predicted
-    by opaque black; rest of row 0 by LEFT; column 0 by TOP; the
-    top-right of the last column reads row-above index 0)."""
+    """Inverse prediction (edge conventions per the lossless spec:
+    (0,0) predicted by opaque black; rest of row 0 by LEFT; column 0
+    by TOP; the TR-pixel of the rightmost column is the LEFTMOST pixel
+    of the CURRENT row — already decoded, spec §"Predictor Transform";
+    fixed in round 15 from the row-above convention per ADVICE)."""
     h, w = img.shape
     out = img.copy()
     for y in range(h):
@@ -475,7 +477,7 @@ def _inv_predictor(img: np.ndarray, sub: np.ndarray,
                 top = int(out[y - 1, x])
                 tl = int(out[y - 1, x - 1])
                 tr = int(out[y - 1, x + 1]) if x + 1 < w else int(
-                    out[y - 1, 0]
+                    out[y, 0]
                 )
                 if mode == 0:
                     pred = 0xFF000000
@@ -862,7 +864,7 @@ def _enc_predict(mode: int, l: int, t: int, tl: int, tr: int) -> int:
 def _enc_forward_predict(target: np.ndarray, mode: int) -> np.ndarray:
     """Residuals such that the decoder's inverse (same edge
     conventions: (0,0) black, row 0 LEFT, column 0 TOP, last-column
-    top-right wraps to row-above index 0) reproduces ``target``."""
+    TR = leftmost pixel of the CURRENT row) reproduces ``target``."""
     h, w = target.shape
     res = np.zeros_like(target)
     for y in range(h):
@@ -880,7 +882,7 @@ def _enc_forward_predict(target: np.ndarray, mode: int) -> np.ndarray:
                     int(target[y - 1, x]),
                     int(target[y - 1, x - 1]),
                     int(target[y - 1, x + 1]) if x + 1 < w
-                    else int(target[y - 1, 0]),
+                    else int(target[y, 0]),
                 )
             px = int(target[y, x])
             v = 0

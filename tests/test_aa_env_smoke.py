@@ -55,3 +55,27 @@ def test_events_ts_has_no_nulls_assumption(spark):
     snapshot with nulls shows up here, visibly, not as a hash flap."""
     n = read_table(spark, SF_DIR, "events").filter("ts IS NULL").count()
     assert n == 0, f"events.ts now has {n} NULLs — sessionize drops them by design"
+
+
+def test_bench_out_path_defaults_are_non_destructive():
+    """Round 15 (r14 verdict #7): a bench smoke must never clobber the
+    committed bench_result.json by default — only --record /
+    SPARK_GRAFT_BENCH_RECORD=1 / an explicit SPARK_GRAFT_BENCH_OUT
+    reaches the record name."""
+    import bench
+
+    assert bench._resolve_out_path([], {}).endswith(
+        "bench_result.latest.json"
+    )
+    assert bench._resolve_out_path(["--record"], {}).endswith(
+        "bench_result.json"
+    )
+    assert bench._resolve_out_path(
+        [], {"SPARK_GRAFT_BENCH_RECORD": "1"}
+    ).endswith("bench_result.json")
+    assert not bench._resolve_out_path(
+        [], {"SPARK_GRAFT_BENCH_RECORD": "0"}
+    ).endswith("/bench_result.json")
+    assert bench._resolve_out_path(
+        ["--record"], {"SPARK_GRAFT_BENCH_OUT": "/tmp/x.json"}
+    ) == "/tmp/x.json"

@@ -1,0 +1,164 @@
+"""MP4/ISO-BMFF + Ogg metadata kinds (round 15, F62/F63 — r14 verdict
+#1/#8): box/page walks against closed-form expectations, every-prefix
+truncation fuzz (never raises), sniff routing, and the auto-dispatch
+equivalence that the composed path emits the typed parsers' fields.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from petk_spark.operators.mp4 import parse_mp4_metadata, synth_mp4
+from petk_spark.operators.ogg import parse_ogg_metadata, synth_ogg
+from petk_spark.operators.multimodal import sniff_mime, _auto_one
+
+
+# ---------------------------------------------------------------------------
+# mp4
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_closed_form_fields_v0():
+    p = synth_mp4(b"isom", 600, 3000, [(320, 240), None], version=0)
+    m = parse_mp4_metadata(p)
+    assert m == {
+        "brand": "isom", "timescale": 600, "duration_ms": 5000,
+        "n_tracks": 2, "width": 320, "height": 240,
+        "mvhd_version": 0,
+    }
+
+
+def test_mp4_v1_layout_and_free_box():
+    p = synth_mp4(
+        b"mp42", 90000, 123456, [None, (1920, 1080), None],
+        version=1, with_free=True,
+    )
+    m = parse_mp4_metadata(p)
+    assert m["brand"] == "mp42"
+    assert m["timescale"] == 90000
+    assert m["duration_ms"] == 123456 * 1000 // 90000
+    assert m["n_tracks"] == 3
+    assert m["mvhd_version"] == 1
+    # dims come from the FIRST video trak, skipping the audio trak
+    assert (m["width"], m["height"]) == (1920, 1080)
+
+
+def test_mp4_largesize_header():
+    p = synth_mp4(b"dash", 1000, 777, [(64, 48)], moov_largesize=True)
+    m = parse_mp4_metadata(p)
+    assert m["duration_ms"] == 777
+    assert (m["width"], m["height"]) == (64, 48)
+
+
+def test_mp4_audio_only_valid_with_null_dims():
+    p = synth_mp4(b"M4A ", 44100, 44100 * 7, [None])
+    m = parse_mp4_metadata(p)
+    assert m["duration_ms"] == 7000
+    assert m["width"] is None and m["height"] is None
+    assert m["n_tracks"] == 1
+
+
+def test_mp4_rejects_non_bmff_and_zero_timescale():
+    assert parse_mp4_metadata(None) is None
+    assert parse_mp4_metadata(b"") is None
+    assert parse_mp4_metadata(b"\x00" * 32) is None
+    # a RIFF head must not parse as mp4
+    assert parse_mp4_metadata(b"RIFF\x00\x00\x00\x00WAVE" + b"\x00" * 8) is None
+    bad = bytearray(synth_mp4(b"isom", 600, 100, [(8, 8)]))
+    # zero out the mvhd timescale (v0 layout: 12 bytes into mvhd body)
+    idx = bytes(bad).find(b"mvhd") + 4 + 12
+    bad[idx:idx + 4] = b"\x00\x00\x00\x00"
+    assert parse_mp4_metadata(bytes(bad)) is None
+
+
+def test_mp4_every_prefix_truncation_never_raises():
+    p = synth_mp4(b"isom", 600, 2400, [(160, 120), None],
+                  version=1, with_free=True)
+    for cut in range(len(p)):
+        parse_mp4_metadata(p[:cut])         # must not raise
+    # and the full payload still parses
+    assert parse_mp4_metadata(p)["n_tracks"] == 2
+
+
+# ---------------------------------------------------------------------------
+# ogg
+# ---------------------------------------------------------------------------
+
+
+def test_ogg_vorbis_closed_form():
+    p = synth_ogg("vorbis", 44100, 2, granule=441000, n_body_pages=2)
+    m = parse_ogg_metadata(p)
+    assert m == {
+        "codec": "vorbis", "sample_rate": 44100, "n_channels": 2,
+        "pre_skip": 0, "granule": 441000, "duration_ms": 10000,
+    }
+
+
+def test_ogg_opus_pre_skip_and_48k_clock():
+    # Opus granule clock is ALWAYS 48 kHz regardless of input rate
+    p = synth_ogg("opus", 16000, 1, granule=48000 * 3 + 312,
+                  pre_skip=312)
+    m = parse_ogg_metadata(p)
+    assert m["codec"] == "opus"
+    assert m["sample_rate"] == 16000       # informational, reported
+    assert m["pre_skip"] == 312
+    assert m["duration_ms"] == 3000        # (granule - pre_skip)/48k
+
+
+def test_ogg_rejects_garbage_and_unknown_codec():
+    assert parse_ogg_metadata(None) is None
+    assert parse_ogg_metadata(b"OggX" + b"\x00" * 40) is None
+    # well-formed page, unknown first packet
+    from petk_spark.operators.ogg import _page
+
+    p = _page(0x02, 0, 1, 0, b"not-an-ident-header")
+    p += _page(0x04, 1000, 1, 1, b"")
+    assert parse_ogg_metadata(p) is None
+
+
+def test_ogg_every_prefix_truncation_never_raises():
+    p = synth_ogg("vorbis", 48000, 6, granule=96000, n_body_pages=3)
+    for cut in range(len(p)):
+        parse_ogg_metadata(p[:cut])
+    assert parse_ogg_metadata(p)["duration_ms"] == 2000
+
+
+# ---------------------------------------------------------------------------
+# sniff + auto dispatch
+# ---------------------------------------------------------------------------
+
+
+def test_sniff_routes_mp4_and_ogg():
+    assert sniff_mime(synth_mp4(b"isom", 600, 10, [(8, 8)])) == "mp4"
+    assert sniff_mime(synth_ogg("opus", 48000, 2, 480)) == "ogg"
+    # RIFF split still intact
+    assert sniff_mime(b"RIFF\x04\x00\x00\x00WAVE") == "wav"
+
+
+def test_auto_dispatch_matches_typed_parsers():
+    mp4 = synth_mp4(b"mp42", 1000, 2500, [(100, 50), None], version=1)
+    row = _auto_one(mp4)
+    # (mime, valid, sample_rate, n_channels, bits, n_frames,
+    #  duration_ms, width, height, bit_depth, mean_luma)
+    assert row[:2] == ("mp4", True)
+    assert row[2] == 1000                  # timescale in the rate slot
+    assert row[5] == 2                     # trak count in n_frames
+    assert row[6] == 2500
+    assert (row[7], row[8]) == (100, 50)
+
+    ogg = synth_ogg("vorbis", 22050, 1, granule=22050 * 4)
+    row = _auto_one(ogg)
+    assert row[:2] == ("ogg", True)
+    assert row[2] == 22050 and row[3] == 1
+    assert row[6] == 4000
+
+    # corrupt-but-headed → routed, valid=false
+    row = _auto_one(mp4[:20])
+    assert row[:2] == ("mp4", False)
+    row = _auto_one(ogg[:10])
+    assert row[:2] == ("ogg", False)

@@ -821,15 +821,18 @@ def test_canonicalize_url_rules(spark):
     cases = [
         ("HTTPS://WWW.Example.COM:443/Path/9/?utm_source=f&id=9"
          "&utm_campaign=X&ref=tw#Frag",
-         "https://example.com/Path/9/?id=9"),
+         "https://example.com/Path/9/?id=9&ref=tw"),
         ("http://Site.ORG:80/a?b=1", "http://site.org/a?b=1"),
         ("https://x.com/", "https://x.com"),
         ("http://x.com/?utm_a=1&utm_b=2", "http://x.com"),
         # non-default port and path case PRESERVED
         ("https://x.com:8443/Keep:Port", "https://x.com:8443/Keep:Port"),
         ("  http://WWW.a.b/Q?gclid=z&q=UP#x  ", "http://a.b/Q?q=UP"),
+        # round 15 (ADVICE): bare ref/ref_src are IDENTIFYING on some
+        # hosts (?ref=main branch selectors) — preserved by default,
+        # strippable via tracking_params=
         ("https://x.com/p?ref=a&ref_src=b&keep=1",
-         "https://x.com/p?keep=1"),
+         "https://x.com/p?ref=a&ref_src=b&keep=1"),
         # http on 443 / https on 80: NOT default, preserved
         ("http://x.com:443/a", "http://x.com:443/a"),
         ("not a url at all", "not a url at all"),
@@ -864,3 +867,19 @@ def test_canonicalize_url_rules(spark):
     )
     for i in range(len(cases)):
         assert got[i] == want_d[i], (i, got[i], want_d[i])
+    # caller-supplied tracking_params: an affiliate-heavy corpus CAN
+    # strip ref — the list is an argument, not a fork of the table
+    custom = ("utm_[a-z0-9]+", "ref", "ref_src")
+    from petk_spark.operators.pii import (
+        canonicalize_url as _cu,
+        duckdb_canonicalize_url as _dcu,
+    )
+
+    got_c = df.filter(F.col("i") == 6).select(
+        _cu(F.col("u"), tracking_params=custom).alias("c")
+    ).collect()[0]["c"]
+    assert got_c == "https://x.com/p?keep=1"
+    want_c = con.execute(
+        f"SELECT {_dcu('u', tracking_params=custom)} FROM t WHERE i=6"
+    ).fetchone()[0]
+    assert got_c == want_c

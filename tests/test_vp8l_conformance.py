@@ -263,7 +263,7 @@ def _forward_predict(target: np.ndarray, mode: int) -> np.ndarray:
                 t = int(target[y - 1, x])
                 tl = int(target[y - 1, x - 1])
                 tr = int(target[y - 1, x + 1]) if x + 1 < w else int(
-                    target[y - 1, 0]
+                    target[y, 0]   # spec: rightmost-column TR = current row's leftmost
                 )
                 pred = _predict_ref(mode, l, t, tl, tr)
             px = int(target[y, x])
@@ -459,3 +459,67 @@ def test_literal_only_emission_helper_round_trips():
         | dec[3][:, :, 2].astype(np.uint32)
     )
     assert np.array_equal(got, target)
+
+
+# ---------------------------------------------------------------------------
+# rightmost-column TR convention (round 15, ADVICE medium): the spec's
+# "Predictor Transform" section says the TR-pixel of a rightmost-column
+# pixel is the LEFTMOST pixel of the CURRENT row (already decoded), not
+# the row above's. A shared forward/inverse pair can never catch a
+# convention slip, so this fixture pins the inverse alone: residuals
+# are hand-written, the expected pixels are hand arithmetic, and the
+# image is built so current-row[0] differs from row-above[0] — the two
+# conventions decode the bottom-right pixel to different values.
+# ---------------------------------------------------------------------------
+
+
+def test_rightmost_column_tr_is_current_row_leftmost():
+    # 2x2, mode 3 (pred = TR) over the whole image:
+    #   (0,0) pred=black, (0,1) pred=LEFT, (1,0) pred=TOP,
+    #   (1,1) rightmost -> pred = out[1,0] per spec (0xFF212223),
+    #   NOT out[0,0] (0xFF010203 under the old row-above convention).
+    res = np.array(
+        [[0x00010203, 0x00101010],
+         [0x00202020, 0x00000000]],
+        dtype=np.uint32,
+    )
+    expected = np.array(
+        [[0xFF010203, 0xFF111213],
+         [0xFF212223, 0xFF212223]],
+        dtype=np.uint32,
+    )
+    wrong_convention_px = 0xFF010203      # what row-above TR would give
+    assert expected[1, 1] != wrong_convention_px
+    dec = decode_vp8l(_emit_predictor_image(2, 2, 3, res))
+    assert dec is not None
+    got = (
+        (dec[3][:, :, 3].astype(np.uint32) << 24)
+        | (dec[3][:, :, 0].astype(np.uint32) << 16)
+        | (dec[3][:, :, 1].astype(np.uint32) << 8)
+        | dec[3][:, :, 2].astype(np.uint32)
+    )
+    assert np.array_equal(got, expected), got
+    assert got[1, 1] != wrong_convention_px
+
+
+def test_rightmost_column_tr_round_trip_all_tr_modes():
+    """Round-trip through the repo forward kernels for every TR-using
+    mode with a target whose column-0 values differ between adjacent
+    rows — exercises the corrected fallback on both sides."""
+    rng = np.random.RandomState(1515)
+    for mode in (3, 5, 9, 10, 13):
+        target = _rand_target(rng, 6, 5)
+        # force column 0 to differ row-to-row
+        target[:, 0] = 0xFF000000 | np.arange(17, 17 + 6 * 40, 40, dtype=np.uint32)
+        from petk_spark.operators.vp8l import _enc_forward_predict
+
+        res = _enc_forward_predict(target, mode)
+        dec = decode_vp8l(_emit_predictor_image(5, 6, mode, res))
+        assert dec is not None, mode
+        got = (
+            (dec[3][:, :, 3].astype(np.uint32) << 24)
+            | (dec[3][:, :, 0].astype(np.uint32) << 16)
+            | (dec[3][:, :, 1].astype(np.uint32) << 8)
+            | dec[3][:, :, 2].astype(np.uint32)
+        )
+        assert np.array_equal(got, target), mode
