@@ -573,15 +573,16 @@ def _num_ent(dec: int, *names: str) -> str:
 #: Kinds: "lit" → engine string replace, "re" → regexp_replace on
 #: both engines (RE2-safe: alternation + (?i) only, no backrefs).
 _HTML_ENTITIES: list[tuple[str, str, str]] = [
-    ("lit", "&nbsp;", " "),
-    ("lit", "&lt;", "<"),
-    ("lit", "&gt;", ">"),
-    ("lit", "&quot;", '"'),
-    ("re", _num_ent(160), " "),     # no-break space → plain space
-    ("re", _num_ent(34), '"'),
-    ("re", _num_ent(39, "apos"), "'"),  # subsumes the old &#39; literal
-    ("re", _num_ent(60), "<"),
-    ("re", _num_ent(62), ">"),
+    # round 15 (r14 verdict #3, measured in SCALE.md R15 §2): the four
+    # case-sensitive literal rows merged into the numeric rules as
+    # (?i) names — 26 passes → 22, and &NBSP;/&LT;/&GT;/&QUOT; now
+    # decode like every other named entity (the r14 browser-lenient
+    # policy, previously inconsistent for exactly these four).
+    ("re", _num_ent(160, "nbsp"), " "),  # no-break space → plain space
+    ("re", _num_ent(34, "quot"), '"'),
+    ("re", _num_ent(39, "apos"), "'"),
+    ("re", _num_ent(60, "lt"), "<"),
+    ("re", _num_ent(62, "gt"), ">"),
     ("re", _num_ent(169, "copy"), "©"),    # ©
     ("re", _num_ent(174, "reg"), "®"),     # ®
     ("re", _num_ent(176, "deg"), "°"),     # ° (round 14)
