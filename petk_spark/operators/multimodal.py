@@ -1816,6 +1816,8 @@ def sniff_mime(payload: bytes | None) -> str | None:
         return "mp4"                       # ISO-BMFF (round 15, F62)
     if p[:4] == b"OggS":
         return "ogg"                       # Ogg container (round 15, F63)
+    if p[:5] == b"%PDF-":
+        return "pdf"                       # PDF (round 15, F64)
     if p[:3] == b"ID3":
         return "mp3"
     if len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0:
@@ -1957,6 +1959,15 @@ def _auto_one(payload) -> tuple:
             return (mime, True, m["sample_rate"], m["n_channels"],
                     None, None, m["duration_ms"],
                     None, None, None, None)
+        if mime == "pdf":
+            from petk_spark.operators.pdf import parse_pdf_metadata
+
+            m = parse_pdf_metadata(p)
+            if m is None:
+                return (mime, False) + nine
+            # page count rides n_frames (the repeated-unit slot)
+            return (mime, True, None, None, None,
+                    m["n_pages"], None, None, None, None, None)
     except Exception:
         return (mime, False) + nine
     return (mime, False) + nine

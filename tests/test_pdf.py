@@ -1,0 +1,109 @@
+"""PDF metadata + text extraction (round 15, F64 — r14 verdict #2):
+writer/parser closed-form checks, string-escape and TJ-array
+semantics, FlateDecode, every-prefix truncation fuzz, the
+documents-shaped read_pdf source, and sniff/auto routing.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from petk_spark.operators.pdf import (
+    extract_pdf_text,
+    parse_pdf_metadata,
+    synth_pdf,
+)
+
+
+def test_metadata_closed_form():
+    p = synth_pdf(["alpha", "beta", "gamma"], version="1.7", flate=True)
+    m = parse_pdf_metadata(p)
+    # objects: catalog + pages + 3×(page, content) + font = 9
+    assert m == {"version": "1.7", "n_objects": 9, "n_pages": 3}
+
+
+def test_text_flate_and_raw_round_trip():
+    for flate in (True, False):
+        p = synth_pdf(["hello world", "page two"], flate=flate)
+        assert extract_pdf_text(p) == "hello world\npage two"
+
+
+def test_text_tj_array_and_escapes():
+    # parens, backslash, and a balanced nested group survive the
+    # escape round trip; the first page is shown as a split TJ array
+    texts = ["a(b)c \\ d(e(f))", "plain"]
+    p = synth_pdf(texts, flate=True, tj_array_first_page=True)
+    assert extract_pdf_text(p) == "a(b)c \\ d(e(f))\nplain"
+
+
+def test_octal_and_named_escapes_decode():
+    # hand-build a content stream exercising \ooo and \n inside a Tj
+    from petk_spark.operators.pdf import _page_text
+
+    content = rb"BT (A\101\12B\tC) Tj ET"
+    assert _page_text(content) == "AA\nB\tC"
+    # kerning numbers dropped inside TJ; stray array without TJ is not text
+    assert _page_text(rb"[(x) -120 (y)] TJ") == "xy"
+    assert _page_text(rb"[(x) (y)] J") == ""
+    # a string with no show operator contributes nothing
+    assert _page_text(rb"(ignored) Td (shown) Tj") == "shown"
+
+
+def test_rejects_non_pdf_and_xref_stream():
+    assert parse_pdf_metadata(None) is None
+    assert parse_pdf_metadata(b"") is None
+    assert parse_pdf_metadata(b"%PDF-1.4 but no xref at all") is None
+    assert parse_pdf_metadata(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64) is None
+    # startxref pointing at a non-table (xref stream placeholder)
+    p = bytearray(synth_pdf(["x"]))
+    at = bytes(p).find(b"xref")
+    p[at:at + 4] = b"XREF"
+    assert parse_pdf_metadata(bytes(p)) is None
+
+
+def test_every_prefix_truncation_never_raises():
+    p = synth_pdf(["truncate me", "again"], flate=True,
+                  tj_array_first_page=True)
+    for cut in range(0, len(p), 7):
+        parse_pdf_metadata(p[:cut])
+        extract_pdf_text(p[:cut])
+    assert extract_pdf_text(p) == "truncate me\nagain"
+
+
+def test_sniff_and_auto_route_pdf():
+    from petk_spark.operators.multimodal import _auto_one, sniff_mime
+
+    p = synth_pdf(["routed"], version="1.4")
+    assert sniff_mime(p) == "pdf"
+    row = _auto_one(p)
+    assert row[:2] == ("pdf", True)
+    assert row[5] == 1                     # n_pages in the n_frames slot
+    row = _auto_one(p[:40])
+    assert row[:2] == ("pdf", False)
+
+
+def test_read_pdf_source(spark, tmp_path):
+    from petk_spark.operators.pdf import read_pdf
+
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    for i in range(4):
+        (d / f"doc{i}.pdf").write_bytes(
+            synth_pdf([f"doc {i} page {p}" for p in range(1 + i % 3)],
+                      flate=i % 2 == 0)
+        )
+    (d / "notes.txt").write_text("skipped by glob")
+    got = read_pdf(spark, str(d)).collect()
+    assert len(got) == 4
+    by_name = {os.path.basename(r["path"]): r for r in got}
+    assert by_name["doc2.pdf"]["n_pages"] == 3
+    assert by_name["doc2.pdf"]["text"] == (
+        "doc 2 page 0\ndoc 2 page 1\ndoc 2 page 2"
+    )
+    assert all(r["valid"] for r in got)
+    assert len({r["doc_id"] for r in got}) == 4
