@@ -1270,8 +1270,9 @@ def append_seen(
     appending the SAME fingerprint concurrently can both pass the
     anti-join. Run appends from one scheduler slot (the daily-batch
     shape this is for); duplicate store rows are correctness-harmless
-    to the anti-join either way, they only waste scan bytes until the
-    next rebuild."""
+    to the anti-join either way, they only waste scan bytes until
+    :func:`maybe_compact_seen_store` (the scheduled hygiene tick,
+    round 15) measures and rebuilds them away."""
     from petk_spark.operators.text import fingerprint_frame
 
     spark = df.sparkSession
@@ -1288,3 +1289,76 @@ def append_seen(
         .bucketBy(n_buckets, "fingerprint")
         .saveAsTable(table)
     )
+
+
+def maybe_compact_seen_store(
+    spark,
+    table: str,
+    n_buckets: int = 128,
+    dup_frac_threshold: float = 0.01,
+    max_files_per_bucket: int = 16,
+) -> dict:
+    """Scheduled-maintenance tick for the :func:`build_seen_store`
+    lifecycle (round 15, r14 verdict #5 — the
+    :func:`~petk_spark.operators.similarity.maybe_retrain_ivf_index`
+    precedent applied to the F45 store): measure the two hygiene
+    debts a long-lived append-only bucketed store accumulates —
+
+    * **duplicate mass** (concurrent-append leftovers, the documented
+      non-atomic read-then-append window in :func:`append_seen`):
+      ``1 - distinct/total`` over the fingerprint column; the distinct
+      runs as a bucket-local aggregation (no Exchange — the store is
+      bucketed on the key);
+    * **file fragmentation**: every append lays down up to
+      ``n_buckets`` new files, so after many daily appends each bucket
+      is a pile of small files and the daily anti-join's scan pays
+      open/seek overhead proportional to appends, not bytes.
+
+    If either trips (``dup_frac > dup_frac_threshold`` or files >
+    ``max_files_per_bucket × n_buckets``), rebuild: one bucketed
+    rewrite of the distinct fingerprints into a staging table, then a
+    drop+rename swap — the store stays bucketed (``Bucketed: true`` in
+    the daily filter's plan, pinned by tests/test_seen_store.py) and
+    anti-join results are identical before and after. Otherwise the
+    tick is read-only: one count, one bucket-local distinct count, one
+    file listing. Same single-scheduler contract as
+    :func:`append_seen` — don't compact while a writer is appending.
+
+    Returns ``{action, total_rows, distinct_rows, dup_frac, n_files}``
+    (counts from BEFORE the action)."""
+    store = spark.table(table)
+    total = store.count()
+    distinct = store.select("fingerprint").distinct().count()
+    n_files = (
+        store.select(
+            F.input_file_name().alias("f")
+        ).distinct().count()
+    )
+    dup_frac = 0.0 if total == 0 else 1.0 - distinct / total
+    out = {
+        "action": "none",
+        "total_rows": total,
+        "distinct_rows": distinct,
+        "dup_frac": dup_frac,
+        "n_files": n_files,
+    }
+    if total == 0:
+        return out
+    if (
+        dup_frac > dup_frac_threshold
+        or n_files > max_files_per_bucket * n_buckets
+    ):
+        from petk_spark.sources.sinks import write_bucketed
+
+        staging = f"{table}__compacting"
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        write_bucketed(
+            store.select("fingerprint").distinct(),
+            staging,
+            ["fingerprint"],
+            n_buckets,
+        )
+        spark.sql(f"DROP TABLE {table}")
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+        out["action"] = "rebuilt"
+    return out

@@ -140,3 +140,107 @@ def test_append_rejects_mismatched_buckets(spark, store):
         append_seen(
             _docs(spark, [(2, "b")]), "id", "text", store, n_buckets=8
         )
+
+
+def test_maybe_compact_rebuilds_on_duplicate_mass(spark, store):
+    """Round 15 (r14 verdict #5): duplicates injected (simulating the
+    documented concurrent-append window) → the tick measures them,
+    rebuilds via one bucketed rewrite, filter results are identical
+    before/after, and the rebuilt store still reads Bucketed: true
+    with no store-side Exchange."""
+    from petk_spark.operators.dedup import maybe_compact_seen_store
+
+    day0 = _docs(spark, [(i, f"doc {i}") for i in range(40)])
+    build_seen_store(day0, "id", "text", store, n_buckets=4)
+
+    # inject duplicate rows DIRECTLY (append_seen's anti-join would
+    # refuse them — this is the concurrent-writer leftover shape)
+    dup_rows = fingerprint_frame(
+        _docs(spark, [(i, f"doc {i}") for i in range(10)]),
+        "id", "text",
+    ).select("fingerprint")
+    (
+        dup_rows.write.format("parquet").mode("append")
+        .bucketBy(4, "fingerprint").saveAsTable(store)
+    )
+    assert spark.table(store).count() == 50
+
+    new = _docs(spark, [(100 + i, f"doc {i * 2}") for i in range(30)])
+    before = sorted(
+        r["id"] for r in filter_previously_seen(
+            new, "id", "text", store_table=store
+        ).collect()
+    )
+
+    # read-only when thresholds don't trip
+    res = maybe_compact_seen_store(
+        spark, store, n_buckets=4,
+        dup_frac_threshold=0.5, max_files_per_bucket=10_000,
+    )
+    assert res["action"] == "none"
+    assert res["total_rows"] == 50 and res["distinct_rows"] == 40
+    assert abs(res["dup_frac"] - 0.2) < 1e-9
+
+    # trips on duplicate mass → rebuilt, unique, same filter results
+    res = maybe_compact_seen_store(
+        spark, store, n_buckets=4, dup_frac_threshold=0.01,
+    )
+    assert res["action"] == "rebuilt"
+    assert spark.table(store).count() == 40
+    after_rows = filter_previously_seen(
+        new, "id", "text", store_table=store
+    )
+    assert sorted(r["id"] for r in after_rows.collect()) == before
+
+    # the rebuilt store still honors the scale contract
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        kept = filter_previously_seen(
+            new, "id", "text", store_table=store
+        )
+        kept.collect()
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Bucketed: true" in plan, plan
+        assert "HashAggregate" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_maybe_compact_rebuilds_on_fragmentation(spark, store):
+    """Many small appends → file count trips even with zero
+    duplicates; the rebuild shrinks the file pile to one per
+    non-empty bucket without changing rows."""
+    from petk_spark.operators.dedup import maybe_compact_seen_store
+
+    build_seen_store(
+        _docs(spark, [(0, "seed doc")]), "id", "text", store,
+        n_buckets=4,
+    )
+    for day in range(1, 6):
+        append_seen(
+            _docs(spark, [(day * 10 + j, f"d{day} doc {j}")
+                          for j in range(3)]),
+            "id", "text", store, n_buckets=4,
+        )
+    rows_before = sorted(
+        r["fingerprint"] for r in spark.table(store).collect()
+    )
+    res = maybe_compact_seen_store(
+        spark, store, n_buckets=4,
+        dup_frac_threshold=0.5, max_files_per_bucket=1,
+    )
+    assert res["action"] == "rebuilt"
+    assert res["n_files"] > 4          # the pre-rebuild pile
+    rows_after = sorted(
+        r["fingerprint"] for r in spark.table(store).collect()
+    )
+    assert rows_after == rows_before
+    res2 = maybe_compact_seen_store(
+        spark, store, n_buckets=4,
+        dup_frac_threshold=0.5, max_files_per_bucket=1,
+    )
+    assert res2["action"] == "none"    # compaction converged
+    assert res2["n_files"] <= 4
