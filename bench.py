@@ -370,6 +370,32 @@ def build_registry(spark: SparkSession, sf_dir: str):
     return registry, warm_state
 
 
+def control_once(spark: SparkSession, cpus: int) -> float:
+    """One run of the frozen r8 control: 150M xxhash64 rows per
+    configured core — pure-CPU, sf-independent, load-proportional.
+    Module-level since round 15 so tools/ab_probe.py can anchor
+    family-level probes to the SAME instrument the record gates on
+    (SCALE.md R15 §1)."""
+    from pyspark.sql import functions as _CF
+
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 150_000_000 * cpus, 1, cpus * 2)
+        .agg(_CF.avg(_CF.xxhash64(_CF.col("id")).cast("double")))
+        .collect()
+    )
+    return time.perf_counter() - t0
+
+
+def control_point(spark: SparkSession, cpus: int) -> float:
+    """One recorded control point = MIN of 3 back-to-back runs: min is
+    robust to one-off scheduler/GC spikes but cannot hide SUSTAINED
+    host load, which is exactly what the drift gate must detect (a
+    transient spike is not evidence the whole run is inadmissible; a
+    loaded host shifts every sample)."""
+    return min(control_once(spark, cpus) for _ in range(3))
+
+
 def _resolve_out_path(argv: list, env) -> str:
     """Result-file path policy (round 15, r14 verdict #7): the default
     is NON-destructive — smokes land in ``bench_result.latest.json``
@@ -409,26 +435,10 @@ def main() -> None:
     # instrument — 150M xxhash64 rows PER CONFIGURED CORE, so the
     # point duration (~0.5 s) and its sensitivity are comparable
     # across cpu settings and across rounds.
-    from pyspark.sql import functions as _CF
-
     control_rows = 150_000_000 * int(cpus)
 
-    def _control_once() -> float:
-        t0 = time.perf_counter()
-        (
-            spark.range(0, control_rows, 1, int(cpus) * 2)
-            .agg(_CF.avg(_CF.xxhash64(_CF.col("id")).cast("double")))
-            .collect()
-        )
-        return time.perf_counter() - t0
-
     def _control_point() -> float:
-        # each recorded point is the MIN of 3 back-to-back runs: min is
-        # robust to one-off scheduler/GC spikes but cannot hide
-        # SUSTAINED host load, which is exactly what the drift field
-        # must detect (a transient spike is not evidence the whole run
-        # is inadmissible; a loaded host shifts every sample)
-        return min(_control_once() for _ in range(3))
+        return control_point(spark, int(cpus))
 
     # every 5 entries (R11 §1): ≥14 points per full run, so the
     # single-stall trim below removes ≤7% of the evidence

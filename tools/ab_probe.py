@@ -9,9 +9,15 @@ times match r11, the regression is session-state (run ordering /
 cache pressure), not plan.
 
 Usage: python tools/ab_probe.py q1 q2 ... [--runs=N] [--prefix=a,b,c]
+[--control]
 --prefix runs the named queries ONCE each, in order, with the bench
 settle step, BEFORE timing the victims — reproduces the full-run
 context so the debt source can be bisected.
+--control (round 15, SCALE.md R15 §1) interleaves the frozen bench
+control instrument (bench.control_point) before, between, and after
+the victims, and reports each victim's median/control-median RATIO —
+the unit family-level cross-round comparisons are adjudicated in,
+since raw seconds confound plan changes with host-day drift.
 """
 from __future__ import annotations
 
@@ -25,6 +31,7 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     runs = 5
     prefix: list[str] = []
+    with_control = "--control" in sys.argv[1:]
     for a in sys.argv[1:]:
         if a.startswith("--runs="):
             runs = int(a.split("=", 1)[1])
@@ -58,6 +65,16 @@ def main() -> None:
         spark.catalog.clearCache()
         _settle()
 
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    control_samples: list[float] = []
+
+    def _control() -> None:
+        if with_control:
+            control_samples.append(round(bench.control_point(spark, cpus), 4))
+
+    if with_control:
+        bench.control_once(spark, cpus)      # untimed warm
+    _control()
     out: dict[str, list[float]] = {}
     for name in args:
         fn = registry[name]
@@ -72,12 +89,22 @@ def main() -> None:
             spark.catalog.clearCache()
         _settle()
         out[name] = ts
-    print(json.dumps({
+        _control()
+    result = {
         "prefix_times": pre_times,
         "samples": out,
         "medians": {k: statistics.median(v) for k, v in out.items()},
         "mins": {k: min(v) for k, v in out.items()},
-    }))
+    }
+    if with_control:
+        cmed = statistics.median(control_samples)
+        result["control_samples"] = control_samples
+        result["control_median"] = round(cmed, 4)
+        result["ratios_vs_control"] = {
+            k: round(statistics.median(v) / cmed, 3)
+            for k, v in out.items()
+        }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
