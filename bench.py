@@ -456,7 +456,7 @@ def main() -> None:
     # decline over the first points (measured at sf0.001), which would
     # read as false "drift"; five untimed runs reach steady state
     for _ in range(5):
-        _control_once()
+        control_once(spark, int(cpus))
     control_samples.append(round(_control_point(), 4))
     # Adjudication knob (round 13): run the EXACT bench protocol
     # (ordering, runs, control points, settle) but stop after the
