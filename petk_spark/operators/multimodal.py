@@ -685,6 +685,132 @@ def mp3_features_frame(
 
 
 # ---------------------------------------------------------------------------
+# ADTS AAC metadata — round 16 (r15 verdict #6): the last common
+# crawl-audio shape with no route (bare .aac streams and the payload
+# of many MP4-less broadcast rips). Same frame-header-walk policy as
+# MP3: exact frame_length stepping, stop-at-last-whole-frame.
+# ---------------------------------------------------------------------------
+
+#: ISO/IEC 14496-3 sampling_frequency_index table (13 entries; 13–15
+#: are reserved/escape and reject).
+_ADTS_RATES = (
+    96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+    16000, 12000, 11025, 8000, 7350,
+)
+
+
+def synth_adts(
+    n_frames: int,
+    sample_rate: int,
+    n_channels: int,
+    payload_bytes: int = 13,
+) -> bytes:
+    """Bare ADTS AAC stream: ``n_frames`` genuine 7-byte headers
+    (MPEG-4, AAC-LC profile, protection_absent=1, buffer fullness
+    0x7FF) each followed by ``payload_bytes`` of stub raw-data-block
+    bytes — every field the parser reads is an argument, so the
+    registry oracle replays them closed-form."""
+    sridx = _ADTS_RATES.index(sample_rate)
+    flen = 7 + payload_bytes
+    out = bytearray()
+    for i in range(n_frames):
+        h = bytearray(7)
+        h[0] = 0xFF
+        h[1] = 0xF1                # MPEG-4, layer 00, protection_absent
+        h[2] = (1 << 6) | (sridx << 2) | ((n_channels >> 2) & 1)
+        h[3] = ((n_channels & 3) << 6) | ((flen >> 11) & 0x3)
+        h[4] = (flen >> 3) & 0xFF
+        h[5] = ((flen & 0x7) << 5) | 0x1F
+        h[6] = 0xFC
+        out += h + bytes((i + j) & 0xFF for j in range(payload_bytes))
+    return bytes(out)
+
+
+def parse_adts_metadata(payload: bytes | None) -> dict | None:
+    """ADTS frame-header walk (the MP3 discipline): consecutive
+    syncword/layer-00 headers stepped by their 13-bit frame_length,
+    stop-at-last-whole-frame so truncation shortens the duration
+    instead of failing. 1024 samples per AAC frame. Returns
+    ``{sample_rate, n_channels, n_frames, duration_ms}`` or None when
+    no whole first frame exists."""
+    if payload is None or len(payload) < 7:
+        return None
+    p = bytes(payload)
+    pos = 0
+    first = None
+    n_frames = 0
+    while pos + 7 <= len(p):
+        if p[pos] != 0xFF or (p[pos + 1] & 0xF6) != 0xF0:
+            break
+        sridx = (p[pos + 2] >> 2) & 0xF
+        if sridx >= len(_ADTS_RATES):
+            break
+        ch = ((p[pos + 2] & 1) << 2) | ((p[pos + 3] >> 6) & 0x3)
+        flen = (
+            ((p[pos + 3] & 0x3) << 11) | (p[pos + 4] << 3)
+            | ((p[pos + 5] >> 5) & 0x7)
+        )
+        if flen < 7 or pos + flen > len(p):
+            break                              # stop at last whole frame
+        if first is None:
+            first = (_ADTS_RATES[sridx], ch if ch else None)
+        n_frames += 1
+        pos += flen
+    if first is None:
+        return None
+    rate, ch = first
+    return {
+        "sample_rate": rate,
+        "n_channels": ch,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1024 * 1000 // rate,
+    }
+
+
+ADTS_FEATURES_SCHEMA = (
+    "id long, valid boolean, sample_rate int, n_channels int, "
+    "n_frames int, duration_ms long"
+)
+
+
+def adts_features_frame(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """Arrow-batched ADTS AAC metadata extraction — the MP3 sibling:
+    row-local, zero shuffles, corrupt payloads → valid=false rows."""
+    id_name, payload_name = id_col, payload_col
+
+    def one(payload):
+        meta = parse_adts_metadata(
+            None if payload is None else bytes(payload)
+        )
+        if meta is None:
+            return (False, None, None, None, None)
+        return (
+            True, meta["sample_rate"], meta["n_channels"],
+            meta["n_frames"], meta["duration_ms"],
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (rid, *one(payload))
+                for rid, payload in zip(pdf[id_name], pdf[payload_name])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "valid", "sample_rate", "n_channels",
+                    "n_frames", "duration_ms",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=ADTS_FEATURES_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
 # FLAC STREAMINFO metadata — round 13 (with MP3 this closes the audio
 # container surface: WAV lossless-raw, MP3 lossy, FLAC lossless-coded).
 # Same metadata-not-full-decode policy; the subframe/residual decode is
@@ -1788,10 +1914,13 @@ def frame_sample(
 
 def sniff_mime(payload: bytes | None) -> str | None:
     """Classify a binary payload by magic bytes → short format token
-    (``wav png jpeg gif webp mp3 flac avi mp4 ogg`` — the repo's
-    decoder surface) or ``'unknown'``; None payload → None.
+    (``wav png jpeg gif webp mp3 flac avi mp4 ogg pdf aac`` — the
+    repo's decoder surface) or ``'unknown'``; None payload → None.
     Prefix-only by design: a truncated-but-headed file still routes to
-    its decoder, whose own corrupt contract (valid=false) applies."""
+    its decoder, whose own corrupt contract (valid=false) applies.
+    Bare frame syncs disambiguate on the layer bits: layer 00 is
+    ADTS AAC (invalid for MPEG audio), anything else MP3 — which also
+    shrinks the r15-noted 0xFF 0xEx false-positive surface."""
     if payload is None:
         return None
     p = bytes(payload)
@@ -1820,6 +1949,8 @@ def sniff_mime(payload: bytes | None) -> str | None:
         return "pdf"                       # PDF (round 15, F64)
     if p[:3] == b"ID3":
         return "mp3"
+    if len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xF6) == 0xF0:
+        return "aac"                       # bare ADTS sync (round 16)
     if len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0:
         return "mp3"                       # bare MPEG frame sync
     return "unknown"
@@ -1878,6 +2009,13 @@ def _auto_one(payload) -> tuple:
                     None, None, None, None)
         if mime == "mp3":
             m = parse_mp3_metadata(p)
+            if m is None:
+                return (mime, False) + nine
+            return (mime, True, m["sample_rate"], m["n_channels"],
+                    None, m["n_frames"], m["duration_ms"],
+                    None, None, None, None)
+        if mime == "aac":
+            m = parse_adts_metadata(p)
             if m is None:
                 return (mime, False) + nine
             return (mime, True, m["sample_rate"], m["n_channels"],

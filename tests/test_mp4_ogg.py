@@ -29,8 +29,41 @@ def test_mp4_closed_form_fields_v0():
     assert m == {
         "brand": "isom", "timescale": 600, "duration_ms": 5000,
         "n_tracks": 2, "width": 320, "height": 240,
-        "mvhd_version": 0,
+        "mvhd_version": 0, "codec": None,
     }
+
+
+def test_mp4_stsd_codec_tags():
+    # round 16 (r15 verdict #6): the codec is the first VIDEO trak's
+    # stsd tag; audio-only files fall back to the first trak's tag
+    p = synth_mp4(b"isom", 600, 3000, [None, (320, 240)],
+                  track_codecs=[b"mp4a", b"avc1"])
+    assert parse_mp4_metadata(p)["codec"] == "avc1"
+    p = synth_mp4(b"M4A ", 48000, 96000, [None, None],
+                  track_codecs=[b"mp4a", b"mp4a"])
+    assert parse_mp4_metadata(p)["codec"] == "mp4a"
+    p = synth_mp4(b"mp42", 90000, 5000, [(64, 48)], version=1,
+                  moov_largesize=True, track_codecs=[b"hev1"])
+    assert parse_mp4_metadata(p)["codec"] == "hev1"
+    # traks without stsd keep codec None (pre-r16 shape)
+    p = synth_mp4(b"isom", 600, 3000, [(64, 48)])
+    assert parse_mp4_metadata(p)["codec"] is None
+
+
+def test_mp4_empty_tkhd_at_eof_does_not_raise():
+    # r15 ADVICE: an empty tkhd body whose boundary is end-of-file
+    # used to IndexError on the version byte read
+    import struct
+
+    from petk_spark.operators.mp4 import _box, _mvhd
+
+    moov = _box(b"moov", _mvhd(0, 600, 60)
+                + _box(b"trak", _box(b"tkhd", b"")))
+    crafted = _box(
+        b"ftyp", b"isom" + struct.pack(">I", 0) + b"isomisom"
+    ) + moov
+    m = parse_mp4_metadata(crafted)
+    assert m is not None and m["n_tracks"] == 1 and m["width"] is None
 
 
 def test_mp4_v1_layout_and_free_box():
@@ -136,6 +169,9 @@ def test_ogg_every_prefix_truncation_never_raises():
 def test_sniff_routes_mp4_and_ogg():
     assert sniff_mime(synth_mp4(b"isom", 600, 10, [(8, 8)])) == "mp4"
     assert sniff_mime(synth_ogg("opus", 48000, 2, 480)) == "ogg"
+    from petk_spark.operators.multimodal import synth_adts
+
+    assert sniff_mime(synth_adts(3, 44100, 2)) == "aac"
     # RIFF split still intact
     assert sniff_mime(b"RIFF\x04\x00\x00\x00WAVE") == "wav"
 
@@ -162,3 +198,56 @@ def test_auto_dispatch_matches_typed_parsers():
     assert row[:2] == ("mp4", False)
     row = _auto_one(ogg[:10])
     assert row[:2] == ("ogg", False)
+
+
+# ---------------------------------------------------------------------------
+# ADTS AAC (round 16, r15 verdict #6)
+# ---------------------------------------------------------------------------
+
+
+def test_adts_closed_form_and_truncation():
+    from petk_spark.operators.multimodal import (
+        parse_adts_metadata,
+        synth_adts,
+    )
+
+    p = synth_adts(7, 32000, 2, payload_bytes=19)
+    m = parse_adts_metadata(p)
+    assert m == {
+        "sample_rate": 32000, "n_channels": 2, "n_frames": 7,
+        "duration_ms": 7 * 1024 * 1000 // 32000,
+    }
+    # stop-at-last-whole-frame: cutting mid-frame drops that frame
+    cut = p[: 3 * (7 + 19) + 10]
+    assert parse_adts_metadata(cut)["n_frames"] == 3
+    # every-prefix + mutation fuzz never raises
+    import random
+
+    rng = random.Random(11)
+    for cutn in range(len(p)):
+        parse_adts_metadata(p[:cutn])
+    for _ in range(2000):
+        mut = bytearray(p)
+        for _ in range(rng.randint(1, 3)):
+            mut[rng.randrange(len(mut))] = rng.randrange(256)
+        parse_adts_metadata(bytes(mut))
+    assert parse_adts_metadata(b"") is None
+    assert parse_adts_metadata(None) is None
+
+
+def test_adts_auto_route_and_mp3_disambiguation():
+    from petk_spark.operators.multimodal import synth_adts, synth_mp3
+
+    aac = synth_adts(5, 16000, 1)
+    row = _auto_one(aac)
+    assert row[:2] == ("aac", True)
+    assert row[2] == 16000 and row[3] == 1 and row[5] == 5
+    assert row[6] == 5 * 1024 * 1000 // 16000
+    # MP3's layer bits (non-zero) keep it out of the ADTS branch
+    mp3 = synth_mp3(n_frames=3, bitrate_kbps=96, sample_rate=44100)
+    assert sniff_mime(mp3) == "mp3"
+    assert _auto_one(mp3)[0] == "mp3"
+    # layer-00 second byte routes to aac, not mp3 (the r15-noted
+    # 0xFF 0xEx false-positive surface shrinks)
+    assert sniff_mime(b"\xff\xf1junk") == "aac"
+    assert sniff_mime(b"\xff\xe2junk") == "mp3"
