@@ -22,6 +22,7 @@ record — records already parsed are emitted, the task never fails.
 
 from __future__ import annotations
 
+import re
 import zlib
 from collections.abc import Iterator
 
@@ -169,31 +170,162 @@ def read_warc(
     return bf.mapInPandas(run, WARC_SCHEMA)
 
 
+#: cp1252's 0x80–0x9F block (the only bytes where it diverges from
+#: ISO-8859-1); 0x81/0x8D/0x8F/0x90/0x9D are undefined and pass
+#: through as their C1 code points.
+_CP1252_DEFINED = tuple(
+    c for c in range(0x80, 0xA0) if c not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+)
+_C1_CHARS = "".join(chr(c) for c in _CP1252_DEFINED)
+_CP1252_CHARS = bytes(_CP1252_DEFINED).decode("cp1252")
+
+#: charset tokens the engine-replayable decode path honors; anything
+#: else (gb2312, shift-jis, …) is declared passthrough → UTF-8/replace
+#: until a full codec table is worth its weight.
+_LATIN1_NAMES = ("iso-8859-1", "latin-1", "latin1", "iso8859-1")
+_CP1252_NAMES = ("windows-1252", "cp1252", "cp-1252", "win-1252")
+
+
+def _charset_expr(content_type_col):
+    """The declared charset token of a Content-Type column, lowered;
+    empty string when absent."""
+    return F.lower(
+        F.regexp_extract(
+            F.coalesce(content_type_col, F.lit("")),
+            r"(?i)charset=['\"]?\s*([A-Za-z0-9_\-]+)",
+            1,
+        )
+    )
+
+
+def decode_payload_expr(payload_col, content_type_col):
+    """JVM-side charset-aware text decode (round 16, r15 verdict #4):
+    honor the Content-Type ``charset=`` parameter for the codecs both
+    engines can replay — UTF-8 (default), ISO-8859-1, and cp1252
+    (ISO-8859-1 decode + a 27-char ``translate`` of the 0x80–0x9F
+    block, so the whole path stays inside whole-stage codegen — Spark's
+    built-in ``decode`` does not ship windows-1252). Unknown charsets
+    fall through to UTF-8-with-replacement, the declared passthrough."""
+    cs = _charset_expr(content_type_col)
+    latin = F.decode(payload_col, "ISO-8859-1")
+    return (
+        F.when(cs.isin(*_CP1252_NAMES),
+               F.translate(latin, _C1_CHARS, _CP1252_CHARS))
+        .when(cs.isin(*_LATIN1_NAMES), latin)
+        .otherwise(F.decode(payload_col, "UTF-8"))
+    )
+
+
 def read_wet(spark: SparkSession, path: str) -> DataFrame:
     """WET convenience view: ``conversion`` records with the payload
-    decoded as UTF-8 text — the ``documents``-shaped frame the text
-    operators consume directly."""
+    decoded to text — the ``documents``-shaped frame the text
+    operators consume directly. Common Crawl WET is UTF-8 by
+    convention, but records that DECLARE a charset in their
+    Content-Type (the r15-flagged mojibake source: cp1252/latin-1
+    bodies decoded as UTF-8 poison dedup fingerprints and LM scores)
+    are honored via :func:`decode_payload_expr`."""
     return read_warc(spark, path, record_types=("conversion",)).select(
         "file",
         "record_id",
         "target_uri",
         "warc_date",
         "content_length",
-        F.decode("payload", "UTF-8").alias("text"),
+        decode_payload_expr(F.col("payload"), F.col("content_type"))
+        .alias("text"),
     )
 
 
-def http_split(payload: bytes | None) -> tuple[str | None, bytes | None]:
-    """Split a WARC ``response`` payload into (status_line, body) —
-    the HTTP envelope is part of the record in response WARCs. Returns
-    (None, None) when the payload carries no HTTP header block."""
+def http_split_headers(
+    payload: bytes | None,
+) -> tuple[str | None, dict[str, str] | None, bytes | None]:
+    """Split a WARC ``response`` payload into (status_line, headers,
+    body) — the HTTP envelope is part of the record in response WARCs.
+    Header names are lowercased; a chunked Transfer-Encoding body is
+    de-chunked (round 16 — previously passed through unsplit, which
+    left chunk-size lines inside the text). Returns (None, None, None)
+    when the payload carries no HTTP header block."""
     if payload is None or not payload.startswith(b"HTTP/"):
-        return None, None
+        return None, None, None
     sep = payload.find(b"\r\n\r\n")
     if sep < 0:
-        return None, None
-    status = payload[: payload.find(b"\r\n")].decode("utf-8", "replace")
-    return status, payload[sep + 4 :]
+        return None, None, None
+    head = payload[:sep].decode("utf-8", "replace").split("\r\n")
+    headers: dict[str, str] = {}
+    for line in head[1:]:
+        if ":" in line:
+            k, v = line.split(":", 1)
+            headers[k.strip().lower()] = v.strip()
+    body = payload[sep + 4:]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    return head[0], headers, body
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Undo HTTP/1.1 chunked transfer coding: ``<hex-size>[;ext]\\r\\n
+    <data>\\r\\n`` … ``0\\r\\n\\r\\n``. A malformed chunk frame stops at the
+    bytes assembled so far (the stop-at-last-whole contract)."""
+    out = []
+    pos, n = 0, len(body)
+    while pos < n:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            break
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        start = eol + 2
+        if start + size > n:
+            break
+        out.append(body[start:start + size])
+        pos = start + size + 2                     # skip trailing CRLF
+    return b"".join(out)
+
+
+def http_split(payload: bytes | None) -> tuple[str | None, bytes | None]:
+    """Back-compat (status_line, body) view of
+    :func:`http_split_headers`."""
+    status, _headers, body = http_split_headers(payload)
+    return status, body
+
+
+_CHARSET_RE = re.compile(r"(?i)charset=['\"]?\s*([A-Za-z0-9_\-]+)")
+_META_CHARSET_RE = re.compile(
+    rb"(?i)<meta[^>]{0,200}?charset=['\"]?\s*([A-Za-z0-9_\-]+)"
+)
+
+
+def decode_http_body(
+    body: bytes | None, content_type: str | None
+) -> str | None:
+    """Charset-aware HTTP body decode (round 16, r15 verdict #4):
+    honor the Content-Type header's ``charset=`` parameter, fall back
+    to an html ``<meta charset=…>`` /
+    ``<meta http-equiv … content="…charset=…">`` scan of the first
+    2 KiB, default UTF-8-with-replacement. Engine-replayable codec
+    set: utf-8, ISO-8859-1/latin-1, cp1252/windows-1252 — everything
+    else is declared passthrough (UTF-8/replace), the same seam the
+    JVM path (:func:`decode_payload_expr`) declares."""
+    if body is None:
+        return None
+    token = None
+    if content_type:
+        m = _CHARSET_RE.search(content_type)
+        if m:
+            token = m.group(1).lower()
+    if token is None:
+        m = _META_CHARSET_RE.search(body[:2048])
+        if m:
+            token = m.group(1).decode("ascii", "replace").lower()
+    if token in _CP1252_NAMES:
+        return body.decode("cp1252", "replace")
+    if token in _LATIN1_NAMES:
+        return body.decode("latin-1", "replace")
+    return body.decode("utf-8", "replace")
 
 
 def warc_text_corpus(spark: SparkSession, path: str) -> DataFrame:
@@ -205,7 +337,10 @@ def warc_text_corpus(spark: SparkSession, path: str) -> DataFrame:
     operators. Map-only end-to-end (per-file parallelism, zero
     shuffles); the tag-strip chain itself is hash-pinned by the
     ``html_rt`` family on corpus_clean, the container walk by
-    ``wet_rt``."""
+    ``wet_rt``. Round 16: the body decode honors the HTTP
+    Content-Type charset (meta-tag fallback) via
+    :func:`decode_http_body`, and chunked transfer coding is undone,
+    instead of the old unconditional UTF-8/replace."""
     from petk_spark.operators.text import html_to_text
 
     resp = read_warc(spark, path, record_types=("response",))
@@ -214,11 +349,13 @@ def warc_text_corpus(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             stat, body = [], []
             for p in pdf["payload"]:
-                s, b = http_split(None if p is None else bytes(p))
-                stat.append(s)
-                body.append(
-                    b.decode("utf-8", "replace") if b is not None else None
+                s, hdrs, b = http_split_headers(
+                    None if p is None else bytes(p)
                 )
+                stat.append(s)
+                body.append(decode_http_body(
+                    b, (hdrs or {}).get("content-type")
+                ))
             out = pdf[["record_id", "target_uri", "warc_date"]].copy()
             out["status"] = stat
             out["html"] = body

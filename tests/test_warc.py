@@ -312,3 +312,118 @@ def test_warc_text_corpus_composition(spark, tmp_path):
     assert "var x" not in page["text"]
     assert rows["<urn:uuid:43>"]["status"] is None
     assert rows["<urn:uuid:43>"]["text"] is None
+
+
+# ---------------------------------------------------------------------------
+# charset-aware decode + chunked transfer coding (round 16, r15 #4)
+# ---------------------------------------------------------------------------
+
+
+def test_dechunk_and_header_split():
+    from petk_spark.sources.warc import _dechunk, http_split_headers
+
+    body = b"4\r\nWiki\r\n5\r\npedia\r\n0\r\n\r\n"
+    assert _dechunk(body) == b"Wikipedia"
+    # malformed frame stops at bytes assembled so far
+    assert _dechunk(b"4\r\nWiki\r\nZZ\r\nx") == b"Wiki"
+    assert _dechunk(b"nonsense") == b""
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html;"
+        b" charset=Windows-1252\r\nTransfer-Encoding: chunked\r\n\r\n"
+        + body
+    )
+    s, h, b = http_split_headers(payload)
+    assert s == "HTTP/1.1 200 OK"
+    assert h["content-type"] == "text/html; charset=Windows-1252"
+    assert b == b"Wikipedia"
+    assert http_split_headers(None) == (None, None, None)
+    assert http_split_headers(b"junk") == (None, None, None)
+
+
+def test_decode_http_body_charsets():
+    from petk_spark.sources.warc import decode_http_body
+
+    cp = "café €™".encode("cp1252")
+    assert decode_http_body(
+        cp, "text/html; charset=windows-1252"
+    ) == "café €™"
+    assert decode_http_body(
+        "café".encode("latin-1"), "text/plain; charset=ISO-8859-1"
+    ) == "café"
+    # header wins; meta is the fallback
+    meta = (
+        b'<html><meta charset="windows-1252"><body>'
+        + "déjà €".encode("cp1252")
+    )
+    assert decode_http_body(meta, "text/html").endswith("déjà €")
+    meta2 = (
+        b'<meta http-equiv="Content-Type" content="text/html;'
+        b' charset=iso-8859-1">' + "café".encode("latin-1")
+    )
+    assert decode_http_body(meta2, None).endswith("café")
+    # unknown charset: declared UTF-8/replace passthrough
+    assert decode_http_body(b"ok", "text/html; charset=gb2312") == "ok"
+    assert decode_http_body(None, "text/html") is None
+
+
+def test_read_wet_honors_declared_charset(spark, tmp_path):
+    from petk_spark.sources.warc import read_wet, synth_warc
+
+    recs = [
+        {
+            "warc_type": "conversion",
+            "record_id": "<urn:uuid:1>",
+            "target_uri": "http://cc.test/1",
+            "content_type": "text/plain; charset=Windows-1252",
+            "payload": "smart “quote” €".encode("cp1252"),
+        },
+        {
+            "warc_type": "conversion",
+            "record_id": "<urn:uuid:2>",
+            "target_uri": "http://cc.test/2",
+            "content_type": "text/plain; charset=ISO-8859-1",
+            "payload": "naïve ±".encode("latin-1"),
+        },
+        {
+            "warc_type": "conversion",
+            "record_id": "<urn:uuid:3>",
+            "target_uri": "http://cc.test/3",
+            "content_type": "text/plain",
+            "payload": "utf-8 né €".encode("utf-8"),
+        },
+    ]
+    d = tmp_path / "wet"
+    d.mkdir()
+    (d / "f.warc.gz").write_bytes(synth_warc(recs))
+    rows = {r["record_id"]: r["text"]
+            for r in read_wet(spark, str(d)).collect()}
+    assert rows["<urn:uuid:1>"] == "smart “quote” €"
+    assert rows["<urn:uuid:2>"] == "naïve ±"
+    assert rows["<urn:uuid:3>"] == "utf-8 né €"
+
+
+def test_warc_text_corpus_charset_and_chunked(spark, tmp_path):
+    from petk_spark.sources.warc import synth_warc, warc_text_corpus
+
+    html = "<html><body><p>déjà vu — €5</p></body></html>".encode(
+        "cp1252"
+    )
+    chunked = (
+        hex(len(html))[2:].encode() + b"\r\n" + html + b"\r\n0\r\n\r\n"
+    )
+    recs = [
+        {
+            "warc_type": "response",
+            "record_id": "<urn:uuid:9>",
+            "payload": (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html;"
+                b" charset=windows-1252\r\n"
+                b"Transfer-Encoding: chunked\r\n\r\n" + chunked
+            ),
+        },
+    ]
+    d = tmp_path / "wc"
+    d.mkdir()
+    (d / "f.warc.gz").write_bytes(synth_warc(recs))
+    row = warc_text_corpus(spark, str(d)).collect()[0]
+    assert row["text"].strip() == "déjà vu — €5"
