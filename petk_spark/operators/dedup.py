@@ -1291,12 +1291,25 @@ def append_seen(
     )
 
 
+def _table_location(spark, table: str) -> str | None:
+    """The storage location of a catalog table (DESCRIBE FORMATTED
+    walk), or None when the metastore does not report one."""
+    try:
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+            if (r["col_name"] or "").strip() == "Location":
+                return (r["data_type"] or "").strip() or None
+    except Exception:
+        return None
+    return None
+
+
 def maybe_compact_seen_store(
     spark,
     table: str,
     n_buckets: int = 128,
     dup_frac_threshold: float = 0.01,
     max_files_per_bucket: int = 16,
+    path: str | None = None,
 ) -> dict:
     """Scheduled-maintenance tick for the :func:`build_seen_store`
     lifecycle (round 15, r14 verdict #5 — the
@@ -1317,15 +1330,28 @@ def maybe_compact_seen_store(
     If either trips (``dup_frac > dup_frac_threshold`` or files >
     ``max_files_per_bucket × n_buckets``), rebuild: one bucketed
     rewrite of the distinct fingerprints into a staging table, then a
-    drop+rename swap — the store stays bucketed (``Bucketed: true`` in
-    the daily filter's plan, pinned by tests/test_seen_store.py) and
-    anti-join results are identical before and after. Otherwise the
-    tick is read-only: one count, one bucket-local distinct count, one
-    file listing. Same single-scheduler contract as
-    :func:`append_seen` — don't compact while a writer is appending.
+    rename-aside swap (round 16, r15 ADVICE): old → ``__old``,
+    staging → table, drop ``__old`` — the store is missing under its
+    name only between the two renames (metadata-only operations),
+    not for the duration of a drop+rename as in round 15. The store
+    stays bucketed (``Bucketed: true`` in the daily filter's plan,
+    pinned by tests/test_seen_store.py) and anti-join results are
+    identical before and after. Otherwise the tick is read-only: one
+    count, one bucket-local distinct count, one file listing. Same
+    single-scheduler contract as :func:`append_seen` — don't compact
+    while a writer is appending.
+
+    ``path`` (round 16): a store built with
+    ``build_seen_store(path=…)`` is EXTERNAL — pass the same root here
+    so the rebuild lands beside it (alternating ``__swap_a`` /
+    ``__swap_b`` directories) instead of silently relocating to the
+    managed warehouse. External-table semantics mean the retired
+    directory's files are NOT deleted by the swap; its location comes
+    back as ``retired_location`` for the caller's reaper.
 
     Returns ``{action, total_rows, distinct_rows, dup_frac, n_files}``
-    (counts from BEFORE the action)."""
+    (counts from BEFORE the action; plus ``retired_location`` when an
+    external store was rebuilt)."""
     store = spark.table(table)
     total = store.count()
     distinct = store.select("fingerprint").distinct().count()
@@ -1350,6 +1376,15 @@ def maybe_compact_seen_store(
     ):
         from petk_spark.sources.sinks import write_bucketed
 
+        staging_path = None
+        retired = None
+        if path is not None:
+            cur = _table_location(spark, table) or ""
+            staging_path = path + (
+                "__swap_b" if cur.rstrip("/").endswith("__swap_a")
+                else "__swap_a"
+            )
+            retired = cur or None
         staging = f"{table}__compacting"
         spark.sql(f"DROP TABLE IF EXISTS {staging}")
         write_bucketed(
@@ -1357,8 +1392,17 @@ def maybe_compact_seen_store(
             staging,
             ["fingerprint"],
             n_buckets,
+            path=staging_path,
         )
-        spark.sql(f"DROP TABLE {table}")
+        old = f"{table}__old"
+        spark.sql(f"DROP TABLE IF EXISTS {old}")
+        # rename-aside: the no-table window is only the two metadata
+        # renames; a crash between them leaves BOTH __old (complete
+        # old data) and __compacting/table recoverable by name
+        spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
         spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+        spark.sql(f"DROP TABLE {old}")
         out["action"] = "rebuilt"
+        if retired is not None:
+            out["retired_location"] = retired
     return out

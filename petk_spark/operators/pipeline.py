@@ -181,3 +181,61 @@ def corpus_clean(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def corpus_maintenance_tick(
+    spark,
+    seen_store_table: str | None = None,
+    seen_store_buckets: int = 128,
+    seen_store_path: str | None = None,
+    seen_dup_frac_threshold: float = 0.01,
+    seen_max_files_per_bucket: int = 16,
+    ivf_index_path: str | None = None,
+    ivf_score_drop_threshold: float = 0.05,
+    ivf_share_growth_threshold: float = 2.0,
+    ivf_max_generations: int | None = 64,
+    ivf_iterations: int = 2,
+) -> dict:
+    """The ONE scheduled-maintenance entry point a daily corpus job
+    calls (round 16, r15 verdict #7): run the two sibling hygiene
+    ticks —
+    :func:`~petk_spark.operators.dedup.maybe_compact_seen_store`
+    (duplicate-mass + fragmentation measurement, rename-aside bucketed
+    rebuild) over the incremental-dedup fingerprint store, and
+    :func:`~petk_spark.operators.similarity.maybe_retrain_ivf_index`
+    (per-cell health → retrain / generation-count compaction) over the
+    persistent ANN index — each only when its argument is given, each
+    read-only unless its own thresholds trip.
+
+    Returns ``{"seen_store": <tick summary or None>,
+    "ivf_index": <tick summary or None>}`` — the per-tick dicts are
+    exactly what the underlying functions return, so a scheduler can
+    log one JSON blob per day and grep for ``action != "none"``.
+    Same single-scheduler contract as the ticks themselves: run from
+    one slot, not concurrently with writers."""
+    out: dict = {"seen_store": None, "ivf_index": None}
+    if seen_store_table is not None:
+        from petk_spark.operators.dedup import maybe_compact_seen_store
+
+        out["seen_store"] = maybe_compact_seen_store(
+            spark,
+            seen_store_table,
+            n_buckets=seen_store_buckets,
+            dup_frac_threshold=seen_dup_frac_threshold,
+            max_files_per_bucket=seen_max_files_per_bucket,
+            path=seen_store_path,
+        )
+    if ivf_index_path is not None:
+        from petk_spark.operators.similarity import (
+            maybe_retrain_ivf_index,
+        )
+
+        out["ivf_index"] = maybe_retrain_ivf_index(
+            spark,
+            ivf_index_path,
+            score_drop_threshold=ivf_score_drop_threshold,
+            share_growth_threshold=ivf_share_growth_threshold,
+            max_generations=ivf_max_generations,
+            iterations=ivf_iterations,
+        )
+    return out

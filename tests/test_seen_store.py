@@ -244,3 +244,95 @@ def test_maybe_compact_rebuilds_on_fragmentation(spark, store):
     )
     assert res2["action"] == "none"    # compaction converged
     assert res2["n_files"] <= 4
+
+
+def test_compact_external_store_keeps_location_root(spark, store, tmp_path):
+    """Round 16 (r15 ADVICE): a store built with path= is EXTERNAL —
+    the rebuild must land beside it (alternating __swap dirs), not
+    silently relocate to the managed warehouse; the retired directory
+    comes back for the caller's reaper; no __old/__compacting tables
+    are left behind."""
+    from petk_spark.operators.dedup import (
+        _table_location,
+        maybe_compact_seen_store,
+    )
+
+    ext = str(tmp_path / "seen_ext")
+    build_seen_store(
+        _docs(spark, [(i, f"doc {i}") for i in range(20)]),
+        "id", "text", store, n_buckets=4, path=ext,
+    )
+    # inject duplicates so the tick trips
+    dup = fingerprint_frame(
+        _docs(spark, [(i, f"doc {i}") for i in range(8)]), "id", "text"
+    ).select("fingerprint")
+    (
+        dup.write.format("parquet").mode("append")
+        .bucketBy(4, "fingerprint").saveAsTable(store)
+    )
+    res = maybe_compact_seen_store(
+        spark, store, n_buckets=4, dup_frac_threshold=0.01, path=ext,
+    )
+    assert res["action"] == "rebuilt"
+    assert res["retired_location"].rstrip("/").endswith("seen_ext")
+    loc = _table_location(spark, store)
+    assert loc is not None and loc.rstrip("/").endswith("__swap_a")
+    assert spark.table(store).count() == 20
+    # a second trip alternates to the other swap dir
+    (
+        dup.write.format("parquet").mode("append")
+        .bucketBy(4, "fingerprint").saveAsTable(store)
+    )
+    res2 = maybe_compact_seen_store(
+        spark, store, n_buckets=4, dup_frac_threshold=0.01, path=ext,
+    )
+    assert res2["action"] == "rebuilt"
+    loc2 = _table_location(spark, store)
+    assert loc2 is not None and loc2.rstrip("/").endswith("__swap_b")
+    assert spark.table(store).count() == 20
+    # swap hygiene: no staging or aside tables remain
+    names = {t.name for t in spark.catalog.listTables()}
+    assert f"{store}__compacting".split(".")[-1] not in names
+    assert f"{store}__old".split(".")[-1] not in names
+
+
+def test_corpus_maintenance_tick_runs_both_siblings(spark, store, tmp_path):
+    """Round 16 (r15 verdict #7): the one-call daily entry point —
+    seen-store tick + IVF health/retrain tick, each optional, each
+    summary surfaced under its own key."""
+    import numpy as np
+
+    from petk_spark.operators.pipeline import corpus_maintenance_tick
+    from petk_spark.operators.similarity import build_ivf_index
+
+    # seen-store only: read-only pass (nothing trips)
+    build_seen_store(
+        _docs(spark, [(i, f"doc {i}") for i in range(10)]),
+        "id", "text", store, n_buckets=4,
+    )
+    out = corpus_maintenance_tick(
+        spark, seen_store_table=store, seen_store_buckets=4,
+        seen_dup_frac_threshold=0.5, seen_max_files_per_bucket=10_000,
+    )
+    assert out["seen_store"]["action"] == "none"
+    assert out["ivf_index"] is None
+
+    # both siblings: a healthy small IVF index stays read-only too
+    rng = np.random.default_rng(7)
+    vecs = [
+        (int(i), [float(x) for x in rng.normal(size=8)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(vecs, "id long, vec array<double>")
+    idx = str(tmp_path / "ivf_idx")
+    build_ivf_index(emb, idx, id_col="id", vec_col="vec", n_centroids=4,
+                    iterations=2)
+    out = corpus_maintenance_tick(
+        spark,
+        seen_store_table=store, seen_store_buckets=4,
+        seen_dup_frac_threshold=0.5, seen_max_files_per_bucket=10_000,
+        ivf_index_path=idx,
+    )
+    assert out["seen_store"]["action"] == "none"
+    assert out["ivf_index"]["action"] in ("none", "compacted")
+    assert out["ivf_index"]["generations"] >= 1
