@@ -519,7 +519,13 @@ def _obj_at(p: bytes, off: int) -> Optional[bytes]:
     )
     sm = re.search(rb"stream\r?\n", p[body_at:win_end])
     if sm is not None:
-        ln = _dict_int(p[body_at:body_at + sm.start()], "Length")
+        head = p[body_at:body_at + sm.start()]
+        # an INDIRECT /Length (`12 0 R`) must not be read as a byte
+        # count — fall back to the plain endobj scan (the documented
+        # indirect-length seam)
+        ln = None
+        if re.search(rb"/Length\s+\d+\s+\d+\s+R", head) is None:
+            ln = _dict_int(head, "Length")
         if ln is not None and ln <= len(p):
             end = p.find(b"endobj", body_at + sm.end() + ln)
             if end >= 0:

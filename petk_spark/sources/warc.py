@@ -258,7 +258,27 @@ def http_split_headers(
     body = payload[sep + 4:]
     if "chunked" in headers.get("transfer-encoding", "").lower():
         body = _dechunk(body)
+    enc = headers.get("content-encoding", "").lower()
+    if "gzip" in enc or "deflate" in enc:
+        body = _decompress_body(body)
     return head[0], headers, body
+
+
+def _decompress_body(body: bytes) -> bytes:
+    """Undo a gzip/deflate Content-Encoding (crawl WARCs store the
+    wire bytes verbatim). gzip via the member-per-record inflater;
+    zlib-wrapped then raw deflate otherwise. A body that does not
+    decompress is returned AS-IS — degrading to the raw bytes beats
+    dropping the document (the corrupt-input contract)."""
+    if body[:2] == b"\x1f\x8b":
+        out = gunzip_members(body)
+        return out if out else body
+    for wbits in (15, -15):
+        try:
+            return zlib.decompress(body, wbits)
+        except zlib.error:
+            continue
+    return body
 
 
 def _dechunk(body: bytes) -> bytes:

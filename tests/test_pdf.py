@@ -206,3 +206,21 @@ def test_read_pdf_source(spark, tmp_path):
     )
     assert all(r["valid"] for r in got)
     assert len({r["doc_id"] for r in got}) == 4
+
+
+def test_indirect_length_falls_back_to_plain_scan():
+    # `/Length 9 0 R` must not be read as a 9-byte count — the
+    # stream-aware endobj scan must detect the indirect form and use
+    # the plain scan (the documented indirect-length seam)
+    import re
+
+    text = "indirect len " * 120          # 4-digit /Length
+    p = synth_pdf([text], flate=False)
+    # rewrite the content stream's direct /Length to an indirect ref
+    # of the same character width so xref offsets stay valid
+    m = re.search(rb"/Length (\d{4}) ", p)
+    assert m is not None
+    p2 = p[:m.start(1)] + b"9 0 R" + p[m.start(1) + 5:]
+    assert len(p2) == len(p)
+    assert re.search(rb"/Length\s+\d+\s+\d+\s+R", p2) is not None
+    assert extract_pdf_text(p2) == text

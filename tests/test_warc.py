@@ -427,3 +427,42 @@ def test_warc_text_corpus_charset_and_chunked(spark, tmp_path):
     (d / "f.warc.gz").write_bytes(synth_warc(recs))
     row = warc_text_corpus(spark, str(d)).collect()[0]
     assert row["text"].strip() == "déjà vu — €5"
+
+
+def test_content_encoding_gzip_and_deflate():
+    import zlib
+
+    from petk_spark.sources.warc import http_split_headers
+
+    html = "gzip body déjà".encode("utf-8")
+    gz = zlib.compress(html, 6, wbits=31)
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + gz
+    )
+    _s, _h, b = http_split_headers(payload)
+    assert b == html
+    # zlib-wrapped deflate
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+        + zlib.compress(html)
+    )
+    assert http_split_headers(payload)[2] == html
+    # raw deflate (the historical IIS shape)
+    raw = zlib.compressobj(wbits=-15)
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+        + raw.compress(html) + raw.flush()
+    )
+    assert http_split_headers(payload)[2] == html
+    # corrupt → raw bytes kept, never a raise
+    payload = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnotgz"
+    assert http_split_headers(payload)[2] == b"notgz"
+    # chunked + gzip compose (chunk framing first, then inflate)
+    chunks = (
+        hex(len(gz))[2:].encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n"
+    )
+    payload = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + chunks
+    )
+    assert http_split_headers(payload)[2] == html
