@@ -94,6 +94,7 @@ def synth_pdf(
     flate: bool = True,
     tj_array_first_page: bool = False,
     hex_first_page: bool = False,
+    utf16_first_page: bool = False,
     xref_stream: bool = False,
     objstm: bool = False,
     predictor: int = 1,
@@ -106,7 +107,11 @@ def synth_pdf(
     ``TJ`` array (with kerning numbers) instead of one ``Tj``;
     ``hex_first_page`` shows the first page's text (or, combined with
     ``tj_array_first_page``, the second half of its TJ array) as a
-    ``<hex>`` string so both string syntaxes are exercised.
+    ``<hex>`` string so both string syntaxes are exercised;
+    ``utf16_first_page`` shows the first page's text as a
+    BOM-prefixed UTF-16BE hex string (the CID-font shape for
+    non-ASCII text — takes precedence over the other first-page
+    modes and permits non-latin-1 characters on that page).
 
     Round 16 layouts (PDF 1.5+): ``xref_stream=True`` replaces the
     classic table with a ``/Type /XRef`` cross-reference stream
@@ -138,7 +143,12 @@ def synth_pdf(
                 f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>"
             ).encode()
         )
-        if i == 0 and tj_array_first_page and len(text) >= 2:
+        if i == 0 and utf16_first_page:
+            # BOM-prefixed UTF-16BE hex string — the CID-font shape
+            # for non-ASCII text (PDF 32000-1 §7.9.2.2)
+            enc = b"\xfe\xff" + text.encode("utf-16-be")
+            shown = f"<{enc.hex()}> Tj"
+        elif i == 0 and tj_array_first_page and len(text) >= 2:
             mid = len(text) // 2
             second = (
                 f"<{text[mid:].encode('latin-1').hex()}>"
@@ -690,6 +700,17 @@ def _parse_hex_string(content: bytes, i: int) -> tuple[bytes, int]:
 _SHOW_OP_RE = re.compile(rb"\s*(Tj|')")
 
 
+def _text_decode(raw: bytes) -> str:
+    """PDF text-string decode (PDF 32000-1 §7.9.2.2): a UTF-16BE BOM
+    (``FE FF``) selects UTF-16BE — the form CID-font PDFs emit for
+    non-ASCII text — otherwise bytes read as PDFDocEncoded/latin-1
+    (the fixture tier and the bulk of crawl text). Ill-formed UTF-16
+    decodes with replacement, never a task failure."""
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", "replace")
+    return raw.decode("latin-1")
+
+
 def _page_text(content: bytes) -> str:
     """Text-showing walk (linear state machine): ``(s) Tj`` and
     ``(s) '`` append s — and since round 16 the hex-string forms
@@ -708,9 +729,9 @@ def _page_text(content: bytes) -> str:
         if c == b"(":
             raw, end = _parse_string(content, i)
             if in_array:
-                pending.append(raw.decode("latin-1"))
+                pending.append(_text_decode(raw))
             elif _SHOW_OP_RE.match(content, end):
-                parts.append(raw.decode("latin-1"))
+                parts.append(_text_decode(raw))
             i = end
         elif c == b"<":
             if content[i + 1:i + 2] == b"<":
@@ -718,9 +739,9 @@ def _page_text(content: bytes) -> str:
                 continue
             raw, end = _parse_hex_string(content, i)
             if in_array:
-                pending.append(raw.decode("latin-1"))
+                pending.append(_text_decode(raw))
             elif _SHOW_OP_RE.match(content, end):
-                parts.append(raw.decode("latin-1"))
+                parts.append(_text_decode(raw))
             i = end
         elif c == b"[":
             in_array = True

@@ -671,3 +671,101 @@ def compact_store(spark, store_path: str, keep_recent: int = 0) -> int:
         return len(fold)
     finally:
         swap.release_lock(spark, store_path, lock_tok)
+
+
+# ---------------------------------------------------------------------------
+# Streaming → seen-store ingest (round 16: the crawl-ingest loop, live)
+# ---------------------------------------------------------------------------
+
+def _dir_committed(spark, path: str) -> bool:
+    """True when a parquet directory carries its _SUCCESS marker —
+    the committed-output test the exactly-once recipes key on."""
+    from petk_spark.sources.swap import _fs
+
+    fs, hadoop_path = _fs(spark, path)
+    return bool(fs.exists(hadoop_path(f"{path}/_SUCCESS")))
+
+
+def streaming_seen_store_ingest(
+    sdf: DataFrame,
+    id_col: str,
+    text_col: str,
+    store_table: str,
+    out_path: str,
+    n_buckets: int = 128,
+    compact_every: int | None = None,
+    compact_kwargs: dict | None = None,
+):
+    """The incremental-dedup crawl-ingest loop (F45), LIVE: each
+    micro-batch is (1) deduped within the batch (normalized-text
+    fingerprint, keep-first by ``id_col``), (2) anti-joined against
+    the bucketed seen store (``dedup.filter_previously_seen`` store
+    tier — co-located bucket scan, no store-side shuffle), (3) the
+    surviving documents land under ``out_path/batch_id=<id>``, and
+    (4) their fingerprints are appended to the store
+    (``dedup.append_seen`` — anti-join keeps the uniqueness
+    invariant). Optionally every ``compact_every``-th batch runs the
+    ``maybe_compact_seen_store`` hygiene tick AFTER its own append —
+    foreachBatch is the store's single writer, which is exactly the
+    tick's documented single-scheduler contract.
+
+    Exactly-once under foreachBatch's at-least-once retries — the
+    ordering is load-bearing:
+
+    * the docs directory is written FIRST and only when its
+      ``_SUCCESS`` marker is absent. A retry after the docs committed
+      but before the append must NOT rewrite the directory: the
+      store-filter would now (or after a partial append) return a
+      subset, and a blind ``overwrite`` would replace good output
+      with fewer rows.
+    * ``append_seen`` runs unconditionally AFTER: it is idempotent by
+      construction (its anti-join drops fingerprints already in the
+      store), so the crash-between-write-and-append retry completes
+      the append, and the crash-after-everything retry appends an
+      empty set.
+
+    Returns the ``DataStreamWriter`` (caller sets checkpoint/trigger
+    and calls ``start()``)."""
+    from pyspark.sql import Window
+
+    from petk_spark.operators.dedup import (
+        append_seen,
+        filter_previously_seen,
+        maybe_compact_seen_store,
+    )
+    from petk_spark.operators.text import fingerprint
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy("__bfp").orderBy(id_col)
+        batch_unique = (
+            batch_df.withColumn("__bfp", fingerprint(F.col(text_col)))
+            .withColumn("__brn", F.row_number().over(w))
+            .filter(F.col("__brn") == 1)
+            .drop("__bfp", "__brn")
+        )
+        fresh = filter_previously_seen(
+            batch_unique, id_col, text_col, store_table=store_table
+        )
+        target = f"{out_path}/batch_id={batch_id}"
+        if not _dir_committed(spark, target):
+            fresh.write.mode("overwrite").parquet(target)
+        # append from the COMMITTED directory, not the in-memory
+        # frame: on a retry after a partial append the recomputed
+        # filter would under-count, and the landed docs are the set
+        # whose fingerprints must be registered
+        append_seen(
+            spark.read.parquet(target), id_col, text_col,
+            store_table, n_buckets=n_buckets,
+        )
+        if (
+            compact_every
+            and batch_id > 0
+            and batch_id % compact_every == 0
+        ):
+            maybe_compact_seen_store(
+                spark, store_table, n_buckets=n_buckets,
+                **(compact_kwargs or {}),
+            )
+
+    return sdf.writeStream.foreachBatch(write_batch)

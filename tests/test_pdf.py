@@ -224,3 +224,22 @@ def test_indirect_length_falls_back_to_plain_scan():
     assert len(p2) == len(p)
     assert re.search(rb"/Length\s+\d+\s+\d+\s+R", p2) is not None
     assert extract_pdf_text(p2) == text
+
+
+def test_utf16be_text_strings():
+    # BOM-prefixed UTF-16BE strings (PDF 32000-1 7.9.2.2) — the
+    # CID-font shape for non-ASCII text; plain strings stay latin-1
+    from petk_spark.operators.pdf import _page_text
+
+    texts = ["héllo — 世界 €", "plain ascii"]
+    p = synth_pdf(texts, utf16_first_page=True, xref_stream=True)
+    assert extract_pdf_text(p) == "héllo — 世界 €\nplain ascii"
+    # literal string carrying a BOM decodes as UTF-16BE too
+    raw = b"(" + b"\xfe\xff" + "AB".encode("utf-16-be") + b") Tj"
+    assert _page_text(raw) == "AB"
+    # a lone 0xFE byte is NOT a BOM: latin-1 passthrough
+    assert _page_text(b"(\xfeX) Tj") == "þX"
+    # ill-formed UTF-16 (odd byte count) decodes with replacement,
+    # never raises
+    bad = b"(" + b"\xfe\xff\x00A\x42" + b") Tj"
+    assert "A" in _page_text(bad)

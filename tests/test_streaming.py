@@ -1516,3 +1516,81 @@ def test_streaming_ivf_maintenance_tick_retrain_reloads_centroids(
     # checking the health baseline exists and the index reads clean)
     assert load_ivf_centroids(spark, idx), "centroids readable post-tick"
     _ = cents_before  # snapshot retained for debugging on failure
+
+
+def test_streaming_seen_store_ingest(spark, tmp_path):
+    """Round 16: the live crawl-ingest loop — within-batch keep-first,
+    store anti-join, landed docs under batch_id dirs, fingerprints
+    appended; a doc seen in an earlier batch never lands twice, and
+    re-running a committed batch body (the foreachBatch retry shape)
+    changes nothing."""
+    from petk_spark.operators.dedup import build_seen_store
+    from petk_spark.streaming.profile import (
+        _dir_committed,
+        streaming_seen_store_ingest,
+    )
+
+    import shutil
+
+    store = "seen_ingest_t16"
+    spark.sql(f"DROP TABLE IF EXISTS {store}")
+    shutil.rmtree(f"spark-warehouse/{store}", ignore_errors=True)
+    seed = spark.createDataFrame(
+        [(0, "seed doc zero")], "id long, text string"
+    )
+    build_seen_store(seed, "id", "text", store, n_buckets=4)
+
+    schema = "id long, text string"
+    src = tmp_path / "src"
+    src.mkdir()
+    out = tmp_path / "out"
+    # batch content: one within-batch dup (ids 2/3 same text), one
+    # store dup (id 4 repeats the seed), fresh docs 1/5
+    spark.createDataFrame(
+        [(1, "fresh one"), (2, "twin text"), (3, "twin  TEXT"),
+         (4, "seed doc zero"), (5, "fresh five")], schema
+    ).coalesce(1).write.parquet(str(src / "f0"))
+
+    sdf = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (
+        streaming_seen_store_ingest(
+            sdf, "id", "text", store, str(out), n_buckets=4
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    landed = spark.read.parquet(str(out)).collect()
+    ids = sorted(r["id"] for r in landed)
+    assert ids == [1, 2, 5]          # keep-first dropped 3, store dropped 4
+    n_store = spark.table(store).count()
+    assert n_store == 4              # seed + 3 new fingerprints
+
+    # retry shape: re-running the committed batch body is a no-op
+    batch0 = str(out / "batch_id=0")
+    assert _dir_committed(spark, batch0)
+    from petk_spark.operators.dedup import append_seen
+
+    append_seen(spark.read.parquet(batch0), "id", "text", store,
+                n_buckets=4)
+    assert spark.table(store).count() == n_store
+
+    # a second micro-batch re-offering an already-landed text lands
+    # nothing for it but keeps genuinely new docs
+    spark.createDataFrame(
+        [(6, "twin text"), (7, "brand new")], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    q = (
+        streaming_seen_store_ingest(
+            sdf, "id", "text", store, str(out), n_buckets=4
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r["id"] for r in spark.read.parquet(str(out)).collect())
+    assert ids == [1, 2, 5, 7]
+    spark.sql(f"DROP TABLE IF EXISTS {store}")
