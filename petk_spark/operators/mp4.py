@@ -99,14 +99,27 @@ def _tkhd(version: int, track_id: int, duration: int,
     return _box(b"tkhd", body)
 
 
-def _stsd(codec: bytes) -> bytes:
-    """A minimal ``mdia → minf → stbl → stsd`` chain with ONE sample
-    entry of the given 4-char codec tag (6 reserved bytes + data
-    reference index — the common SampleEntry head all formats share;
+def _mdia(codec: Optional[bytes], lang: Optional[str] = None) -> bytes:
+    """A minimal ``mdia`` box: an ``mdhd`` (when ``lang`` is given —
+    the packed 15-bit ISO-639-2/T code, 3 × 5-bit letters biased by
+    0x60) and a ``minf → stbl → stsd`` chain with ONE sample entry of
+    the given 4-char codec tag (6 reserved bytes + data reference
+    index — the common SampleEntry head all formats share;
     format-specific tails are demuxer scope)."""
-    entry = _box(bytes(codec), b"\x00" * 6 + struct.pack(">H", 1))
-    stsd = _box(b"stsd", _full(0) + struct.pack(">I", 1) + entry)
-    return _box(b"mdia", _box(b"minf", _box(b"stbl", stsd)))
+    inner = b""
+    if lang is not None:
+        code = 0
+        for ch in lang:
+            code = (code << 5) | (ord(ch) - 0x60)
+        inner += _box(
+            b"mdhd",
+            _full(0) + struct.pack(">IIIIHH", 0, 0, 1000, 0, code, 0),
+        )
+    if codec is not None:
+        entry = _box(bytes(codec), b"\x00" * 6 + struct.pack(">H", 1))
+        stsd = _box(b"stsd", _full(0) + struct.pack(">I", 1) + entry)
+        inner += _box(b"minf", _box(b"stbl", stsd))
+    return _box(b"mdia", inner)
 
 
 def synth_mp4(
@@ -118,6 +131,7 @@ def synth_mp4(
     with_free: bool = False,
     moov_largesize: bool = False,
     track_codecs: Optional[Sequence[Optional[bytes]]] = None,
+    track_langs: Optional[Sequence[Optional[str]]] = None,
 ) -> bytes:
     """Minimal valid ISO-BMFF file: ``ftyp`` + optional ``free`` (the
     walker must step over it) + ``moov`` (mvhd + one trak/tkhd per
@@ -126,15 +140,18 @@ def synth_mp4(
     ``version`` selects the 32-/64-bit mvhd+tkhd layouts;
     ``moov_largesize`` emits moov with the size==1 64-bit header;
     ``track_codecs`` (round 16) adds a real stsd sample entry with the
-    given 4-char tag under each non-None trak."""
+    given 4-char tag under each non-None trak; ``track_langs`` an
+    mdhd with the packed ISO-639-2/T language code."""
     ftyp = _box(b"ftyp", bytes(brand) + struct.pack(">I", 0)
                 + bytes(brand) + b"isom")
     traks = b""
     for i, dims in enumerate(track_dims):
         w, h = dims if dims is not None else (0, 0)
         body = _tkhd(version, i + 1, duration_units, w, h)
-        if track_codecs is not None and track_codecs[i] is not None:
-            body += _stsd(track_codecs[i])
+        codec = track_codecs[i] if track_codecs is not None else None
+        lang = track_langs[i] if track_langs is not None else None
+        if codec is not None or lang is not None:
+            body += _mdia(codec, lang)
         traks += _box(b"trak", body)
     moov = _box(
         b"moov",
@@ -174,6 +191,30 @@ def _walk_boxes(buf: bytes, start: int, end: int):
             return                               # truncated / malformed
         yield btype, pos + hdr, pos + size
         pos += size
+
+
+def _mdhd_language(p: bytes, bs: int, be: int) -> Optional[str]:
+    """The ISO-639-2/T language of an ``mdia`` box body's mdhd, or
+    None: the packed 15-bit code (3 × 5-bit letters biased 0x60) at
+    body offset 20 (version 0: fullbox 4 + 4×u32) / 32 (version 1:
+    fullbox 4 + 2×u64 + u32 + u64); the 0-code and out-of-range
+    letters return None."""
+    for t3, ms, me in _walk_boxes(p, bs, be):
+        if t3 != b"mdhd":
+            continue
+        if me - ms < 4:
+            return None
+        off = ms + (32 if p[ms] == 1 else 20)
+        if off + 2 > me:
+            return None
+        code = int.from_bytes(p[off:off + 2], "big") & 0x7FFF
+        chars = [
+            ((code >> shift) & 0x1F) + 0x60 for shift in (10, 5, 0)
+        ]
+        if all(0x61 <= c <= 0x7A for c in chars):
+            return bytes(chars).decode("ascii")
+        return None
+    return None
 
 
 def _stsd_codec(p: bytes, bs: int, be: int) -> Optional[str]:
@@ -234,6 +275,7 @@ def parse_mp4_metadata(payload: bytes | None) -> dict | None:
     n_tracks = 0
     width = height = None
     codec_video = codec_first = None
+    lang_video = lang_first = None
     for btype, bs, be in _walk_boxes(p, moov[0], moov[1]):
         if btype == b"mvhd":
             if be - bs < 4:
@@ -277,6 +319,12 @@ def parse_mp4_metadata(payload: bytes | None) -> dict | None:
                             codec_first = tag
                         if is_video and codec_video is None:
                             codec_video = tag
+                    lng = _mdhd_language(p, ts2, te2)
+                    if lng is not None:
+                        if lang_first is None:
+                            lang_first = lng
+                        if is_video and lang_video is None:
+                            lang_video = lng
     if timescale is None or timescale == 0 or duration is None:
         return None
     return {
@@ -288,13 +336,14 @@ def parse_mp4_metadata(payload: bytes | None) -> dict | None:
         "height": height,
         "mvhd_version": mvhd_version,
         "codec": codec_video or codec_first,
+        "language": lang_video or lang_first,
     }
 
 
 MP4_FEATURES_SCHEMA = (
     "id long, valid boolean, brand string, timescale int, "
     "duration_ms long, n_tracks int, width int, height int, "
-    "mvhd_version int, codec string"
+    "mvhd_version int, codec string, language string"
 )
 
 
@@ -310,11 +359,11 @@ def mp4_features_frame(
             None if payload is None else bytes(payload)
         )
         if meta is None:
-            return (False,) + (None,) * 9
+            return (False,) + (None,) * 10
         return (
             True, meta["brand"], meta["timescale"], meta["duration_ms"],
             meta["n_tracks"], meta["width"], meta["height"],
-            meta["mvhd_version"], meta["codec"],
+            meta["mvhd_version"], meta["codec"], meta["language"],
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -328,7 +377,7 @@ def mp4_features_frame(
                 columns=[
                     "id", "valid", "brand", "timescale", "duration_ms",
                     "n_tracks", "width", "height", "mvhd_version",
-                    "codec",
+                    "codec", "language",
                 ],
             )
 

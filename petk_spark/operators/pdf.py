@@ -98,6 +98,7 @@ def synth_pdf(
     xref_stream: bool = False,
     objstm: bool = False,
     predictor: int = 1,
+    info: Optional[tuple[str, str]] = None,
 ) -> bytes:
     """Minimal valid PDF: catalog → pages → one page + one content
     stream per entry of ``page_texts`` + a shared Type1 font object,
@@ -123,8 +124,11 @@ def synth_pdf(
     / PNG Up.
 
     Object-count closed forms (trailer ``/Size`` − 1, the ``pdf``
-    oracle kind): classic = ``3 + 2·n_pages``; ``xref_stream`` adds
-    the XRef object (+1); ``objstm`` adds the ObjStm object (+1).
+    oracle kind): classic = ``3 + 2·n_pages``; ``info`` (a
+    ``(title, author)`` pair written as a real document-information
+    dictionary referenced from the trailer ``/Info``) adds one;
+    ``xref_stream`` adds the XRef object (+1); ``objstm`` adds the
+    ObjStm object (+1).
     """
     n_pages = len(page_texts)
     font_num = 3 + 2 * n_pages
@@ -174,6 +178,27 @@ def synth_pdf(
         )
         stream_nums.add(4 + 2 * i)
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    info_ref = b""
+    if info is not None:
+        def _info_str(s: str) -> str:
+            # latin-1-able text as a literal string (PDFDocEncoding
+            # overlap), anything else as a BOM-prefixed UTF-16BE hex
+            # string — the two spec text-string forms
+            try:
+                s.encode("latin-1")
+                return f"({_pdf_escape(s)})"
+            except UnicodeEncodeError:
+                return "<" + (
+                    b"\xfe\xff" + s.encode("utf-16-be")
+                ).hex() + ">"
+
+        objs.append(
+            (
+                f"<< /Title {_info_str(info[0])} "
+                f"/Author {_info_str(info[1])} >>"
+            ).encode("latin-1")
+        )
+        info_ref = f" /Info {font_num + 1} 0 R".encode()
 
     out = bytearray(f"%PDF-{version}\n".encode())
     out += b"%\xe2\xe3\xcf\xd3\n"                 # binary-marker comment
@@ -189,9 +214,10 @@ def synth_pdf(
         for off in offsets[1:]:
             out += f"{off:010d} 00000 n \n".encode()
         out += (
-            f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
-            f"startxref\n{xref_at}\n%%EOF\n"
-        ).encode()
+            f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R".encode()
+            + info_ref
+            + f" >>\nstartxref\n{xref_at}\n%%EOF\n".encode()
+        )
         return bytes(out)
 
     # --- PDF 1.5+ layout: xref stream (+ optional ObjStm packing) ---
@@ -252,8 +278,9 @@ def synth_pdf(
     data = zlib.compress(bytes(rows))
     out += (
         f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} "
-        f"/W [{w1} {w2} {w3}] /Index [0 {size}] /Root 1 0 R "
-        f"/Length {len(data)} /Filter /FlateDecode{parms} "
+        f"/W [{w1} {w2} {w3}] /Index [0 {size}] /Root 1 0 R".encode()
+        + info_ref
+        + f" /Length {len(data)} /Filter /FlateDecode{parms} "
         f">>\nstream\n".encode()
         + data + b"\nendstream\nendobj\n"
     )
@@ -581,11 +608,28 @@ def _fetch_obj(
     return _obj_at(p, e)
 
 
+def _info_text(obj: bytes, key: str) -> Optional[str]:
+    """A text-string value from a document-information dictionary
+    body — literal or hex form, decoded per the text-string rules
+    (UTF-16BE BOM honored); None when absent."""
+    m = re.search(rf"/{key}\s*".encode() + rb"([(<])", obj)
+    if m is None:
+        return None
+    if m.group(1) == b"(":
+        raw, _end = _parse_string(obj, m.end() - 1)
+    else:
+        raw, _end = _parse_hex_string(obj, m.end() - 1)
+    return _text_decode(raw)
+
+
 def parse_pdf_metadata(payload: bytes | None) -> dict | None:
     """Header + cross-reference walk to ``{version, n_objects,
-    n_pages}`` or None for anything not a well-formed PDF (bad header,
-    truncated/corrupt xref, missing catalog/pages). Both classic
-    tables and 1.5+ xref streams / object streams resolve."""
+    n_pages, title, author}`` or None for anything not a well-formed
+    PDF (bad header, truncated/corrupt xref, missing catalog/pages).
+    Both classic tables and 1.5+ xref streams / object streams
+    resolve; title/author come from the trailer's ``/Info``
+    document-information dictionary (round 16 — the first fields a
+    document-corpus curator filters on) and are None when absent."""
     if payload is None or len(payload) < 16:
         return None
     p = bytes(payload)
@@ -610,10 +654,17 @@ def parse_pdf_metadata(payload: bytes | None) -> dict | None:
     count = _dict_int(pages, "Count")
     if count is None:
         return None
+    info_obj = _fetch_obj(p, offsets, _dict_ref(trailer, "Info"))
+    title = author = None
+    if info_obj is not None:
+        title = _info_text(info_obj, "Title")
+        author = _info_text(info_obj, "Author")
     return {
         "version": hm.group(1).decode("ascii"),
         "n_objects": size - 1,
         "n_pages": count,
+        "title": title,
+        "author": author,
     }
 
 
@@ -797,7 +848,7 @@ def extract_pdf_text(payload: bytes | None) -> Optional[str]:
 
 PDF_TEXT_SCHEMA = (
     "id long, valid boolean, version string, n_pages int, "
-    "n_objects int, text string"
+    "n_objects int, title string, author string, text string"
 )
 
 
@@ -817,14 +868,15 @@ def pdf_text_frame(
             p = None if payload is None else bytes(payload)
             meta = parse_pdf_metadata(p)
             if meta is None:
-                return (False, None, None, None, None)
+                return (False, None, None, None, None, None, None)
             text = extract_pdf_text(p)
             return (
                 True, meta["version"], meta["n_pages"],
-                meta["n_objects"], text,
+                meta["n_objects"], meta["title"], meta["author"],
+                text,
             )
         except Exception:
-            return (False, None, None, None, None)
+            return (False, None, None, None, None, None, None)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_b in batches:
@@ -838,7 +890,7 @@ def pdf_text_frame(
                 rows,
                 columns=[
                     "id", "valid", "version", "n_pages", "n_objects",
-                    "text",
+                    "title", "author", "text",
                 ],
             )
 
@@ -881,7 +933,8 @@ def read_pdf(spark, path: str) -> DataFrame:
                 except Exception:
                     meta = None
                 if meta is None:
-                    rows.append((rid, pth, False, None, None, None, None))
+                    rows.append((rid, pth, False, None, None, None,
+                                 None, None, None))
                 else:
                     try:
                         text = extract_pdf_text(p)
@@ -889,13 +942,14 @@ def read_pdf(spark, path: str) -> DataFrame:
                         text = None
                     rows.append((
                         rid, pth, True, meta["version"],
-                        meta["n_pages"], meta["n_objects"], text,
+                        meta["n_pages"], meta["n_objects"],
+                        meta["title"], meta["author"], text,
                     ))
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "doc_id", "path", "valid", "version", "n_pages",
-                    "n_objects", "text",
+                    "n_objects", "title", "author", "text",
                 ],
             )
 
@@ -903,6 +957,7 @@ def read_pdf(spark, path: str) -> DataFrame:
         run,
         schema=(
             "doc_id long, path string, valid boolean, version string,"
-            " n_pages int, n_objects int, text string"
+            " n_pages int, n_objects int, title string,"
+            " author string, text string"
         ),
     )

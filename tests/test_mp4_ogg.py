@@ -29,7 +29,7 @@ def test_mp4_closed_form_fields_v0():
     assert m == {
         "brand": "isom", "timescale": 600, "duration_ms": 5000,
         "n_tracks": 2, "width": 320, "height": 240,
-        "mvhd_version": 0, "codec": None,
+        "mvhd_version": 0, "codec": None, "language": None,
     }
 
 
@@ -48,6 +48,25 @@ def test_mp4_stsd_codec_tags():
     # traks without stsd keep codec None (pre-r16 shape)
     p = synth_mp4(b"isom", 600, 3000, [(64, 48)])
     assert parse_mp4_metadata(p)["codec"] is None
+
+
+def test_mp4_mdhd_language():
+    # packed 15-bit ISO-639-2/T code: video trak preferred, first-trak
+    # fallback; absent mdhd -> None
+    p = synth_mp4(b"isom", 600, 3000, [None, (320, 240)],
+                  track_codecs=[b"mp4a", b"avc1"],
+                  track_langs=["jpn", "eng"])
+    m = parse_mp4_metadata(p)
+    assert m["language"] == "eng" and m["codec"] == "avc1"
+    p = synth_mp4(b"M4A ", 48000, 96000, [None], track_langs=["fra"])
+    assert parse_mp4_metadata(p)["language"] == "fra"
+    assert parse_mp4_metadata(
+        synth_mp4(b"isom", 600, 60, [(8, 8)])
+    )["language"] is None
+    # v1 layout places the code at body offset 32
+    p = synth_mp4(b"mp42", 1000, 10, [(8, 8)], version=1,
+                  track_langs=["deu"])
+    assert parse_mp4_metadata(p)["language"] == "deu"
 
 
 def test_mp4_empty_tkhd_at_eof_does_not_raise():

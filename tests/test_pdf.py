@@ -24,7 +24,8 @@ def test_metadata_closed_form():
     p = synth_pdf(["alpha", "beta", "gamma"], version="1.7", flate=True)
     m = parse_pdf_metadata(p)
     # objects: catalog + pages + 3×(page, content) + font = 9
-    assert m == {"version": "1.7", "n_objects": 9, "n_pages": 3}
+    assert m == {"version": "1.7", "n_objects": 9, "n_pages": 3,
+                 "title": None, "author": None}
 
 
 def test_text_flate_and_raw_round_trip():
@@ -80,6 +81,7 @@ def test_xref_stream_layouts_round_trip():
             "version": "1.6",
             "n_objects": 7 + 1 + (1 if ob else 0),
             "n_pages": 2,
+            "title": None, "author": None,
         }, (ob, pred)
         assert extract_pdf_text(p) == "first page\nsecond(p)"
 
@@ -243,3 +245,32 @@ def test_utf16be_text_strings():
     # never raises
     bad = b"(" + b"\xfe\xff\x00A\x42" + b") Tj"
     assert "A" in _page_text(bad)
+
+
+def test_info_dict_title_author():
+    # /Info document-information dictionary (round 16): latin-1 and
+    # UTF-16BE text strings, counted in n_objects, absent -> None
+    p = synth_pdf(["body"], info=("My Título", "Jane Doe"))
+    m = parse_pdf_metadata(p)
+    assert m["title"] == "My Título" and m["author"] == "Jane Doe"
+    assert m["n_objects"] == 6
+    p = synth_pdf(["x", "y"], info=("T 世界", "A2"), xref_stream=True,
+                  objstm=True, predictor=12)
+    m = parse_pdf_metadata(p)
+    assert m["title"] == "T 世界" and m["n_objects"] == 10
+    assert extract_pdf_text(p) == "x\ny"
+    m = parse_pdf_metadata(synth_pdf(["plain"]))
+    assert m["title"] is None and m["author"] is None
+
+
+def test_pdf_text_frame_carries_info(spark):
+    from petk_spark.operators.pdf import pdf_text_frame
+
+    rows = [
+        (1, synth_pdf(["one"], info=("T1", "A1"))),
+        (2, synth_pdf(["two"])),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r["id"]: r for r in pdf_text_frame(df, "id", "payload").collect()}
+    assert got[1]["title"] == "T1" and got[1]["author"] == "A1"
+    assert got[2]["title"] is None and got[2]["text"] == "two"
