@@ -485,13 +485,18 @@ def synth_mp3(
     id3_size: int = 0,
     id3_footer: bool = False,
     xing_frames: int | None = None,
+    id3_tags: dict[str, str] | None = None,
 ) -> bytes:
     """Fixed-bitrate Layer III stream with genuine frame headers and
     zeroed (never-parsed) frame bodies; ``id3_size > 0`` prepends a
-    real ID3v2 tag (syncsafe size) the parser must skip —
+    real ID3v2.4 tag (syncsafe size) the parser must skip —
     ``id3_footer`` sets the v2.4 footer flag and appends the 10-byte
-    footer. ``xing_frames`` embeds a Xing VBR header (frames-only
-    flag) at the spec side-info offset of the first frame."""
+    footer; ``id3_tags`` (round 16) writes real text frames into the
+    tag body (e.g. ``{"TIT2": title, "TPE1": artist}``, UTF-8
+    encoding byte 3, remainder zero-padded — the tag grows past
+    ``id3_size`` if the frames need it). ``xing_frames`` embeds a
+    Xing VBR header (frames-only flag) at the spec side-info offset
+    of the first frame."""
     import struct
 
     vbits = {1: 3, 2: 2}[version]
@@ -499,17 +504,25 @@ def synth_mp3(
     bridx = table.index(bitrate_kbps)
     sridx = _MP3_RATES[vbits].index(sample_rate)
     out = bytearray()
-    if id3_size > 0:
+    if id3_size > 0 or id3_tags:
+        frames_blob = bytearray()
+        for fid, text in (id3_tags or {}).items():
+            body = b"\x03" + text.encode("utf-8")
+            n = len(body)
+            frames_blob += fid.encode("ascii") + bytes(
+                [(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                 (n >> 7) & 0x7F, n & 0x7F]
+            ) + b"\x00\x00" + body
+        size = max(id3_size, len(frames_blob))
         flags = 0x10 if id3_footer else 0x00
-        out += b"ID3\x04\x00" + bytes([flags]) + bytes(
-            [(id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
-             (id3_size >> 7) & 0x7F, id3_size & 0x7F]
-        ) + b"\x00" * id3_size
+        ss = bytes(
+            [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+             (size >> 7) & 0x7F, size & 0x7F]
+        )
+        out += b"ID3\x04\x00" + bytes([flags]) + ss
+        out += frames_blob + b"\x00" * (size - len(frames_blob))
         if id3_footer:
-            out += b"3DI\x04\x00" + bytes([0x10]) + bytes(
-                [(id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
-                 (id3_size >> 7) & 0x7F, id3_size & 0x7F]
-            )
+            out += b"3DI\x04\x00" + bytes([0x10]) + ss
     hdr = struct.pack(
         ">I",
         (0x7FF << 21) | (vbits << 19) | (0b01 << 17) | (1 << 16)
@@ -549,6 +562,48 @@ def _mp3_side_info_len(vbits: int, mono: bool) -> int:
     return 9 if mono else 17
 
 
+def _id3_text_frames(payload: bytes, tag_end: int):
+    """(title, artist) from an ID3v2 tag's TIT2/TPE1 text frames —
+    v2.4 syncsafe and v2.3 plain frame sizes, text encodings 0–3
+    (latin-1 / UTF-16 BOM / UTF-16BE / UTF-8), trailing NULs
+    stripped; (None, None) when absent. A malformed frame stops the
+    walk — never a task failure."""
+    title = artist = None
+    try:
+        major = payload[3]
+        pos = 10
+        while pos + 10 <= tag_end:
+            fid = payload[pos:pos + 4]
+            if fid == b"\x00\x00\x00\x00":
+                break                             # padding
+            b = payload[pos + 4:pos + 8]
+            if major >= 4:
+                size = (
+                    ((b[0] & 0x7F) << 21) | ((b[1] & 0x7F) << 14)
+                    | ((b[2] & 0x7F) << 7) | (b[3] & 0x7F)
+                )
+            else:
+                size = int.from_bytes(b, "big")
+            body_at = pos + 10
+            if size <= 0 or body_at + size > tag_end:
+                break
+            if fid in (b"TIT2", b"TPE1"):
+                body = payload[body_at:body_at + size]
+                enc = body[0] if body else 3
+                raw = body[1:]
+                codec = {0: "latin-1", 1: "utf-16", 2: "utf-16-be",
+                         3: "utf-8"}.get(enc, "utf-8")
+                text = raw.decode(codec, "replace").rstrip("\x00")
+                if fid == b"TIT2" and title is None:
+                    title = text
+                elif fid == b"TPE1" and artist is None:
+                    artist = text
+            pos = body_at + size
+    except Exception:
+        pass
+    return title, artist
+
+
 def parse_mp3_metadata(payload: bytes | None) -> dict | None:
     """Frame-header walk: skip an ID3v2 tag, then parse consecutive
     Layer III headers, stepping each frame's exact byte length —
@@ -560,12 +615,16 @@ def parse_mp3_metadata(payload: bytes | None) -> dict | None:
     if payload is None or len(payload) < 4:
         return None
     pos = 0
+    title = artist = None
     if payload[0:3] == b"ID3" and len(payload) >= 10:
         sz = (
             ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14)
             | ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
         )
         pos = 10 + sz
+        title, artist = _id3_text_frames(
+            payload, min(pos, len(payload))
+        )
         if payload[5] & 0x10:                  # ID3v2.4 footer present
             pos += 10
     first = None
@@ -632,13 +691,16 @@ def parse_mp3_metadata(payload: bytes | None) -> dict | None:
             else xing_frames * (1152 if vbits == 3 else 576) * 1000
             // rate
         ),
+        "title": title,
+        "artist": artist,
     }
 
 
 MP3_FEATURES_SCHEMA = (
     "id long, valid boolean, version string, bitrate_kbps int, "
     "is_cbr boolean, sample_rate int, n_channels int, n_frames int, "
-    "duration_ms long, xing_frames int, declared_duration_ms long"
+    "duration_ms long, xing_frames int, declared_duration_ms long, "
+    "title string, artist string"
 )
 
 
@@ -656,12 +718,12 @@ def mp3_features_frame(
         )
         if meta is None:
             return (False, None, None, None, None, None, None, None,
-                    None, None)
+                    None, None, None, None)
         return (
             True, meta["version"], meta["bitrate_kbps"], meta["is_cbr"],
             meta["sample_rate"], meta["n_channels"], meta["n_frames"],
             meta["duration_ms"], meta["xing_frames"],
-            meta["declared_duration_ms"],
+            meta["declared_duration_ms"], meta["title"], meta["artist"],
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -676,6 +738,7 @@ def mp3_features_frame(
                     "id", "valid", "version", "bitrate_kbps", "is_cbr",
                     "sample_rate", "n_channels", "n_frames",
                     "duration_ms", "xing_frames", "declared_duration_ms",
+                    "title", "artist",
                 ],
             )
 

@@ -60,6 +60,24 @@ def _page(header_type: int, granule: int, serial: int, seq: int,
     )
 
 
+def _comment_packet(codec: str, tags: dict[str, str]) -> bytes:
+    """The codec's comment header packet (round 16): ``\x03vorbis`` /
+    ``OpusTags`` + vendor string + length-prefixed ``KEY=value``
+    fields (the Vorbis-comment format both codecs share; Opus omits
+    the trailing framing bit)."""
+    magic = b"\x03vorbis" if codec == "vorbis" else b"OpusTags"
+    vendor = b"petk_spark"
+    out = bytearray(magic)
+    out += struct.pack("<I", len(vendor)) + vendor
+    out += struct.pack("<I", len(tags))
+    for k, v in tags.items():
+        field = f"{k}={v}".encode("utf-8")
+        out += struct.pack("<I", len(field)) + field
+    if codec == "vorbis":
+        out += b"\x01"                           # framing bit
+    return bytes(out)
+
+
 def synth_ogg(
     codec: str,
     sample_rate: int,
@@ -67,13 +85,15 @@ def synth_ogg(
     granule: int,
     pre_skip: int = 0,
     n_body_pages: int = 1,
+    tags: dict[str, str] | None = None,
 ) -> bytes:
     """Minimal valid Ogg stream: a BOS page carrying the codec's
-    identification header, ``n_body_pages`` audio-stub pages with
-    intermediate granules, and an EOS page whose granule position is
-    ``granule`` (what duration derives from). ``codec`` is ``vorbis``
-    or ``opus``; for opus the stream's granule clock is 48 kHz and
-    ``pre_skip`` is stamped into OpusHead."""
+    identification header, an optional comment-header page (``tags``
+    → Vorbis-comment ``KEY=value`` fields, round 16), ``n_body_pages``
+    audio-stub pages with intermediate granules, and an EOS page whose
+    granule position is ``granule`` (what duration derives from).
+    ``codec`` is ``vorbis`` or ``opus``; for opus the stream's granule
+    clock is 48 kHz and ``pre_skip`` is stamped into OpusHead."""
     if codec == "vorbis":
         ident = (
             b"\x01vorbis" + struct.pack("<I", 0)
@@ -93,11 +113,15 @@ def synth_ogg(
         raise ValueError(f"unknown codec {codec!r}")
     serial = 0x4F67            # arbitrary fixed stream serial
     out = _page(0x02, 0, serial, 0, ident)
+    seq = 1
+    if tags is not None:
+        out += _page(0x00, 0, serial, seq, _comment_packet(codec, tags))
+        seq += 1
     for i in range(n_body_pages):
         body_granule = granule * (i + 1) // (n_body_pages + 1)
-        out += _page(0x00, body_granule, serial, 1 + i,
+        out += _page(0x00, body_granule, serial, seq + i,
                      b"\x00" * (17 + 11 * i))
-    out += _page(0x04, granule, serial, 1 + n_body_pages, b"\x00" * 5)
+    out += _page(0x04, granule, serial, seq + n_body_pages, b"\x00" * 5)
     return out
 
 
@@ -114,6 +138,7 @@ def parse_ogg_metadata(payload: bytes | None) -> dict | None:
     p = bytes(payload)
     pos = 0
     first_packet = None
+    second_packet = None
     last_granule = None
     while pos + 27 <= len(p):
         if p[pos:pos + 4] != b"OggS" or p[pos + 4] != 0:
@@ -128,11 +153,14 @@ def parse_ogg_metadata(payload: bytes | None) -> dict | None:
             return None                          # truncated body
         if first_packet is None:
             first_packet = p[table_end:table_end + body_len]
+        elif second_packet is None:
+            second_packet = p[table_end:table_end + body_len]
         if granule >= 0:
             last_granule = granule
         pos = table_end + body_len
     if first_packet is None or last_granule is None:
         return None
+    title, artist = _comment_tags(second_packet)
     if first_packet[:7] == b"\x01vorbis":
         if len(first_packet) < 30:
             return None
@@ -147,6 +175,8 @@ def parse_ogg_metadata(payload: bytes | None) -> dict | None:
             "pre_skip": 0,
             "granule": last_granule,
             "duration_ms": last_granule * 1000 // rate,
+            "title": title,
+            "artist": artist,
         }
     if first_packet[:8] == b"OpusHead":
         if len(first_packet) < 19:
@@ -164,13 +194,60 @@ def parse_ogg_metadata(payload: bytes | None) -> dict | None:
             "pre_skip": pre_skip,
             "granule": last_granule,
             "duration_ms": samples * 1000 // 48000,
+            "title": title,
+            "artist": artist,
         }
     return None
 
 
+def _comment_tags(packet: bytes | None):
+    """(title, artist) from a Vorbis-comment header packet
+    (``\x03vorbis`` / ``OpusTags``), case-insensitive keys, or
+    (None, None) for absent/non-comment/short packets — a malformed
+    field list stops at the fields parsed so far, never raises."""
+    if packet is None:
+        return None, None
+    if packet[:7] == b"\x03vorbis":
+        at = 7
+    elif packet[:8] == b"OpusTags":
+        at = 8
+    else:
+        return None, None
+    title = artist = None
+    try:
+        if at + 4 > len(packet):
+            return None, None
+        vlen = struct.unpack("<I", packet[at:at + 4])[0]
+        at += 4 + vlen
+        if at + 4 > len(packet):
+            return None, None
+        count = struct.unpack("<I", packet[at:at + 4])[0]
+        at += 4
+        for _ in range(min(count, 256)):
+            if at + 4 > len(packet):
+                break
+            flen = struct.unpack("<I", packet[at:at + 4])[0]
+            at += 4
+            if at + flen > len(packet):
+                break
+            field = packet[at:at + flen].decode("utf-8", "replace")
+            at += flen
+            if "=" in field:
+                k, v = field.split("=", 1)
+                k = k.upper()
+                if k == "TITLE" and title is None:
+                    title = v
+                elif k == "ARTIST" and artist is None:
+                    artist = v
+    except Exception:
+        pass
+    return title, artist
+
+
 OGG_FEATURES_SCHEMA = (
     "id long, valid boolean, codec string, sample_rate int, "
-    "n_channels int, pre_skip int, duration_ms long"
+    "n_channels int, pre_skip int, duration_ms long, "
+    "title string, artist string"
 )
 
 
@@ -187,10 +264,11 @@ def ogg_features_frame(
             None if payload is None else bytes(payload)
         )
         if meta is None:
-            return (False, None, None, None, None, None)
+            return (False, None, None, None, None, None, None, None)
         return (
             True, meta["codec"], meta["sample_rate"],
             meta["n_channels"], meta["pre_skip"], meta["duration_ms"],
+            meta["title"], meta["artist"],
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -204,6 +282,7 @@ def ogg_features_frame(
                 columns=[
                     "id", "valid", "codec", "sample_rate",
                     "n_channels", "pre_skip", "duration_ms",
+                    "title", "artist",
                 ],
             )
 

@@ -28,6 +28,7 @@ def test_mpeg1_cbr_closed_form():
         "sample_rate": 44100, "n_channels": 2, "n_frames": 40,
         "duration_ms": 40 * 1152 * 1000 // 44100,
         "xing_frames": None, "declared_duration_ms": None,
+        "title": None, "artist": None,
     }
 
 
@@ -144,3 +145,28 @@ def test_features_frame(spark):
     assert got[0]["duration_ms"] == 10 * 1152 * 1000 // 44100
     assert got[1]["n_channels"] == 1 and got[1]["version"] == "2"
     assert not got[2]["valid"] and not got[3]["valid"]
+
+
+def test_id3_text_frames_title_artist():
+    # round 16: real TIT2/TPE1 frames inside the ID3v2.4 tag —
+    # UTF-8 encoding byte, padding tolerated, footer compatible
+    from petk_spark.operators.multimodal import (
+        parse_mp3_metadata,
+        synth_mp3,
+    )
+
+    p = synth_mp3(4, 96, 44100, id3_size=16,
+                  id3_tags={"TIT2": "Née Song", "TPE1": "The Crew"})
+    m = parse_mp3_metadata(p)
+    assert m["title"] == "Née Song" and m["artist"] == "The Crew"
+    assert m["n_frames"] == 4             # frame walk unaffected
+    p = synth_mp3(3, 56, 22050, version=2, id3_size=8,
+                  id3_footer=True, id3_tags={"TIT2": "F"})
+    m = parse_mp3_metadata(p)
+    assert m["title"] == "F" and m["artist"] is None
+    assert m["n_frames"] == 3
+    # zero-filled legacy tag and no tag at all -> None
+    assert parse_mp3_metadata(
+        synth_mp3(3, 96, 44100, id3_size=40)
+    )["title"] is None
+    assert parse_mp3_metadata(synth_mp3(2, 128, 44100))["title"] is None

@@ -148,6 +148,7 @@ def test_ogg_vorbis_closed_form():
     assert m == {
         "codec": "vorbis", "sample_rate": 44100, "n_channels": 2,
         "pre_skip": 0, "granule": 441000, "duration_ms": 10000,
+        "title": None, "artist": None,
     }
 
 
@@ -270,3 +271,21 @@ def test_adts_auto_route_and_mp3_disambiguation():
     # 0xFF 0xEx false-positive surface shrinks)
     assert sniff_mime(b"\xff\xf1junk") == "aac"
     assert sniff_mime(b"\xff\xe2junk") == "mp3"
+
+
+def test_ogg_comment_header_tags():
+    # round 16: Vorbis-comment TITLE/ARTIST (\x03vorbis / OpusTags),
+    # case-insensitive keys, absent header -> None
+    p = synth_ogg("vorbis", 44100, 2, 441000, n_body_pages=2,
+                  tags={"TITLE": "My Song", "ARTIST": "The Band"})
+    m = parse_ogg_metadata(p)
+    assert m["title"] == "My Song" and m["artist"] == "The Band"
+    assert m["duration_ms"] == 10000      # duration unaffected
+    p = synth_ogg("opus", 48000, 2, 48000 * 2 + 99, pre_skip=99,
+                  tags={"artist": "Low Key", "TITLE": "T2",
+                        "ALBUM": "ignored"})
+    m = parse_ogg_metadata(p)
+    assert m["title"] == "T2" and m["artist"] == "Low Key"
+    assert m["duration_ms"] == 2000
+    m = parse_ogg_metadata(synth_ogg("vorbis", 22050, 1, 22050))
+    assert m["title"] is None and m["artist"] is None
