@@ -54,7 +54,7 @@ from pyspark.sql import SparkSession
 
 
 def build_spark(cpus: str) -> SparkSession:
-    return (
+    b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("petk-spark-bench")
         .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
@@ -79,8 +79,16 @@ def build_spark(cpus: str) -> SparkSession:
         # its compiled form is also ~15% slower warm than interpreted.
         # Measured, reverted; a deployment profiling ONE narrow table
         # repeatedly can still set it per-session.
-        .getOrCreate()
     )
+    # Optimization-round A/B hook: extra confs as "k=v;k2=v2", applied
+    # last so a candidate setting can be probed in the exact bench
+    # session shape without editing this file. Unset (the default, and
+    # in every record/driver run) this is a no-op.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, extra.split(";")):
+        k, _, v = kv.partition("=")
+        b = b.config(k.strip(), v.strip())
+    return b.getOrCreate()
 
 
 def build_registry(spark: SparkSession, sf_dir: str):

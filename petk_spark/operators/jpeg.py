@@ -222,11 +222,27 @@ def _entropy_segments(np, data: bytes, pos: int):
 
     def close(upto: int, rst_id):
         parts.append(arr[start:upto])
-        seg = b"".join(p.tobytes() for p in parts)
+        seg = (
+            parts[0].tobytes() if len(parts) == 1
+            else b"".join(p.tobytes() for p in parts)
+        )
         parts.clear()
-        b = np.frombuffer(seg + b"\x00\x00", dtype=np.uint8).astype(np.uint32)
-        u24 = ((b[:-2] << 16) | (b[1:-1] << 8) | b[2:]).tolist()
-        segments.append((u24, len(seg) * 8, rst_id))
+        n = len(seg)
+        if n <= 128:
+            # Restart-heavy scans of small images produce dozens of
+            # few-byte segments per image; the numpy window build's
+            # fixed cost dominated them (round 16, measured in the
+            # media twin's UDF profile). Same u24 values either way.
+            s = seg + b"\x00\x00"
+            u24 = [
+                (s[k] << 16) | (s[k + 1] << 8) | s[k + 2] for k in range(n)
+            ]
+        else:
+            b = np.frombuffer(
+                seg + b"\x00\x00", dtype=np.uint8
+            ).astype(np.uint32)
+            u24 = ((b[:-2] << 16) | (b[1:-1] << 8) | b[2:]).tolist()
+        segments.append((u24, n * 8, rst_id))
 
     for f in ff_positions:
         if f < start:

@@ -350,7 +350,7 @@ def wav_energy_hash(
     global mean — any engine repeating the arithmetic reproduces the
     bit pattern exactly, which is what lets the oracle replay it in
     closed form for the synthetic tones."""
-    import struct
+    import numpy as np
 
     dec = _wav_pcm_view(payload)
     if dec is None:
@@ -361,10 +361,102 @@ def wav_energy_hash(
     width = bits // 8
     step = channels * width
     read_channels = channels if mixdown else 1
+
+    # Vectorized per-frame |amplitude| (optimization round 16, guide
+    # §4.2: this loop unpacked one sample at a time in Python — ~16 s
+    # of the media twin's per-pass Python budget). Every step below is
+    # integer-exact (or, for f32, the identical float64 expression the
+    # scalar path evaluated per sample), so the produced bit pattern
+    # is unchanged — pinned by the whash/whash_mix/whash_f32 oracle
+    # kinds and the golden tests. Offsets mirror the scalar loop
+    # exactly (base i*step + c*width), NOT a contiguous reshape, so a
+    # header whose block_align disagrees with channels*width reads the
+    # same bytes it always did.
+    if frames > 0 and (frames - 1) * step + read_channels * width > len(data):
+        # header's block_align disagrees with channels×width and the
+        # stride runs off the data chunk (corrupt header). The scalar
+        # loop used to raise struct.error/IndexError here — a task
+        # failure; per the module's corrupt→NULL contract this is now
+        # an invalid payload (round 16, while vectorizing).
+        return None
+    u8 = np.frombuffer(data, dtype=np.uint8)
+    base = np.arange(frames, dtype=np.int64) * step
+    amp = np.zeros(frames, dtype=np.int64)
+    for c in range(read_channels):
+        coff = base + c * width
+        if sample_fmt == "u8":
+            amp += np.abs(u8[coff].astype(np.int64) - 128)
+        elif sample_fmt == "s16":
+            raw = (
+                u8[coff].astype(np.uint16)
+                | (u8[coff + 1].astype(np.uint16) << 8)
+            ).astype(np.uint16).view(np.int16)
+            amp += np.abs(raw.astype(np.int64))
+        elif sample_fmt == "s24":  # 3-byte LE signed
+            v = (
+                u8[coff].astype(np.int64)
+                | (u8[coff + 1].astype(np.int64) << 8)
+                | (u8[coff + 2].astype(np.int64) << 16)
+            )
+            v = np.where(v >= (1 << 23), v - (1 << 24), v)
+            amp += np.abs(v)
+        else:  # f32 — quantize to Q15 integers (round half up),
+            # exact for fixtures storing k/32768-grid values, and
+            # the envelope stays integer-exact either way
+            bits32 = (
+                u8[coff].astype(np.uint32)
+                | (u8[coff + 1].astype(np.uint32) << 8)
+                | (u8[coff + 2].astype(np.uint32) << 16)
+                | (u8[coff + 3].astype(np.uint32) << 24)
+            )
+            f = bits32.view(np.float32).astype(np.float64)
+            if not np.isfinite(f).all():
+                return None
+            q = np.floor(f * 32768.0 + 0.5)
+            if np.abs(q).max(initial=0.0) >= 9.0e18:
+                # finite-but-huge floats (corrupt payloads): int64
+                # would overflow where the scalar path's Python int
+                # did not — replay the whole hash exactly.
+                return _wav_energy_hash_scalar(
+                    dec, n_windows, mixdown
+                )
+            amp += np.abs(q.astype(np.int64))
+
+    # Window partition w(i) = i·n // frames, windows as reduceat
+    # segments: start of window k is ceil(k·frames / n). Integer sums
+    # in int64 — identical to the scalar accumulation.
+    starts = -(
+        (np.arange(n_windows, dtype=np.int64) * -frames) // n_windows
+    )
+    sums = np.add.reduceat(amp, starts)
+    counts = np.diff(np.append(starts, frames))
+    means = []
+    total = 0.0
+    for w in range(n_windows):
+        m = int(sums[w]) / (int(counts[w]) * read_channels)
+        means.append(m)
+        total += m
+    gmean = total / n_windows
+    v = 0
+    for m in means:
+        v = (v << 1) | (1 if m > gmean else 0)
+    return format(v, f"0{n_windows // 4}x")
+
+
+def _wav_energy_hash_scalar(dec, n_windows: int, mixdown: bool):
+    """The pre-round-16 sample-at-a-time loop, kept verbatim as the
+    exact-arithmetic fallback for f32 payloads whose quantized samples
+    exceed int64 (only reachable via corrupt floats; Python ints are
+    arbitrary-precision where the vector path's int64 is not)."""
+    import math
+    import struct
+
+    rate, channels, bits, frames, data, sample_fmt = dec
+    width = bits // 8
+    step = channels * width
+    read_channels = channels if mixdown else 1
     sums = [0] * n_windows
     counts = [0] * n_windows
-    import math
-
     for i in range(frames):
         w = i * n_windows // frames
         off = i * step
@@ -378,9 +470,7 @@ def wav_energy_hash(
             elif sample_fmt == "s24":  # 3-byte LE signed
                 v = int.from_bytes(data[coff : coff + 3], "little")
                 amp += abs(v - (1 << 24) if v >= (1 << 23) else v)
-            else:  # f32 — quantize to Q15 integers (round half up),
-                # exact for fixtures storing k/32768-grid values, and
-                # the envelope stays integer-exact either way
+            else:
                 f = struct.unpack_from("<f", data, coff)[0]
                 if not math.isfinite(f):
                     return None
@@ -1154,6 +1244,8 @@ def _unfilter(raw, height: int, stride: int, bpp: int):
     pass filters independently with a zero previous row, PNG spec
     §8.2). Returns the list of unfiltered row bytearrays, or None on an
     unknown filter type."""
+    import numpy as np
+
     rows = []
     prev = bytes(stride)
     for r in range(height):
@@ -1161,11 +1253,35 @@ def _unfilter(raw, height: int, stride: int, bpp: int):
         ftype = raw[off]
         line = bytearray(raw[off + 1 : off + 1 + stride])
         if ftype == 1:
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
+            # Sub: per byte lane l (i ≡ l mod bpp) the decode chain is
+            # a running sum mod 256 — for wide rows, vectorized as an
+            # int cumsum per lane (round 16, guide §4.2), bit-identical
+            # to the sequential (x + left) & 0xFF walk; below ~256
+            # bytes the numpy fixed cost exceeds the loop (measured on
+            # the 16-48 px twin fixtures), so small rows keep the
+            # scalar walk.
+            if stride >= 256:
+                arr = np.frombuffer(
+                    bytes(line), dtype=np.uint8
+                ).astype(np.int64)
+                for lane in range(bpp):
+                    line[lane::bpp] = (
+                        np.cumsum(arr[lane::bpp]) & 0xFF
+                    ).astype(np.uint8).tobytes()
+            else:
+                for i in range(bpp, stride):
+                    line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif ftype == 2:
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
+            # Up: element-wise, no intra-row dependency.
+            if stride >= 256:
+                arr = np.frombuffer(
+                    bytes(line), dtype=np.uint8
+                ).astype(np.int64)
+                pv = np.frombuffer(prev, dtype=np.uint8).astype(np.int64)
+                line[:] = ((arr + pv) & 0xFF).astype(np.uint8).tobytes()
+            else:
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
         elif ftype == 3:
             for i in range(stride):
                 a = line[i - bpp] if i >= bpp else 0
@@ -1315,26 +1431,28 @@ def png_average_hash(payload: bytes | None, hash_size: int = 8):
     if w < hs or h < hs:
         return None
     gray_nc = 1 if nc in (1, 2) else 3
-    sums = [[0] * hs for _ in range(hs)]
-    counts = [[0] * hs for _ in range(hs)]
-    for r in range(h):
-        a = r * hs // h
-        line = rows[r]
-        srow = sums[a]
-        crow = counts[a]
-        for c in range(w):
-            b = c * hs // w
-            off = c * nc
-            px = 0
-            for ch in range(gray_nc):
-                px += line[off + ch]
-            srow[b] += px
-            crow[b] += gray_nc
+    # Vectorized cell sums (round 16, guide §4.2 — this was a
+    # per-pixel Python loop): the exact integer partition r·hs//h maps
+    # rows [ceil(k·h/hs), ceil((k+1)·h/hs)) to cell-row k, so the cell
+    # sums are two nested reduceats over the int64 luma-sum plane —
+    # the same arithmetic, integer-exact.
+    import numpy as np
+
+    arr = np.frombuffer(
+        b"".join(bytes(r) for r in rows), dtype=np.uint8
+    ).reshape(h, w, nc).astype(np.int64)
+    lum = arr[:, :, :gray_nc].sum(axis=2)
+    rs = [-((-k * h) // hs) for k in range(hs)]
+    cs = [-((-k * w) // hs) for k in range(hs)]
+    S = np.add.reduceat(np.add.reduceat(lum, rs, axis=0), cs, axis=1)
+    C = np.outer(
+        np.diff(rs + [h]), np.diff(cs + [w])
+    ) * gray_nc
     means = []
     total = 0.0
     for a in range(hs):
         for b in range(hs):
-            m = sums[a][b] / counts[a][b]
+            m = int(S[a, b]) / int(C[a, b])
             means.append(m)
             total += m
     gmean = total / (hs * hs)
@@ -1662,17 +1780,46 @@ def _phash_weight_rows(n: int, n_freq: int = 8) -> list[list[int]]:
     differ in the last ulp with summation order — the same reason
     H.264/HEVC define integer transforms instead of ideal-cosine
     ones). ``n_freq=16`` feeds the 128-bit variant's 16-row frequency
-    block (round 12)."""
+    block (round 12).
+
+    Optimization round 16 (guide §4.5): the table is a pure function
+    of ``(n, n_freq)`` but was recomputed TWICE PER ROW inside
+    :func:`image_phash` — ~13 s of the media twin's Python budget per
+    bench pass at sf0.1. The values are cached (and the int64 matrix
+    form separately, below); a fresh list copy is returned so callers
+    can't corrupt the cache."""
     import math
 
-    return [
-        [
-            int(round(math.cos((2 * x + 1) * u * math.pi / (2 * n))
-                      * PHASH_WEIGHT_SCALE))
-            for x in range(n)
+    key = (n, n_freq)
+    hit = _PHASH_W_LISTS.get(key)
+    if hit is None:
+        hit = _PHASH_W_LISTS[key] = [
+            [
+                int(round(math.cos((2 * x + 1) * u * math.pi / (2 * n))
+                          * PHASH_WEIGHT_SCALE))
+                for x in range(n)
+            ]
+            for u in range(n_freq)
         ]
-        for u in range(n_freq)
-    ]
+    return [list(r) for r in hit]
+
+
+_PHASH_W_LISTS: dict = {}
+_PHASH_W_MATS: dict = {}
+
+
+def _phash_weight_mat(n: int, n_freq: int = 8):
+    """The same table as an int64 ndarray, cached — the per-row form
+    :func:`image_phash` multiplies with (do not mutate)."""
+    import numpy as np
+
+    key = (n, n_freq)
+    hit = _PHASH_W_MATS.get(key)
+    if hit is None:
+        hit = _PHASH_W_MATS[key] = np.array(
+            _phash_weight_rows(n, n_freq), dtype=np.int64
+        )
+    return hit
 
 
 def _luma_plane(payload: bytes | None):
@@ -1753,8 +1900,8 @@ def image_phash(payload: bytes | None, dct_size: int = 32, bits: int = 64):
     S = np.add.reduceat(np.add.reduceat(lum, rs, axis=0), cs, axis=1)
     C = np.outer(np.diff(rs + [h]), np.diff(cs + [w]))
     M = (2 * S + C) // (2 * C)  # round-half-up integer cell mean
-    Wr = np.array(_phash_weight_rows(n, n_freq_rows), dtype=np.int64)
-    Wc = np.array(_phash_weight_rows(n, 8), dtype=np.int64)
+    Wr = _phash_weight_mat(n, n_freq_rows)
+    Wc = _phash_weight_mat(n, 8)
     A = Wr @ M @ Wc.T  # n_freq_rows×8 low-frequency block, exact int64
     flat = [int(x) for x in A.reshape(-1)]
     thr = sorted(flat)[bits // 2 - 1]

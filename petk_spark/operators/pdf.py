@@ -296,18 +296,40 @@ def synth_pdf(
 _XrefEntry = Union[int, tuple[int, int]]
 
 
+# Key-pattern caches (optimization round 16, guide §4.5): these three
+# helpers run per object per row; building the f-string pattern and
+# round-tripping re's global cache per call was measurable in the
+# media twin's UDF profile. The key set is a small closed vocabulary
+# (/Type, /Count, /Kids, ...), so per-key compiled patterns are cached
+# here once per worker. Semantics unchanged: same pattern text.
+_DICT_RE_CACHE: dict = {}
+
+
+def _dict_key_re(key: str, form: str) -> "re.Pattern":
+    hit = _DICT_RE_CACHE.get((key, form))
+    if hit is None:
+        if form == "ref":
+            pat = rf"/{key}\s+(\d+)\s+\d+\s+R".encode()
+        elif form == "int":
+            pat = rf"/{key}\s+(\d+)".encode()
+        else:
+            pat = rf"/{key}\s*\[([^\]]*)\]".encode()
+        hit = _DICT_RE_CACHE[(key, form)] = re.compile(pat)
+    return hit
+
+
 def _dict_ref(obj: bytes, key: str) -> Optional[int]:
-    m = re.search(rf"/{key}\s+(\d+)\s+\d+\s+R".encode(), obj)
+    m = _dict_key_re(key, "ref").search(obj)
     return int(m.group(1)) if m else None
 
 
 def _dict_int(obj: bytes, key: str) -> Optional[int]:
-    m = re.search(rf"/{key}\s+(\d+)".encode(), obj)
+    m = _dict_key_re(key, "int").search(obj)
     return int(m.group(1)) if m else None
 
 
 def _dict_ints(obj: bytes, key: str) -> Optional[list[int]]:
-    m = re.search(rf"/{key}\s*\[([^\]]*)\]".encode(), obj)
+    m = _dict_key_re(key, "ints").search(obj)
     if m is None:
         return None
     return [int(x) for x in re.findall(rb"\d+", m.group(1))]
@@ -749,6 +771,7 @@ def _parse_hex_string(content: bytes, i: int) -> tuple[bytes, int]:
 
 
 _SHOW_OP_RE = re.compile(rb"\s*(Tj|')")
+_TJ_OP_RE = re.compile(rb"\s*TJ")
 
 
 def _text_decode(raw: bytes) -> str:
@@ -799,7 +822,7 @@ def _page_text(content: bytes) -> str:
             pending = []
             i += 1
         elif c == b"]":
-            if in_array and re.compile(rb"\s*TJ").match(content, i + 1):
+            if in_array and _TJ_OP_RE.match(content, i + 1):
                 parts.extend(pending)
             in_array = False
             pending = []

@@ -58,27 +58,39 @@ class BitReader:
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0          # bit position
+        self.nbits = len(data) * 8
 
     def read(self, n: int) -> int:
-        out = 0
+        # Bulk extract (round 16, guide §4.2): LSB-first bits p..p+n-1
+        # as one little-endian slice-int — value-identical to the
+        # former per-bit loop, same _Corrupt condition (any needed bit
+        # past the end; pos uncommitted on raise).
         p = self.pos
-        data = self.data
-        for i in range(n):
-            byte = p >> 3
-            if byte >= len(data):
-                raise _Corrupt("bit read past end")
-            out |= ((data[byte] >> (p & 7)) & 1) << i
-            p += 1
-        self.pos = p
+        if p + n > self.nbits:
+            raise _Corrupt("bit read past end")
+        out = (
+            int.from_bytes(self.data[p >> 3 : (p + n + 7) >> 3], "little")
+            >> (p & 7)
+        ) & ((1 << n) - 1)
+        self.pos = p + n
         return out
 
     def read_bit(self) -> int:
         p = self.pos
-        byte = p >> 3
-        if byte >= len(self.data):
+        if p >= self.nbits:
             raise _Corrupt("bit read past end")
         self.pos = p + 1
-        return (self.data[byte] >> (p & 7)) & 1
+        return (self.data[p >> 3] >> (p & 7)) & 1
+
+    def peek(self, n: int) -> int:
+        """Next ``n`` stream bits LSB-first WITHOUT advancing,
+        zero-padded past end-of-data (used by the table-driven prefix
+        decode, which checks the true available-bit budget itself)."""
+        p = self.pos
+        return (
+            int.from_bytes(self.data[p >> 3 : (p + n + 7) >> 3], "little")
+            >> (p & 7)
+        ) & ((1 << n) - 1)
 
 
 class BitWriter:
@@ -139,6 +151,9 @@ class PrefixDecoder:
                 {} if self.single is not None
                 else {(1, 0): direct[0], (1, 1): direct[1]}
             )
+            if self.single is None:
+                self.maxlen = 1
+                self.tab = [(direct[0], 1), (direct[1], 1)]
             return
         assert lengths is not None
         nz = [l for l in lengths if l > 0]
@@ -157,20 +172,40 @@ class PrefixDecoder:
         self.table = {
             (l, c): s for s, (c, l) in canonical_codes(lengths).items()
         }
+        # Flat lookup table (round 16, guide §4.2): the former
+        # bit-at-a-time walk paid a dict probe PER BIT per symbol —
+        # the dominant cost of the whole VP8L decode in the media
+        # twin's UDF profile. Index = the next ``maxlen`` stream bits
+        # LSB-first (first-read bit = bit 0), i.e. exactly
+        # ``BitReader.peek(maxlen)``; each entry is (symbol, length).
+        # Kraft completeness (checked above) guarantees the table is
+        # fully populated, so a decode resolves in one probe and
+        # consumes the identical bits the walk did.
+        maxlen = max(nz)
+        self.maxlen = maxlen
+        tab: list = [None] * (1 << maxlen)
+        for (l, c), s in self.table.items():
+            rev = 0
+            cc = c
+            for _ in range(l):
+                rev = (rev << 1) | (cc & 1)
+                cc >>= 1
+            for idx in range(rev, 1 << maxlen, 1 << l):
+                tab[idx] = (s, l)
+        self.tab = tab
 
     def decode(self, br: BitReader) -> int:
         if self.single is not None:
             return self.single
-        acc = 0
-        length = 0
-        table = self.table
-        for _ in range(16):
-            acc = (acc << 1) | br.read_bit()
-            length += 1
-            got = table.get((length, acc))
-            if got is not None:
-                return got
-        raise _Corrupt("prefix walk exceeded 15 bits")
+        p = br.pos
+        got = self.tab[br.peek(self.maxlen)]
+        if got is None:  # unreachable for complete codes; guard kept
+            raise _Corrupt("prefix walk exceeded 15 bits")
+        s, l = got
+        if l > br.nbits - p:
+            raise _Corrupt("bit read past end")
+        br.pos = p + l
+        return s
 
 
 #: code-length-code transmission order (RFC 9649)
