@@ -225,6 +225,95 @@ def _centroid_broadcast(spark, centroids: list[list[float]]):
     return bc
 
 
+def _fold_assign_udf(spark, centroids: list[list[float]]):
+    """Arrow-batched nearest-centroid assignment that reproduces the
+    plan-literal path's arithmetic BIT FOR BIT (optimization round 16,
+    guide §4.2): the literal path's ``cosine_expr`` is an interpreted
+    higher-order-function fold — measured ≈1.2 ms PER ROW at k=8,
+    d=64, the dominant cost of every kmeans/IVF twin. This kernel runs
+    the identical float64 operations, vectorized across the batch:
+
+    * dot and Σv² as LEFT FOLDS in element order starting at 0.0
+      (one ``acc = acc + x_i·c_i`` numpy op per dimension — IEEE adds
+      in the same sequence, so every intermediate equals the JVM's);
+    * centroid norms pre-folded the same way in plain Python floats;
+    * ``try_divide`` → NULL-score on a zero denominator;
+    * the ``reverse(array_sort(struct(score, -id)))[0]`` selection as
+      a running max with Spark's struct ordering (NULL score < every
+      number < NaN, exact ties → LOWER centroid id);
+    * the ``_well_formed`` gate from the same Σv² fold (>0, finite;
+      NaN/null elements poison it exactly as in the JVM).
+
+    Because the arithmetic is identical (not merely equivalent), the
+    DuckDB oracle's own left-fold replay of the assignment argmax
+    cannot diverge — the property the literal path existed to
+    guarantee. Equality with the literal path on every row, including
+    tie/degenerate fixtures, is pinned by
+    ``test_ivf_assign_fold_equals_literal``."""
+    import math
+
+    C = [[float(x) for x in cen] for cen in centroids]
+    dim = len(C[0])
+    nbs = []
+    for cen in C:
+        acc = 0.0
+        for x in cen:
+            acc = acc + x * x
+        nbs.append(math.sqrt(acc))
+    bc = spark.sparkContext.broadcast((C, nbs, dim))
+
+    @F.pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        C, nbs, dim = bc.value
+        out: list = [None] * len(vs)
+        idx: list = []
+        rows: list = []
+        for i, v in enumerate(vs):
+            if v is None or len(v) != dim:
+                continue
+            idx.append(i)
+            rows.append(np.asarray(v, dtype=np.float64))
+        if not idx:
+            return pd.Series(out, dtype="object")
+        X = np.vstack(rows)
+        n = X.shape[0]
+        sumsq = np.zeros(n)
+        for d in range(dim):
+            x = X[:, d]
+            sumsq = sumsq + x * x
+        # _well_formed: sumsq > 0 AND not NaN AND < inf (a null list
+        # element arrives as NaN through Arrow and poisons sumsq, the
+        # same NULL/NaN → not-well-formed outcome as the JVM fold)
+        ok = (sumsq > 0) & np.isfinite(sumsq)
+        na = np.sqrt(sumsq)
+        best_lev = np.full(n, -1, dtype=np.int8)
+        best_v = np.zeros(n)
+        best_j = np.zeros(n, dtype=np.int32)
+        for j, cj in enumerate(C):
+            dot = np.zeros(n)
+            for d in range(dim):
+                dot = dot + X[:, d] * cj[d]
+            denom = na * nbs[j]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                score = dot / denom
+            isnull = denom == 0.0  # try_divide → NULL score
+            isnan = np.isnan(score) & ~isnull
+            lev = np.where(isnull, 0, np.where(isnan, 2, 1)).astype(np.int8)
+            v = np.where(lev == 1, score, 0.0)
+            better = (lev > best_lev) | ((lev == best_lev) & (v > best_v))
+            best_lev = np.where(better, lev, best_lev)
+            best_v = np.where(better, v, best_v)
+            best_j = np.where(better, j, best_j)
+        for pos, i in enumerate(idx):
+            if ok[pos]:
+                out[i] = int(best_j[pos])
+        return pd.Series(out, dtype="object")
+
+    return assign
+
+
 def _topn_centroid_udf(spark, centroids: list[list[float]], n_best: int):
     """Arrow-batched top-``n_best`` centroid assignment for LARGE
     centroid sets: the row-normalized centroid matrix ships ONCE as a
@@ -329,9 +418,10 @@ def ivf_assign(
     NULL ``centroid_id`` (they land in the index's default partition
     and are never probed), and exact score ties break toward the
     LOWER centroid id. Same inputs, same buckets, either path."""
-    if method not in (None, "literal", "arrow"):
+    if method not in (None, "literal", "arrow", "fold"):
         raise ValueError(
-            f"method must be None, 'literal' or 'arrow', got {method!r}"
+            f"method must be None, 'literal', 'arrow' or 'fold',"
+            f" got {method!r}"
         )
     if not centroids:
         # all-NULL/empty corpus sample — every row is unassignable
@@ -350,6 +440,20 @@ def ivf_assign(
             F.element_at(
                 topn(F.col(vec_col).cast("array<double>")), 1
             ).alias("centroid_id"),
+        )
+    if method in (None, "fold"):
+        # Round 16: the small-k default is the fold-exact Arrow kernel
+        # (identical arithmetic to the literal expression path, ~50×
+        # less per-row cost — see _fold_assign_udf). method="literal"
+        # still forces the plan-literal expressions; the equivalence
+        # tests pin all three paths row-identical.
+        assign = _fold_assign_udf(df.sparkSession, centroids)
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            assign(F.col(vec_col).cast("array<double>")).alias(
+                "centroid_id"
+            ),
         )
     entries = [
         F.struct(

@@ -263,6 +263,65 @@ def test_ivf_assign_arrow_equals_literal(spark):
     assert got[3] is not None
 
 
+def test_ivf_assign_fold_equals_literal(spark):
+    """The fold-exact Arrow kernel (the small-k DEFAULT since the
+    round-16 optimization) is row-identical to the plan-literal
+    expression path — including exact ties (duplicate centroids →
+    lower id), zero-norm centroids (NULL score slots), malformed
+    vectors (NULL / ragged / zero-norm / NaN / Inf), and NULL list
+    elements. The kernel replays the literal path's float64 left-fold
+    arithmetic, so this holds bitwise, not just approximately."""
+    from petk_spark.operators.similarity import ivf_assign
+
+    vecs = _pseudo_vecs(300, 8)
+    cents = [v for _, v in _pseudo_vecs(5, 8, seed=99)]
+    cents.append(list(cents[0]))          # exact duplicate → tie
+    cents.append([0.0] * 8)               # zero-norm centroid
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    lit = {
+        r["id"]: r["centroid_id"]
+        for r in ivf_assign(df, cents, method="literal").collect()
+    }
+    fold = {
+        r["id"]: r["centroid_id"]
+        for r in ivf_assign(df, cents, method="fold").collect()
+    }
+    assert lit == fold and len(lit) == 300
+
+    bad = spark.createDataFrame(
+        [
+            (0, None),
+            (1, [1.0, 2.0]),
+            (2, [0.0] * 8),
+            (3, [1.0] * 8),
+            (4, [float("nan")] * 8),
+            (5, [float("inf")] + [1.0] * 7),
+            (6, [None] + [1.0] * 7),
+            (7, [-1.0] * 8),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    lit_b = {
+        r["id"]: r["centroid_id"]
+        for r in ivf_assign(bad, cents, method="literal").collect()
+    }
+    fold_b = {
+        r["id"]: r["centroid_id"]
+        for r in ivf_assign(bad, cents, method="fold").collect()
+    }
+    assert lit_b == fold_b, (lit_b, fold_b)
+    assert fold_b[0] is None and fold_b[1] is None and fold_b[2] is None
+    assert fold_b[3] is not None
+
+    # default dispatch at small k routes through the fold kernel
+    dflt = {
+        r["id"]: r["centroid_id"]
+        for r in ivf_assign(df, cents).collect()
+    }
+    assert dflt == lit
+
+
 def test_ivf_arrow_plan_bounded_at_512_centroids(spark):
     """At n_centroids=512 the assignment plan must stay O(1) in the
     centroid count: centroids travel as ONE broadcast variable into an
