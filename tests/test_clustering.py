@@ -209,6 +209,25 @@ def test_update_plan_constant_in_dim(spark):
     assert len(rows) == 1024
 
 
+def _near_scaled_tie(x: float, decimals: int = 6, slack_ulps: float = 4.0) -> bool:
+    """True when x*10^decimals lies within a few ulps of a .5 tie.
+
+    DuckDB's round_even computes the scaled value in DOUBLE, so when
+    the exact product is within ~1 ulp of a half-integer the double
+    multiply can land on the other side of the tie than Python's
+    correctly-rounded decimal round() — in EITHER direction (observed
+    both 54975.939945499995 → duck .946 / py .945 and 1.0000005 →
+    duck 1.0 / py 1.000001). Parity only holds away from that
+    measure-~1e-11 neighborhood; the km_* twin's deterministic means
+    never land in it (pinned by the hash-green km_* oracle rows)."""
+    from decimal import Decimal
+
+    scaled_exact = Decimal(x) * (Decimal(10) ** decimals)
+    frac = scaled_exact - int(scaled_exact)
+    dist = abs(float(frac) - 0.5)
+    return dist <= slack_ulps * math.ulp(abs(x) * 10.0 ** decimals)
+
+
 @settings(max_examples=300, deadline=None)
 @given(
     st.floats(
@@ -217,16 +236,34 @@ def test_update_plan_constant_in_dim(spark):
     )
 )
 def test_round_parity(x):
-    """Python round(x, 6) ≡ DuckDB round_even(x, 6) — the determinism
-    seam the km_* twin depends on (plain DuckDB ROUND is
-    half-away-from-zero and diverges on dyadic ties)."""
+    """Python round(x, 6) ≡ DuckDB round_even(x, 6) away from scaled
+    half-ulp ties — the determinism seam the km_* twin depends on
+    (plain DuckDB ROUND is half-away-from-zero and diverges on dyadic
+    ties; round_even itself diverges only inside the tie-ulp
+    neighborhood excluded by _near_scaled_tie, see its docstring)."""
     import duckdb
+    from hypothesis import assume
 
+    assume(not _near_scaled_tie(x))
     got = duckdb.sql(
         "SELECT round_even(?::DOUBLE, 6)", params=[x]
     ).fetchone()[0]
     want = round(x, 6)
     assert got == want or (math.isnan(got) and math.isnan(want)), (x, got, want)
+
+
+def test_round_parity_divergence_is_tie_bounded():
+    """The known counterexamples to universal parity all sit inside the
+    scaled tie-ulp neighborhood, and even there the two roundings agree
+    to within one unit in the 6th decimal — so a divergence can only
+    occur on exact-tie-adjacent data, never as a gross rounding bug."""
+    import duckdb
+
+    con = duckdb.connect()
+    for x in (54975.939945499995, 1.0000005, 2.0000005, 123456.1234565):
+        assert _near_scaled_tie(x), x
+        got = con.sql(f"SELECT round_even({x!r}::DOUBLE, 6)").fetchone()[0]
+        assert abs(got - round(x, 6)) <= 1e-6 + 1e-12, (x, got, round(x, 6))
 
 
 def test_round_parity_dyadic_ties():
