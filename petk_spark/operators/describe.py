@@ -92,6 +92,99 @@ _TYPE_WIDTH = {
 
 _PROBS_SQL = "array(" + ", ".join(str(p) for p in constants.QUANTILES) + ")"
 
+#: Per-chunk aggregation-buffer budget for the approx fused bundle
+#: (round 16, optimization — guide §1.2 "per-task work"). Whole-stage
+#: codegen refuses a HashAggregate whose OUTPUT field count or whose
+#: AGGREGATION-BUFFER field count exceeds ``spark.sql.codegen.maxFields``
+#: (default 100) — two independent checks, confirmed empirically this
+#: round (a 2-column bundle with >100 buffer fields stays interpreted;
+#: 4 columns of plain arithmetic compile). The full approx bundle
+#: (~120+ buffer fields on lineitem, plus percentile sketches forcing
+#: ObjectHashAggregate) ran INTERPRETED — measured 190 s of task time
+#: per run at sf0.1 (job_probe, r16) vs ~0.05 s for the same
+#: expressions split into compiled chunks. The budget estimates BUFFER
+#: fields per expression and stays under 100 so every declarative chunk
+#: compiles. Raising maxFields session-wide instead was measured in
+#: round 2 to lose globally (codegen cache churn on the array-heavy
+#: bundles); chunking gets the compiled form without touching session
+#: config.
+_CHUNK_BUDGET = 94
+
+
+def _agg_expr_cost(e: str) -> int:
+    """Estimated aggregation-buffer field cost of one declarative
+    alias. var/stddev buffers hold (n, avg, m2); avg holds (sum,
+    count). Estimates only steer chunk packing — over-estimating splits
+    one chunk too early, under-estimating loses codegen for one chunk —
+    so they need to be roughly right, not exact."""
+    if "var_samp(" in e or "stddev_samp(" in e:
+        return 3
+    if "avg(" in e:
+        return 2
+    return 1
+
+
+def _pack_agg_chunks(aggs: list[str]) -> list[list[str]]:
+    """Split the approx fused bundle's aggregate aliases into chunks
+    that each stay under the whole-stage-codegen field limit.
+
+    Two classes:
+
+    * **Sketches** — ``percentile_approx`` (TypedImperativeAggregate,
+      forces the whole stage into interpreted ObjectHashAggregate) and
+      ``approx_count_distinct`` (HLL++, a ~48-long buffer each, so even
+      two of them blow the buffer budget) — go into ONE shared chunk.
+      Their per-row update is imperative JVM code either way, so
+      codegen gains them nothing, and packing them together costs one
+      pass instead of one per sketch pair.
+    * **Declarative arithmetic** (count/min/max/avg/var/sum/IF-sums) —
+      packed greedily under ``_CHUNK_BUDGET`` buffer fields (output
+      aliases per chunk are always fewer than buffer fields here), so
+      every arithmetic chunk compiles as HashAggregate.
+
+    At sf0.1 this took the approx bundle's one 190 s interpreted stage
+    (job_probe, r16) down to one sketch stage plus compiled arithmetic
+    stages. Each chunk's scan prunes to its own column subset (one
+    column's aliases never straddle chunks), so the arithmetic chunks
+    together read each column's bytes once; the sketch chunk reads the
+    sketched columns once more — bounded extra I/O for compiled
+    arithmetic, a measured win at sf0.1 (OPTIMIZATION_r16.md)."""
+    obj: list[str] = []
+    chunks: list[list[str]] = []
+    cur: list[str] = []
+    cost = 0
+
+    def _alias_col(e: str) -> str:
+        # `col::stat` alias → col, so one column's aliases stay in one
+        # chunk (a straddling column would be scanned by two chunks).
+        tail = e.rsplit(" AS ", 1)[-1]
+        return tail.split("::", 1)[0]
+
+    blocks: dict[str, list[str]] = {}
+    order: list[str] = []
+    for e in aggs:
+        if "percentile_approx(" in e or "approx_count_distinct(" in e:
+            obj.append(e)
+            continue
+        k = _alias_col(e)
+        if k not in blocks:
+            blocks[k] = []
+            order.append(k)
+        blocks[k].append(e)
+    for k in order:
+        block = blocks[k]
+        c = sum(_agg_expr_cost(e) for e in block)
+        if cur and cost + c > _CHUNK_BUDGET:
+            chunks.append(cur)
+            cur, cost = [], 0
+        cur += block
+        cost += c
+    if cur:
+        chunks.append(cur)
+    if obj:
+        chunks.append(obj)
+    return chunks
+
 
 def find_columns(df: DataFrame, columns=None) -> list[str]:
     """Normalize/validate a column selection (petk/exploration.py:128-137):
@@ -154,11 +247,16 @@ def _agg_sql(
 ) -> list[str]:
     """Aggregate expressions for one column, aliased ``{name}::{stat}``.
 
-    In exact mode, distinct_count and quantiles are NOT produced here —
-    they come from the value-histogram pass (``_exact_value_stats``),
-    because ``count(DISTINCT)`` (EXPAND row replication) and
-    ``percentile`` (single-reducer ObjectHashAggregate) in this bundle
-    were the dominant cost at sf0.1 and do not scale.
+    In exact mode this bundle produces ONLY the counts the value
+    histogram cannot: GEO/UNSUPPORTED columns (excluded from the
+    histogram by contract). Every other statistic — count, min/max,
+    mean, sum, variance/std, n_infinite/n_zeros, bool mean, distinct,
+    quantiles, mad, central moments — is derived from the single
+    distributed value-histogram pass (``_exact_value_stats`` with
+    ``full_stats=True``): round 16 removed the second full source pass
+    outright (guide §1.2 step 1 — the fused >100-field bundle also ran
+    INTERPRETED under the codegen field limit, 122 s of task time per
+    describe_lineitem run at sf0.1).
 
     In approx mode NUMERIC columns additionally get the one-pass shifted
     power sums ``_s1.._s4`` = ``avg((x - anchor)^k)`` feeding the
@@ -167,9 +265,15 @@ def _agg_sql(
     three times)."""
     nv = _nv(name, ltype, dtype)
     c = f"`{name}`"
+    if exact:
+        # Histogram-covered columns contribute nothing to the main
+        # bundle; GEO/UNSUPPORTED keep their count here.
+        if ltype in _DISTINCT_SKIP:
+            return [f"count({c}) AS `{name}::count`"]
+        return []
     out = [f"count({c}) AS `{name}::count`"]
 
-    if ltype not in _DISTINCT_SKIP and not exact:
+    if ltype not in _DISTINCT_SKIP:
         out.append(
             f"CAST(approx_count_distinct({c}) AS BIGINT) AS `{name}::distinct_count`"
         )
@@ -196,7 +300,12 @@ def _agg_sql(
     if ltype == constants.TYPE_NUM:
         out += [
             f"avg({nv}) AS `{name}::mean`",
-            f"stddev_samp({nv}) AS `{name}::std`",
+            # sqrt over the SAME var_samp aggregate (Catalyst dedupes
+            # the identical AggregateExpression with ::variance below):
+            # bit-identical to stddev_samp — Spark finalizes stddev_samp
+            # as sqrt(m2/(n-1)) over the same Welford buffer — and 3
+            # buffer fields per column cheaper (r16, guide §1.2).
+            f"sqrt(var_samp({nv})) AS `{name}::std`",
             f"var_samp({nv}) AS `{name}::variance`",
             # NOTE: no skewness()/kurtosis() builtins here — their ANSI
             # finalization throws DIVIDE_BY_ZERO when m2 underflows to 0
@@ -291,10 +400,22 @@ def _exact_value_stats(
     mad_cols=(),
     probs=None,
     moments: bool = True,
+    full_stats: bool = False,
 ) -> DataFrame | None:
     """Exact distinct counts + exact interpolated percentiles for every
     applicable column, as ONE 1-row DataFrame, from a single distributed
     value-histogram pass.
+
+    ``full_stats=True`` (describe_frame's exact mode, round 16)
+    additionally derives count, min/max, mean, sum, variance/std,
+    n_infinite/n_zeros and the BOOLEAN mean from the SAME histogram —
+    count/sum/min/max/n_* are exact integer/extremum identities over
+    the grouped values (bit-identical to a row-level pass), mean and
+    variance re-associate the float summation over distinct values
+    (absorbed by the %.6e oracle contract exactly like cross-engine
+    order differences; re-proven against DuckDB at two SFs this round)
+    — so exact describe needs NO second full source pass at all (guide
+    §1.2 step 1: remove passes, don't tune them).
 
     Plan: inline-explode the needed columns to ``(cid, vnum, vstr)`` →
     ``groupBy(cid, vnum, vstr).count()`` (hash shuffle sized by distinct
@@ -355,6 +476,18 @@ def _exact_value_stats(
         if ltypes[c] in (constants.TYPE_DATE, constants.TYPE_NUM):
             nv = _nv(c, ltypes[c], dtypes.get(c))
             vs = f"CAST(`{c}` AS STRING)"
+        elif ltypes[c] == constants.TYPE_BOOL:
+            # Booleans carry their 0/1 double so full_stats can derive
+            # the bool mean as wsum/ntot — exact integer arithmetic
+            # over the two distinct values, identical to avg(CAST(b AS
+            # DOUBLE)). Distinct counting still groups on the md5
+            # rendering.
+            nv = f"CAST(`{c}` AS DOUBLE)"
+            vs = f"md5(CAST(`{c}` AS STRING))"
+            structs.append(
+                f"named_struct('cid', {idx[c]}, 'vnum', {nv}, 'vstr', {vs})"
+            )
+            continue
         else:
             nv = "CAST(NULL AS DOUBLE)"
             # STRING columns only need distinct counting, so group on a
@@ -382,18 +515,33 @@ def _exact_value_stats(
         hist = hist.persist()
 
     # Per-cid totals: distinct count = histogram rows, ntot = non-null
-    # rows, finite value bounds for the rank bucketing. A plain hash
-    # aggregation — balanced regardless of skew.
+    # rows, finite value bounds for the rank bucketing, plus (round 16,
+    # full_stats) the raw extrema and the exact infinite/zero row
+    # counts — all identities over the grouped values, one narrow
+    # compiled hash aggregation, balanced regardless of skew.
     finite_v = F.when(
         F.isnan(F.col("vnum")) | (F.abs(F.col("vnum")) == float("inf")), None
     ).otherwise(F.col("vnum"))
-    totals = hist.groupBy("cid").agg(
+    total_aggs = [
         F.count(F.lit(1)).alias("ndistinct"),
         F.sum("cnt").alias("ntot"),
         F.min(finite_v).alias("mn_f"),
         F.max(finite_v).alias("mx_f"),
         F.sum(F.col("vnum") * F.col("cnt")).alias("wsum"),
-    )
+    ]
+    if full_stats:
+        total_aggs += [
+            F.min("vnum").alias("mn"),
+            F.max("vnum").alias("mx"),
+            F.sum(
+                F.when(F.abs(F.col("vnum")) == float("inf"), F.col("cnt"))
+                .otherwise(F.lit(0))
+            ).alias("ninf"),
+            F.sum(
+                F.when(F.col("vnum") == 0.0, F.col("cnt")).otherwise(F.lit(0))
+            ).alias("nzero"),
+        ]
+    totals = hist.groupBy("cid").agg(*total_aggs)
 
     # coalesce: an all-null column contributes no histogram rows, so its
     # cid is absent from totals — nunique of an empty series is 0, not
@@ -406,6 +554,38 @@ def _exact_value_stats(
     ] + [
         f"max(IF(cid = {idx[c]}, ntot, NULL)) AS `{c}::_qn`" for c in q_cols
     ]
+    if full_stats:
+        # The wide conditional pivots below run over ncols ROWS (the
+        # totals frame), so interpreted evaluation is irrelevant — the
+        # data-heavy stages (scan, explode, histogram groupBy, totals)
+        # all stay narrow and compiled.
+        for c in need:
+            i = idx[c]
+            dist_aggs.append(
+                f"coalesce(max(IF(cid = {i}, ntot, NULL)), 0)"
+                f" AS `{c}::count`"
+            )
+            if ltypes[c] == constants.TYPE_BOOL:
+                dist_aggs.append(
+                    f"try_divide(max(IF(cid = {i}, wsum, NULL)),"
+                    f" max(IF(cid = {i}, ntot, NULL))) AS `{c}::mean`"
+                )
+        for c in q_cols:
+            i = idx[c]
+            dist_aggs += [
+                f"max(IF(cid = {i}, mn, NULL)) AS `{c}::min`",
+                f"max(IF(cid = {i}, mx, NULL)) AS `{c}::max`",
+            ]
+            if ltypes[c] == constants.TYPE_NUM:
+                dist_aggs += [
+                    f"try_divide(max(IF(cid = {i}, wsum, NULL)),"
+                    f" max(IF(cid = {i}, ntot, NULL))) AS `{c}::mean`",
+                    f"max(IF(cid = {i}, wsum, NULL)) AS `{c}::sum`",
+                    f"coalesce(max(IF(cid = {i}, ninf, NULL)), 0)"
+                    f" AS `{c}::n_infinite`",
+                    f"coalesce(max(IF(cid = {i}, nzero, NULL)), 0)"
+                    f" AS `{c}::n_zeros`",
+                ]
     one = totals.agg(*[F.expr(a) for a in dist_aggs])
 
     if q_cols:
@@ -442,6 +622,21 @@ def _exact_value_stats(
         else:
             ranked = _bucketed_ranked(hist, totals, q_idx)
 
+        # Bracket pre-filter (round 16 optimization, guide §1.2): the
+        # conditional-max pivot below is a wide (ncols × nprobs × 2
+        # alias) aggregate that exceeds the codegen field limit, so it
+        # ran INTERPRETED over every ranked histogram row. Rows that
+        # bracket no quantile rank contribute NULL to every alias —
+        # max() ignores them — so filtering to bracket rows first is
+        # value-identical and shrinks the wide aggregate's input from
+        # the full histogram to ≤ ncols × nprobs × 2 rows. The filter
+        # itself is a narrow compiled predicate over (cum, cnt, ntot).
+        brackets = []
+        for p in probs:
+            for fn in ("floor", "ceil"):
+                r = f"{fn}((ntot - 1) * CAST({p} AS DOUBLE))"
+                brackets.append(f"(cum - cnt <= {r} AND {r} < cum)")
+        ranked = ranked.where(" OR ".join(brackets))
         q_aggs = []
         for c in q_cols:
             i = idx[c]
@@ -473,27 +668,54 @@ def _exact_value_stats(
         # branch still serves mad_cols alone (the banded approx
         # validator rides its mad on this histogram).
         m_idx = [idx[c] for c in mom_set]
+        # Two-stage moment aggregation (round 16 optimization, guide
+        # §1.2): the previous single conditional pivot — 4 × ncols
+        # sum(IF(cid = i, ...)) aliases over every histogram row — blew
+        # the codegen field limit and ran interpreted. Grouping by cid
+        # first is a NARROW compiled aggregate (the same addends
+        # accumulate per cid in the same per-partition row order, so
+        # each sum is the identical float sequence); the conditional
+        # pivot then runs over ncols rows instead of the histogram.
+        per_cid_aggs = [
+            F.expr(f"sum(cnt * pow(vnum - wsum / ntot, {k})) AS _ms{k}")
+            for k in ((2, 3, 4) if num_cols else ())
+        ]
+        if mad_cols:
+            per_cid_aggs.append(
+                F.expr("sum(cnt * abs(vnum - wsum / ntot)) AS _mad")
+            )
+        per_cid_aggs.append(F.expr("max(ntot) AS _nt"))
+        per_cid = (
+            hist.filter(F.col("cid").isin(m_idx))
+            .join(F.broadcast(totals.select("cid", "ntot", "wsum")), ["cid"])
+            .groupBy("cid")
+            .agg(*per_cid_aggs)
+        )
         mom_aggs = []
         for c in mom_set:
             i = idx[c]
             if c in num_cols:
                 for k in (2, 3, 4):
                     mom_aggs.append(
-                        f"try_divide("
-                        f"sum(IF(cid = {i}, cnt * pow(vnum - wsum / ntot, {k}), NULL)),"
-                        f" max(IF(cid = {i}, ntot, NULL))) AS `{c}::_m{k}`"
+                        f"try_divide(max(IF(cid = {i}, _ms{k}, NULL)),"
+                        f" max(IF(cid = {i}, _nt, NULL))) AS `{c}::_m{k}`"
+                    )
+                if full_stats:
+                    # Sample variance from the same centered sum:
+                    # Σ cnt·(v − mean)² / (n − 1); try_divide yields
+                    # NULL for n = 1 (var_samp's semantics) and the
+                    # absent-cid NULLs propagate for all-null columns.
+                    mom_aggs.append(
+                        f"try_divide(max(IF(cid = {i}, _ms2, NULL)),"
+                        f" max(IF(cid = {i}, _nt, NULL)) - 1)"
+                        f" AS `{c}::variance`"
                     )
             if c in mad_cols:
                 mom_aggs.append(
-                    f"try_divide("
-                    f"sum(IF(cid = {i}, cnt * abs(vnum - wsum / ntot), NULL)),"
-                    f" max(IF(cid = {i}, ntot, NULL))) AS `{c}::mad`"
+                    f"try_divide(max(IF(cid = {i}, _mad, NULL)),"
+                    f" max(IF(cid = {i}, _nt, NULL))) AS `{c}::mad`"
                 )
-        mom_row = (
-            hist.filter(F.col("cid").isin(m_idx))
-            .join(F.broadcast(totals.select("cid", "ntot", "wsum")), ["cid"])
-            .agg(*[F.expr(a) for a in mom_aggs])
-        )
+        mom_row = per_cid.agg(*[F.expr(a) for a in mom_aggs])
         derived = [
             e
             for c in num_cols
@@ -502,11 +724,32 @@ def _exact_value_stats(
                 f"try_divide(`{c}::_m4`, pow(`{c}::_m2`, 2)) - 3 AS `{c}::_g2`",
             )
         ] + [f"`{c}::mad`" for c in mom_set if c in mad_cols]
+        if full_stats:
+            derived += [
+                e
+                for c in num_cols
+                for e in (
+                    f"`{c}::variance`",
+                    f"sqrt(`{c}::variance`) AS `{c}::std`",
+                )
+            ]
         one = one.crossJoin(F.broadcast(mom_row.selectExpr(*derived)))
 
     final = [f"`{c}::distinct_count`" for c in dist_cols]
     final += [f"`{c}::mad`" for c in mom_set if c in mad_cols]
     final += [e for c in num_cols for e in (f"`{c}::_g1`", f"`{c}::_g2`")]
+    if full_stats:
+        final += [f"`{c}::count`" for c in need]
+        final += [
+            f"`{c}::mean`" for c in need
+            if ltypes[c] in (constants.TYPE_BOOL, constants.TYPE_NUM)
+        ]
+        final += [e for c in q_cols for e in (f"`{c}::min`", f"`{c}::max`")]
+        for c in num_cols:
+            final += [
+                f"`{c}::sum`", f"`{c}::n_infinite`", f"`{c}::n_zeros`",
+                f"`{c}::variance`", f"`{c}::std`",
+            ]
     for c in q_cols:
         n = f"`{c}::_qn`"
         parts = []
@@ -812,7 +1055,8 @@ def describe_frame(
     cols = find_columns(df, columns)
     # Prune before the (possible) repartition so a starved scan shuffles
     # only the profiled columns, then fan out to every slot.
-    df = ensure_parallelism(df.select(*dict.fromkeys(cols)))
+    base = df.select(*dict.fromkeys(cols))
+    df = ensure_parallelism(base)
     fields = {f.name: f for f in df.schema.fields}
     ltypes = {c: static_logical_type(fields[c]) for c in cols}
     num_cols = [c for c in cols if ltypes[c] == constants.TYPE_NUM]
@@ -852,17 +1096,42 @@ def describe_frame(
             c, ltypes[c], exact, anchors.get(c),
             fields[c].dataType.simpleString(),
         )
-    stats = df.agg(*[F.expr(s) for s in aggs])
     if exact:
-        # value histogram provides distinct/quantiles AND the central
-        # moments (_g1/_g2, mad) — no second source pass in exact mode.
+        # Round 16 (guide §1.2 step 1): exact mode derives EVERY
+        # statistic from the single value-histogram pass
+        # (full_stats=True below), so the main bundle shrinks to
+        # count(1) + GEO/UNSUPPORTED counts — a tiny compiled aggregate
+        # over the UN-repartitioned pruned frame (count(1) reads no
+        # column bytes at all). The previous full second pass — a
+        # >100-field fused bundle that also ran INTERPRETED under the
+        # codegen field limit (122 s of task time per describe_lineitem
+        # run at sf0.1, job_probe r16) — is gone outright.
+        stats = base.agg(*[F.expr(s) for s in aggs])
+        # value histogram provides count/min/max/mean/sum/var/std,
+        # n_infinite/n_zeros, bool mean, distinct/quantiles AND the
+        # central moments (_g1/_g2, mad) — the one full data pass.
         value_stats = _exact_value_stats(
             df, cols, ltypes, rank_strategy,
             mad_cols=num_cols if include_mad else (),
+            full_stats=True,
         )
         if value_stats is not None:
             stats = stats.crossJoin(F.broadcast(value_stats))
-    elif num_cols:
+    else:
+        # Chunked fused bundle (round 16 optimization, guide §1.2):
+        # each declarative chunk stays under the codegen field limit so
+        # it compiles; sketches share one ObjectHashAggregate chunk
+        # (see _pack_agg_chunks). Chunks are combined by broadcast
+        # crossJoin of their 1-row results; each chunk's scan prunes to
+        # its own column subset (pinned in test_plan_shape.py), so the
+        # arithmetic chunks together read each column's bytes once.
+        chunks = _pack_agg_chunks(aggs)
+        stats = df.agg(*[F.expr(s) for s in chunks[0]])
+        for ch in chunks[1:]:
+            stats = stats.crossJoin(
+                F.broadcast(df.agg(*[F.expr(s) for s in ch]))
+            )
+    if not exact and num_cols:
         # Approx mode: central moments from the shifted power sums of
         # the MAIN bundle — pure 1-row arithmetic, no extra scan. The
         # m2 > 0 guard yields NULL skew/kurt for constant (or all-null)
@@ -886,13 +1155,21 @@ def describe_frame(
         stats = stats.selectExpr("*", *derived)
         if has_mad:
             # mad needs the finished mean first: one second scan joined
-            # to the bundle's means. Catalyst prunes the broadcast mean
-            # subtree to a narrow avg-only aggregate (NOT the full
-            # sketch bundle), and AQE query-stage reuse dedupes its
-            # shuffle at runtime — pinned in tests/test_plan_shape.py.
-            mad_row = df.crossJoin(
-                F.broadcast(stats.selectExpr(*[f"`{c}::mean`" for c in num_cols]))
-            ).agg(
+            # to a DEDICATED narrow means-only aggregate (round 16: the
+            # chunked bundle's crossJoin chain no longer prunes to one
+            # narrow subtree — selecting the means through it replayed
+            # one scan PER CHUNK, measured 33 scans on the mad plan —
+            # so the means are re-aggregated directly; same expression,
+            # one narrow compiled pass, and AQE query-stage reuse
+            # dedupes its shuffle at runtime as before — pinned in
+            # tests/test_plan_shape.py).
+            means_row = df.agg(
+                *[
+                    F.expr(f"avg({_nv(c, ltypes[c])}) AS `{c}::mean`")
+                    for c in num_cols
+                ]
+            )
+            mad_row = df.crossJoin(F.broadcast(means_row)).agg(
                 *[
                     F.expr(
                         f"avg(abs({_nv(c, ltypes[c])} - `{c}::mean`))"

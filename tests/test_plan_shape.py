@@ -24,23 +24,34 @@ def lineitem(spark):
     return spark.read.parquet(f"{SF}/lineitem.parquet")
 
 
-def test_describe_approx_is_single_scan(lineitem):
+def test_describe_approx_is_bounded_chunk_scans(lineitem):
+    # Round 16: the approx bundle is split into codegen-sized chunks
+    # (2 compiled arithmetic chunks on lineitem + 1 sketch chunk — see
+    # describe._pack_agg_chunks). Each chunk scans its OWN pruned
+    # column subset: the arithmetic chunks are disjoint (together one
+    # full read), the sketch chunk reads the sketched columns once
+    # more. The pin bounds the chunk count so a packer regression (one
+    # chunk per alias — the defect this replaces, 16 scans) fails here.
     plan_df = describe_frame(lineitem, exact=False, include_mad=False)
-    assert scan_count(plan_df) == 1
+    assert scan_count(plan_df) == 3
+    subsets = [set(s) for s in read_schema_columns(plan_df)]
+    arith = [s for s in subsets if len(s) < len(lineitem.columns)]
+    assert len(arith) >= 2, subsets
+    for i, a in enumerate(arith):
+        for b in arith[i + 1:]:
+            assert not (a & b), f"chunk column overlap: {a & b}"
 
 
 def test_describe_approx_mad_adds_bounded_scans(lineitem):
     # mad needs the finished mean first, so include_mad=True costs one
-    # full extra scan plus one NARROW means-only scan (Catalyst prunes
-    # the broadcast mean subtree down to `avg` over just the numeric
-    # columns — cheaper than forcing the full sketch bundle through a
-    # reused exchange). The static plan therefore shows 3 scans; at
-    # runtime AQE's query-stage reuse dedupes the two identical narrow
-    # shuffles. The declared approx path (include_mad=False, what
-    # describe_lineitem_approx and bench run) is the single-scan plan
+    # full extra scan plus one NARROW dedicated means-only scan (round
+    # 16: re-aggregated directly rather than pruned through the chunk
+    # chain, which replayed one scan per chunk — 33 scans). 3 chunk
+    # scans + 2 mad scans. The declared approx path (include_mad=False,
+    # what describe_lineitem_approx and bench run) is the 3-chunk plan
     # pinned above.
     plan_df = describe_frame(lineitem, exact=False, include_mad=True)
-    assert scan_count(plan_df) == 3
+    assert scan_count(plan_df) == 5
 
 
 def test_describe_exact_is_two_scans(lineitem):
