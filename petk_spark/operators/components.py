@@ -201,9 +201,15 @@ def _star_components(
 
     for _ in range(max_iterations):
         new_e = small_star(large_star(e)).localCheckpoint(eager=True)
+        # ONE symmetric-difference probe job per round (round 16: the
+        # two separate exceptAll().limit(1).count() actions doubled the
+        # per-round driver latency; the union short-circuits identically
+        # — changed == 0 iff the edge sets are equal).
         changed = (
-            new_e.exceptAll(e).limit(1).count()
-            + e.exceptAll(new_e).limit(1).count()
+            new_e.exceptAll(e)
+            .unionAll(e.exceptAll(new_e))
+            .limit(1)
+            .count()
         )
         e = new_e
         if changed == 0:

@@ -893,7 +893,7 @@ def embedding_near_dup_lsh(
         entries.append(
             F.struct(
                 F.lit(band).alias("band"),
-                hyperplane_signature(F.col("vec"), planes).alias("bucket"),
+                hyperplane_signature("vec", planes).alias("bucket"),
             )
         )
     buckets = (

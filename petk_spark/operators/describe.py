@@ -10,27 +10,34 @@ frame by exploding an array of structs over the 1-row aggregate.
 Expressions are generated as SQL text and parsed once (a Column-object
 builder at this width costs seconds of py4j round trips).
 
-Job structure: approx mode (the 100 TB path) is ONE scan — the central
-moments behind skewness/kurtosis are computed in the same bundle as
-one-pass SHIFTED power sums ``avg((x-a)^k)`` with a per-column anchor
-``a`` read from the parquet footer (driver-side metadata, no job; see
-``_moment_anchors``), which is as stable as a two-pass for any anchor
-near the data. ``include_mad=True`` adds one full scan (mad needs the
-finished mean first) plus one narrow means-only scan that AQE's
-query-stage reuse dedupes at runtime. Exact mode is
-two fused scans: the main moment bundle, plus ONE value-histogram pass
-(``groupBy(column_id, value)``) that yields BOTH exact distinct counts
-AND exact linear-interpolated percentiles for every applicable column.
-This replaces the naive ``count(DISTINCT)`` (Catalyst plans multi-column
-distinct via EXPAND — row replication per distinct group) and
-``percentile`` (ObjectHashAggregate: buffers every value of a column on
-a single reducer, interpreted, unmergeable) — both measured as the
-dominant cost at sf0.1 and both non-starters at 100 TB. The histogram is
-hash-partitioned on (column, value) with map-side partial aggregation,
-so the shuffle carries only distinct values; rank arithmetic over a
-per-column running count then recovers pandas-exact quantiles.
-``include_mad`` is free in exact mode (computed from the value
-histogram: Σ cnt·|v − mean| / n over distinct values).
+Job structure (round 16): approx mode (the 100 TB path) reads each
+column's bytes once across codegen-sized aggregate chunks (see
+``_pack_agg_chunks``) — the central moments behind skewness/kurtosis
+are computed in the same bundle as one-pass SHIFTED power sums
+``avg((x-a)^k)`` with a per-column anchor ``a`` read from the parquet
+footer (driver-side metadata, no job; see ``_moment_anchors``), which
+is as stable as a two-pass for any anchor near the data.
+``include_mad=True`` adds one full scan (mad needs the finished mean
+first) plus one narrow means-only scan. Exact mode is ONE full data
+pass: the value-histogram (``groupBy(column_id, value)``) yields EVERY
+statistic — exact distinct counts, exact linear-interpolated
+percentiles, count/min/max/mean/sum/variance, zero/infinite counts,
+central moments and mad — through a linear per-cid DAG (window rank →
+one narrow compiled groupBy(cid) for the ranked columns, one for the
+rest, one tiny pivot); the only other job is a zero-column count(1)
+for the row total. This replaces the naive ``count(DISTINCT)``
+(Catalyst plans multi-column distinct via EXPAND — row replication per
+distinct group) and ``percentile`` (ObjectHashAggregate: buffers every
+value of a column on a single reducer, interpreted, unmergeable) —
+both measured as the dominant cost at sf0.1 and both non-starters at
+100 TB — as well as the second fused full pass that rounds 2-15
+carried (a >100-field bundle that also ran interpreted under the
+codegen field limit). The histogram is hash-partitioned on (column,
+value) with map-side partial aggregation, so the shuffle carries only
+distinct values; rank arithmetic over a per-column running count then
+recovers pandas-exact quantiles. ``include_mad`` is free in exact mode
+(computed from the value histogram: Σ cnt·|v − mean| / n over distinct
+values).
 
 Statistics and their type gating mirror petk/tools.py exactly:
   * all types:       content_type, memory_usage, count, p_null, n_null
@@ -335,7 +342,9 @@ def _agg_sql(
     return out
 
 
-def _bucketed_ranked(hist: DataFrame, totals: DataFrame, q_idx) -> DataFrame:
+def _bucketed_ranked(
+    hist: DataFrame, totals: DataFrame, q_idx, need_wsum: bool = False
+) -> DataFrame:
     """Distributed two-stage prefix sum over the value histogram — the
     100 TB rank path: each distinct value is assigned an ORDERED bucket
     (width_bucket over a log-compressed value domain), per-(cid, bucket)
@@ -359,11 +368,12 @@ def _bucketed_ranked(hist: DataFrame, totals: DataFrame, q_idx) -> DataFrame:
         .when(F.col("mn_f").isNull() | (smx <= smn), F.lit(1))
         .otherwise(F.width_bucket(sv, smn, smx, F.lit(B)))
     )
+    tot_cols = ["cid", "ntot", "mn_f", "mx_f"] + (
+        ["wsum"] if need_wsum else []
+    )
     bpart = (
         hist.filter(F.col("cid").isin(q_idx))
-        .join(
-            F.broadcast(totals.select("cid", "ntot", "mn_f", "mx_f")), ["cid"]
-        )
+        .join(F.broadcast(totals.select(*tot_cols)), ["cid"])
         .withColumn("bucket", bucket)
         .drop("mn_f", "mx_f")
     )
@@ -389,6 +399,7 @@ def _bucketed_ranked(hist: DataFrame, totals: DataFrame, q_idx) -> DataFrame:
         "cnt",
         "ntot",
         (F.col("off") + F.sum("cnt").over(w_cum)).alias("cum"),
+        *(["wsum"] if need_wsum else []),
     )
 
 
@@ -509,235 +520,240 @@ def _exact_value_stats(
         .groupBy("cid", "vnum", "vstr")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    if q_cols:
-        # The histogram feeds three branches (totals, subtotals, ranks);
-        # cache it so the source is scanned once, not per branch.
-        hist = hist.persist()
 
-    # Per-cid totals: distinct count = histogram rows, ntot = non-null
-    # rows, finite value bounds for the rank bucketing, plus (round 16,
-    # full_stats) the raw extrema and the exact infinite/zero row
-    # counts — all identities over the grouped values, one narrow
-    # compiled hash aggregation, balanced regardless of skew.
-    finite_v = F.when(
-        F.isnan(F.col("vnum")) | (F.abs(F.col("vnum")) == float("inf")), None
-    ).otherwise(F.col("vnum"))
-    total_aggs = [
-        F.count(F.lit(1)).alias("ndistinct"),
-        F.sum("cnt").alias("ntot"),
-        F.min(finite_v).alias("mn_f"),
-        F.max(finite_v).alias("mx_f"),
-        F.sum(F.col("vnum") * F.col("cnt")).alias("wsum"),
-    ]
-    if full_stats:
-        total_aggs += [
-            F.min("vnum").alias("mn"),
-            F.max("vnum").alias("mx"),
-            F.sum(
-                F.when(F.abs(F.col("vnum")) == float("inf"), F.col("cnt"))
-                .otherwise(F.lit(0))
-            ).alias("ninf"),
-            F.sum(
-                F.when(F.col("vnum") == 0.0, F.col("cnt")).otherwise(F.lit(0))
-            ).alias("nzero"),
+    # ------------------------------------------------------------------
+    # Linear per-cid statistics DAG (round 16, guide §2.4 "remove
+    # shuffles outright" / §1.2). The previous assembly crossJoined
+    # SEPARATE 1-row broadcast aggregates (distinct pivot over totals,
+    # quantile pivot over the ranked frame, moment pivot) — five to six
+    # subtrees each re-consuming the histogram, which the racing
+    # broadcast threads re-aggregated per consumer (measured: six
+    # 7-19 s reduce stages per describe_lineitem run at sf0.1). Now the
+    # histogram has exactly TWO disjoint consumers:
+    #
+    #   * ``chain`` — the quantile/moment columns: ONE window stage
+    #     (running count `cum`, plus whole-partition ntot/wsum in the
+    #     same exchange) feeding ONE narrow compiled groupBy(cid)
+    #     aggregate that computes ndistinct/ntot/min/max/n_inf/n_zeros,
+    #     the quantile bracket picks, the central-moment sums and mad —
+    #     everything — in a single pass;
+    #   * ``rest`` — the remaining (string/bool) cids: one narrow
+    #     groupBy(cid) over their histogram rows.
+    #
+    # The two are unioned (≤ ncols rows) and pivoted to one row in a
+    # single final aggregate — no broadcast crossJoins, no diamond, no
+    # repeated reduction. The wide conditional pivot runs over ncols
+    # ROWS, so interpreted evaluation there is irrelevant.
+    num_cols = [c for c in cols if ltypes[c] == constants.TYPE_NUM] if moments else []
+    mom_set = list(dict.fromkeys(num_cols + [c for c in cols if c in mad_cols]))
+    chain_set = set(q_cols) | set(mom_set)
+    chain_cols = [c for c in need if c in chain_set]
+    chain_idx = [idx[c] for c in chain_cols]
+    rest_cols = [c for c in need if c not in chain_set]
+    need_wsum = bool(mom_set) or full_stats
+
+    if rank_strategy == "auto":
+        nbytes = source_bytes(df)
+        rank_strategy = (
+            "windowed"
+            if nbytes is not None and nbytes < _WINDOWED_MAX_BYTES
+            else "bucketed"
+        )
+
+    # The histogram is NOT persisted (round 16): its consumers (chain +
+    # rest, + totals in bucketed mode) share the underlying shuffle via
+    # AQE's query-stage cache — the expensive map side (scan, explode,
+    # partial aggregation) runs exactly once regardless — so a cache
+    # would only dedupe the cheap final reduce while pinning the whole
+    # histogram in storage memory. The previous persist() was never
+    # unpersisted (lazy frame, unknowable lifetime): dead histogram
+    # blocks accumulated until the periodic ContextCleaner GC, and the
+    # resulting old-gen pressure showed up as bimodal 5→19 s walls on
+    # describe_orders_customer (measured this round). Unbounded memory
+    # for a derived-from-100TB histogram is also the wrong scale shape.
+
+    frames = []
+    if chain_cols:
+        if rank_strategy == "windowed":
+            # Small-source fast path: one running-count window per
+            # column. Provably safe here (the gate bounds the reducer's
+            # worst case by the source size). ntot/wsum ride the SAME
+            # exchange as whole-partition window sums — no totals
+            # subtree, no broadcast join. ntot is an exact integer in
+            # any summation order; wsum's float order is absorbed by
+            # the %.6e oracle contract (re-proven this round).
+            w_cum = (
+                Window.partitionBy("cid")
+                .orderBy("vnum", "vstr")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            w_all = Window.partitionBy("cid")
+            sel = [
+                "cid",
+                "vnum",
+                "cnt",
+                F.sum("cnt").over(w_all).alias("ntot"),
+                F.sum("cnt").over(w_cum).alias("cum"),
+            ]
+            if need_wsum:
+                sel.append(
+                    F.sum(F.col("vnum") * F.col("cnt")).over(w_all).alias("wsum")
+                )
+            ranked = hist.filter(F.col("cid").isin(chain_idx)).select(*sel)
+        else:
+            # Scale path: the distributed two-stage prefix sum needs the
+            # per-cid bounds, so it keeps the narrow totals aggregate +
+            # broadcast join (a third histogram consumer, still narrow).
+            finite_v = F.when(
+                F.isnan(F.col("vnum"))
+                | (F.abs(F.col("vnum")) == float("inf")),
+                None,
+            ).otherwise(F.col("vnum"))
+            totals = hist.groupBy("cid").agg(
+                F.sum("cnt").alias("ntot"),
+                F.min(finite_v).alias("mn_f"),
+                F.max(finite_v).alias("mx_f"),
+                F.sum(F.col("vnum") * F.col("cnt")).alias("wsum"),
+            )
+            ranked = _bucketed_ranked(hist, totals, chain_idx, need_wsum)
+
+        ch_aggs = [
+            F.expr("count(1) AS ndistinct"),
+            F.expr("max(ntot) AS ntot"),
+            F.expr("min(vnum) AS mn"),
+            F.expr("max(vnum) AS mx"),
+            F.expr(
+                "sum(IF(abs(vnum) = double('inf'), cnt, 0L)) AS ninf"
+            ),
+            F.expr("sum(IF(vnum = 0.0D, cnt, 0L)) AS nzero"),
         ]
-    totals = hist.groupBy("cid").agg(*total_aggs)
+        if need_wsum:
+            ch_aggs.append(F.expr("max(wsum) AS wsum"))
+        for j, p in enumerate(probs):
+            # A histogram row for value v covers 0-based ranks
+            # [cum-cnt, cum); pick the rows covering floor(h) / ceil(h).
+            for bound, fn in (("lo", "floor"), ("hi", "ceil")):
+                r = f"{fn}((ntot - 1) * CAST({p} AS DOUBLE))"
+                ch_aggs.append(
+                    F.expr(
+                        f"max(IF(cum - cnt <= {r} AND {r} < cum,"
+                        f" vnum, NULL)) AS _q{bound}{j}"
+                    )
+                )
+        # mad AND the central moments behind skewness/kurtosis come
+        # from the histogram instead of extra source scans: mean =
+        # Σ cnt·v / n, then m_k = Σ cnt·(v − mean)^k / n over DISTINCT
+        # values — algebraically identical to the row-level two-pass
+        # (and to the DuckDB oracle's explicit formula). Float
+        # summation order differs from a row-level pass, which the
+        # %.6e oracle contract absorbs exactly as it absorbs
+        # cross-engine order differences.
+        for k in (2, 3, 4) if num_cols else ():
+            ch_aggs.append(
+                F.expr(f"sum(cnt * pow(vnum - wsum / ntot, {k})) AS _ms{k}")
+            )
+        if mad_cols:
+            ch_aggs.append(
+                F.expr("sum(cnt * abs(vnum - wsum / ntot)) AS _mad")
+            )
+        frames.append(ranked.groupBy("cid").agg(*ch_aggs))
+    if rest_cols:
+        rest_hist = (
+            hist.filter(~F.col("cid").isin(chain_idx)) if chain_cols else hist
+        )
+        frames.append(
+            rest_hist.groupBy("cid").agg(
+                F.expr("count(1) AS ndistinct"),
+                F.expr("sum(cnt) AS ntot"),
+                F.expr("sum(vnum * cnt) AS wsum"),
+            )
+        )
+    cidstats = frames[0]
+    for fr in frames[1:]:
+        cidstats = cidstats.unionByName(fr, allowMissingColumns=True)
 
     # coalesce: an all-null column contributes no histogram rows, so its
-    # cid is absent from totals — nunique of an empty series is 0, not
-    # NULL (petk/tools.py:28). _qn stays NULL: quantiles of nothing are
-    # NULL, and the bracket IFs never fire without rows anyway.
-    dist_aggs = [
+    # cid is absent — nunique of an empty series is 0, not NULL
+    # (petk/tools.py:28). _qn stays NULL: quantiles of nothing are NULL.
+    pivot = [
         f"coalesce(max(IF(cid = {idx[c]}, ndistinct, NULL)), 0)"
         f" AS `{c}::distinct_count`"
         for c in dist_cols
     ] + [
         f"max(IF(cid = {idx[c]}, ntot, NULL)) AS `{c}::_qn`" for c in q_cols
     ]
+    for c in q_cols:
+        i = idx[c]
+        for j in range(len(probs)):
+            for bound in ("lo", "hi"):
+                pivot.append(
+                    f"max(IF(cid = {i}, _q{bound}{j}, NULL))"
+                    f" AS `{c}::_q{bound}{j}`"
+                )
+    for c in mom_set:
+        i = idx[c]
+        if c in num_cols:
+            for k in (2, 3, 4):
+                # try_divide: an all-null or constant column yields NULL
+                # moments instead of ANSI DIVIDE_BY_ZERO (the Spark
+                # builtin aggregates throw on m2 = 0).
+                pivot.append(
+                    f"try_divide(max(IF(cid = {i}, _ms{k}, NULL)),"
+                    f" max(IF(cid = {i}, ntot, NULL))) AS `{c}::_m{k}`"
+                )
+            if full_stats:
+                # Sample variance from the same centered sum:
+                # Σ cnt·(v − mean)² / (n − 1); try_divide yields NULL
+                # for n = 1 (var_samp's semantics) and the absent-cid
+                # NULLs propagate for all-null columns.
+                pivot.append(
+                    f"try_divide(max(IF(cid = {i}, _ms2, NULL)),"
+                    f" max(IF(cid = {i}, ntot, NULL)) - 1)"
+                    f" AS `{c}::variance`"
+                )
+        if c in mad_cols:
+            pivot.append(
+                f"try_divide(max(IF(cid = {i}, _mad, NULL)),"
+                f" max(IF(cid = {i}, ntot, NULL))) AS `{c}::mad`"
+            )
     if full_stats:
-        # The wide conditional pivots below run over ncols ROWS (the
-        # totals frame), so interpreted evaluation is irrelevant — the
-        # data-heavy stages (scan, explode, histogram groupBy, totals)
-        # all stay narrow and compiled.
         for c in need:
             i = idx[c]
-            dist_aggs.append(
+            pivot.append(
                 f"coalesce(max(IF(cid = {i}, ntot, NULL)), 0)"
                 f" AS `{c}::count`"
             )
-            if ltypes[c] == constants.TYPE_BOOL:
-                dist_aggs.append(
+            if ltypes[c] in (constants.TYPE_BOOL, constants.TYPE_NUM):
+                pivot.append(
                     f"try_divide(max(IF(cid = {i}, wsum, NULL)),"
                     f" max(IF(cid = {i}, ntot, NULL))) AS `{c}::mean`"
                 )
         for c in q_cols:
             i = idx[c]
-            dist_aggs += [
+            pivot += [
                 f"max(IF(cid = {i}, mn, NULL)) AS `{c}::min`",
                 f"max(IF(cid = {i}, mx, NULL)) AS `{c}::max`",
             ]
             if ltypes[c] == constants.TYPE_NUM:
-                dist_aggs += [
-                    f"try_divide(max(IF(cid = {i}, wsum, NULL)),"
-                    f" max(IF(cid = {i}, ntot, NULL))) AS `{c}::mean`",
+                pivot += [
                     f"max(IF(cid = {i}, wsum, NULL)) AS `{c}::sum`",
                     f"coalesce(max(IF(cid = {i}, ninf, NULL)), 0)"
                     f" AS `{c}::n_infinite`",
                     f"coalesce(max(IF(cid = {i}, nzero, NULL)), 0)"
                     f" AS `{c}::n_zeros`",
                 ]
-    one = totals.agg(*[F.expr(a) for a in dist_aggs])
-
-    if q_cols:
-        q_idx = [idx[c] for c in q_cols]
-        if rank_strategy == "auto":
-            nbytes = source_bytes(df)
-            rank_strategy = (
-                "windowed"
-                if nbytes is not None and nbytes < _WINDOWED_MAX_BYTES
-                else "bucketed"
-            )
-        if rank_strategy == "windowed":
-            # Small-source fast path: one running-count window per
-            # column. Provably safe here (the gate bounds the reducer's
-            # worst case by the source size) and ~2× fewer stages /
-            # broadcasts than the bucketed rank — measured 4.4 s → 2.5 s
-            # per describe at sf0.1.
-            w_cum = (
-                Window.partitionBy("cid")
-                .orderBy("vnum", "vstr")
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            )
-            ranked = (
-                hist.filter(F.col("cid").isin(q_idx))
-                .join(F.broadcast(totals.select("cid", "ntot")), ["cid"])
-                .select(
-                    "cid",
-                    "vnum",
-                    "cnt",
-                    "ntot",
-                    F.sum("cnt").over(w_cum).alias("cum"),
-                )
-            )
-        else:
-            ranked = _bucketed_ranked(hist, totals, q_idx)
-
-        # Bracket pre-filter (round 16 optimization, guide §1.2): the
-        # conditional-max pivot below is a wide (ncols × nprobs × 2
-        # alias) aggregate that exceeds the codegen field limit, so it
-        # ran INTERPRETED over every ranked histogram row. Rows that
-        # bracket no quantile rank contribute NULL to every alias —
-        # max() ignores them — so filtering to bracket rows first is
-        # value-identical and shrinks the wide aggregate's input from
-        # the full histogram to ≤ ncols × nprobs × 2 rows. The filter
-        # itself is a narrow compiled predicate over (cum, cnt, ntot).
-        brackets = []
-        for p in probs:
-            for fn in ("floor", "ceil"):
-                r = f"{fn}((ntot - 1) * CAST({p} AS DOUBLE))"
-                brackets.append(f"(cum - cnt <= {r} AND {r} < cum)")
-        ranked = ranked.where(" OR ".join(brackets))
-        q_aggs = []
-        for c in q_cols:
-            i = idx[c]
-            for j, p in enumerate(probs):
-                # A histogram row for value v covers 0-based ranks
-                # [cum-cnt, cum); pick the rows covering floor(h) / ceil(h).
-                for bound, fn in (("lo", "floor"), ("hi", "ceil")):
-                    r = f"{fn}((ntot - 1) * CAST({p} AS DOUBLE))"
-                    q_aggs.append(
-                        f"max(IF(cid = {i} AND cum - cnt <= {r} AND {r} < cum,"
-                        f" vnum, NULL)) AS `{c}::_q{bound}{j}`"
-                    )
-        one = one.crossJoin(F.broadcast(ranked.agg(*[F.expr(a) for a in q_aggs])))
-
-    num_cols = [c for c in cols if ltypes[c] == constants.TYPE_NUM] if moments else []
-    mom_set = list(dict.fromkeys(num_cols + [c for c in cols if c in mad_cols]))
-    if mom_set:
-        # mad AND the central moments behind skewness/kurtosis come from
-        # the (persisted) histogram instead of extra source scans:
-        # mean = Σ cnt·v / n, then m_k = Σ cnt·(v − mean)^k / n over
-        # DISTINCT values — algebraically identical to the row-level
-        # two-pass (and to the DuckDB oracle's explicit formula), two
-        # full scans cheaper than a means+second-pass chain. Float
-        # summation order differs from a row-level pass, which the %.6e
-        # oracle contract absorbs exactly as it absorbs cross-engine
-        # order differences. try_divide: an all-null or constant column
-        # yields NULL moments instead of ANSI DIVIDE_BY_ZERO (the Spark
-        # builtin aggregates throw on m2 = 0). With moments=False the
-        # branch still serves mad_cols alone (the banded approx
-        # validator rides its mad on this histogram).
-        m_idx = [idx[c] for c in mom_set]
-        # Two-stage moment aggregation (round 16 optimization, guide
-        # §1.2): the previous single conditional pivot — 4 × ncols
-        # sum(IF(cid = i, ...)) aliases over every histogram row — blew
-        # the codegen field limit and ran interpreted. Grouping by cid
-        # first is a NARROW compiled aggregate (the same addends
-        # accumulate per cid in the same per-partition row order, so
-        # each sum is the identical float sequence); the conditional
-        # pivot then runs over ncols rows instead of the histogram.
-        per_cid_aggs = [
-            F.expr(f"sum(cnt * pow(vnum - wsum / ntot, {k})) AS _ms{k}")
-            for k in ((2, 3, 4) if num_cols else ())
-        ]
-        if mad_cols:
-            per_cid_aggs.append(
-                F.expr("sum(cnt * abs(vnum - wsum / ntot)) AS _mad")
-            )
-        per_cid_aggs.append(F.expr("max(ntot) AS _nt"))
-        per_cid = (
-            hist.filter(F.col("cid").isin(m_idx))
-            .join(F.broadcast(totals.select("cid", "ntot", "wsum")), ["cid"])
-            .groupBy("cid")
-            .agg(*per_cid_aggs)
-        )
-        mom_aggs = []
-        for c in mom_set:
-            i = idx[c]
-            if c in num_cols:
-                for k in (2, 3, 4):
-                    mom_aggs.append(
-                        f"try_divide(max(IF(cid = {i}, _ms{k}, NULL)),"
-                        f" max(IF(cid = {i}, _nt, NULL))) AS `{c}::_m{k}`"
-                    )
-                if full_stats:
-                    # Sample variance from the same centered sum:
-                    # Σ cnt·(v − mean)² / (n − 1); try_divide yields
-                    # NULL for n = 1 (var_samp's semantics) and the
-                    # absent-cid NULLs propagate for all-null columns.
-                    mom_aggs.append(
-                        f"try_divide(max(IF(cid = {i}, _ms2, NULL)),"
-                        f" max(IF(cid = {i}, _nt, NULL)) - 1)"
-                        f" AS `{c}::variance`"
-                    )
-            if c in mad_cols:
-                mom_aggs.append(
-                    f"try_divide(max(IF(cid = {i}, _mad, NULL)),"
-                    f" max(IF(cid = {i}, _nt, NULL))) AS `{c}::mad`"
-                )
-        mom_row = per_cid.agg(*[F.expr(a) for a in mom_aggs])
-        derived = [
-            e
-            for c in num_cols
-            for e in (
-                f"try_divide(`{c}::_m3`, pow(`{c}::_m2`, 1.5)) AS `{c}::_g1`",
-                f"try_divide(`{c}::_m4`, pow(`{c}::_m2`, 2)) - 3 AS `{c}::_g2`",
-            )
-        ] + [f"`{c}::mad`" for c in mom_set if c in mad_cols]
-        if full_stats:
-            derived += [
-                e
-                for c in num_cols
-                for e in (
-                    f"`{c}::variance`",
-                    f"sqrt(`{c}::variance`) AS `{c}::std`",
-                )
-            ]
-        one = one.crossJoin(F.broadcast(mom_row.selectExpr(*derived)))
+    one = cidstats.agg(*[F.expr(a) for a in pivot])
 
     final = [f"`{c}::distinct_count`" for c in dist_cols]
     final += [f"`{c}::mad`" for c in mom_set if c in mad_cols]
-    final += [e for c in num_cols for e in (f"`{c}::_g1`", f"`{c}::_g2`")]
+    final += [
+        e
+        for c in num_cols
+        for e in (
+            f"try_divide(`{c}::_m3`, pow(`{c}::_m2`, 1.5)) AS `{c}::_g1`",
+            f"try_divide(`{c}::_m4`, pow(`{c}::_m2`, 2)) - 3 AS `{c}::_g2`",
+        )
+    ]
     if full_stats:
         final += [f"`{c}::count`" for c in need]
         final += [
@@ -748,7 +764,7 @@ def _exact_value_stats(
         for c in num_cols:
             final += [
                 f"`{c}::sum`", f"`{c}::n_infinite`", f"`{c}::n_zeros`",
-                f"`{c}::variance`", f"`{c}::std`",
+                f"`{c}::variance`", f"sqrt(`{c}::variance`) AS `{c}::std`",
             ]
     for c in q_cols:
         n = f"`{c}::_qn`"
@@ -1040,17 +1056,14 @@ def describe_frame(
     Booleans are encoded 1.0/0.0 in value_num; content_type lives in
     value_str; DATE min/max/quantiles are epoch seconds.
 
-    Codegen note: the wide (>100-field) stages of this plan — the fused
-    aggregate and the 1-row reshaping — fall back to interpreted mode
-    under the default ``spark.sql.codegen.maxFields=100``, and that is
-    the intended single-shot behavior: compiling them costs ~7 s of
-    Janino time per distinct plan while all data-heavy narrow stages
-    (scan, histogram groupBy, rank windows) still compile. A deployment
-    that reuses one profile plan across many runs can raise maxFields
-    session-wide to also compile the wide aggregate (~10% steady-state
-    gain at sf0.1); this operator deliberately does NOT mutate session
-    config. Round 1 raised it here and a round-2 measurement showed the
-    compile tax dominating every cold profile.
+    Codegen note (round 16): every DATA-HEAVY stage of both modes now
+    compiles — exact mode has no wide aggregate at all (the histogram
+    chain is narrow), approx mode chunks the bundle under the
+    ``spark.sql.codegen.maxFields`` limit (see ``_pack_agg_chunks``).
+    The only interpreted pieces left are 1-row/ncols-row reshaping,
+    where evaluation mode is irrelevant. Session config is deliberately
+    never mutated (round-2 measurement: raising maxFields globally
+    churns the codegen cache on the array-heavy bundles).
     """
     cols = find_columns(df, columns)
     # Prune before the (possible) repartition so a starved scan shuffles

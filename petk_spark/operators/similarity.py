@@ -95,11 +95,36 @@ def embedding_profile(df: DataFrame, vec_col: str) -> DataFrame:
 
 
 def hyperplane_signature(
-    vec: Column, planes: list[list[float]]
+    vec: Column | str, planes: list[list[float]]
 ) -> Column:
     """Sign-bit signature of ``vec`` against fixed hyperplanes → BIGINT
     bucket id. Planes are literals folded into the plan (deterministic,
-    no model state)."""
+    no model state).
+
+    ``vec`` as a column NAME builds the whole signature as ONE parsed
+    SQL expression — the previous per-element ``F.lit`` build cost
+    n_planes × dim py4j round trips (~0.7 s per call at 6×64, measured
+    r16: most of cosine_topk_lsh's wall was plan construction). The
+    parsed text constant-folds to the identical literals (repr
+    round-trip + correctly-rounded string→double cast) and the same
+    fold/compare expressions, so bucket ids are bit-identical — pinned
+    by test_lsh_signature_text_equals_column. A Column argument keeps
+    the original builder for arbitrary expressions."""
+    if isinstance(vec, str):
+        vec_sql = f"`{vec}`"
+        sig = "CAST(0 AS BIGINT)"
+        for i, plane in enumerate(planes):
+            arr = "array(" + ", ".join(_sql_double(x) for x in plane) + ")"
+            dot = (
+                f"aggregate(zip_with({vec_sql}, {arr},"
+                f" (a, b) -> CAST(a AS DOUBLE) * b),"
+                f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+            sig = (
+                f"({sig} + (CASE WHEN {dot} >= 0"
+                f" THEN CAST({1 << i} AS BIGINT) ELSE 0 END))"
+            )
+        return F.expr(sig)
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         arr = F.array(*[F.lit(float(x)) for x in plane])
@@ -144,12 +169,12 @@ def cosine_topk_lsh(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+        hyperplane_signature(vec_col, planes).alias("bucket"),
     )
     qsig = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        hyperplane_signature(F.col(vec_col), planes).alias("b0"),
+        hyperplane_signature(vec_col, planes).alias("b0"),
     )
     probes = [F.col("b0")] + [
         F.col("b0").bitwiseXOR(F.lit(1 << i)) for i in range(max(n_probes - 1, 0))
@@ -195,6 +220,22 @@ _IVF_LITERAL_MAX = 64
 #: #7: docs now match the code).
 _CENTROID_BC_CACHE: dict = {}
 _CENTROID_BC_CACHE_MAX = 8
+
+
+def _sql_double(v: float) -> str:
+    """SQL text for an exact double literal: ``repr`` round-trips the
+    value and Spark's string→double cast is correctly rounded, so the
+    parsed (and constant-folded) literal is bit-identical to
+    ``F.lit(float(v))`` — at one py4j call for a whole array instead of
+    one per element."""
+    v = float(v)
+    if v != v:
+        return "CAST('NaN' AS DOUBLE)"
+    if v == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if v == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"CAST('{v!r}' AS DOUBLE)"
 
 
 def _centroid_broadcast(spark, centroids: list[list[float]]):
@@ -312,6 +353,85 @@ def _fold_assign_udf(spark, centroids: list[list[float]]):
         return pd.Series(out, dtype="object")
 
     return assign
+
+
+def _fold_topn_udf(spark, centroids: list[list[float]], n_best: int):
+    """Arrow-batched top-``n_best`` centroid ranking that reproduces
+    the plan-literal probe path's arithmetic BIT FOR BIT (optimization
+    round 16, guide §4.2 — the probing sibling of
+    :func:`_fold_assign_udf`): the literal
+    ``slice(reverse(array_sort(struct(score, -id))), 1, n)`` expression
+    costs ~1.3 s of py4j driver time PER CALL to build (8 centroids ×
+    64 dims of ``F.lit`` round trips, measured r16) plus the Catalyst
+    analysis/codegen of a 512-literal tree — on a 10-row query frame,
+    pure overhead. This kernel runs the identical float64 fold
+    operations (left folds in element order, ``try_divide`` → NULL
+    level, Spark's struct ordering: NULL score < every number < NaN,
+    ties → LOWER centroid id via stable sort) and returns the ordered
+    top-n list; malformed query vectors get NULL (explodes to zero
+    probe rows, same as the gated literal expression). Row-identity
+    with the literal path, degenerate fixtures included, is pinned by
+    ``test_probe_fold_equals_literal``."""
+    import math
+
+    C = [[float(x) for x in cen] for cen in centroids]
+    dim = len(C[0])
+    nbs = []
+    for cen in C:
+        acc = 0.0
+        for x in cen:
+            acc = acc + x * x
+        nbs.append(math.sqrt(acc))
+    bc = spark.sparkContext.broadcast((C, nbs, dim))
+
+    @F.pandas_udf("array<int>")
+    def topn(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        C, nbs, dim = bc.value
+        k = len(C)
+        out: list = [None] * len(vs)
+        idx: list = []
+        rows: list = []
+        for i, v in enumerate(vs):
+            if v is None or len(v) != dim:
+                continue
+            idx.append(i)
+            rows.append(np.asarray(v, dtype=np.float64))
+        if not idx:
+            return pd.Series(out, dtype="object")
+        X = np.vstack(rows)
+        n = X.shape[0]
+        sumsq = np.zeros(n)
+        for d in range(dim):
+            x = X[:, d]
+            sumsq = sumsq + x * x
+        ok = (sumsq > 0) & np.isfinite(sumsq)
+        na = np.sqrt(sumsq)
+        L = np.zeros((n, k), dtype=np.int8)
+        V = np.zeros((n, k))
+        for j, cj in enumerate(C):
+            dot = np.zeros(n)
+            for d in range(dim):
+                dot = dot + X[:, d] * cj[d]
+            denom = na * nbs[j]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                score = dot / denom
+            isnull = denom == 0.0  # try_divide → NULL score
+            isnan = np.isnan(score) & ~isnull
+            L[:, j] = np.where(isnull, 0, np.where(isnan, 2, 1))
+            V[:, j] = np.where(L[:, j] == 1, score, 0.0)
+        top = min(n_best, k)
+        for pos, i in enumerate(idx):
+            if not ok[pos]:
+                continue
+            # exact lexicographic (lev desc, score desc, id asc) — the
+            # descending walk of Spark's sorted (score, -id) structs
+            order = np.lexsort((np.arange(k), -V[pos], -L[pos]))[:top]
+            out[i] = [int(j) for j in order]
+        return pd.Series(out, dtype="object")
+
+    return topn
 
 
 def _topn_centroid_udf(spark, centroids: list[list[float]], n_best: int):
@@ -536,14 +656,37 @@ def _probe_frame(
     n_probes: int,
     id_col: str,
     vec_col: str,
+    method: str | None = None,
 ) -> DataFrame:
     """(query_id, qv, centroid_id) — each query exploded to its
-    ``n_probes`` nearest centroids. Same two physical strategies as
-    :func:`ivf_assign` (plan literals vs broadcast-numpy Arrow)."""
-    if len(centroids) > _IVF_LITERAL_MAX:
+    ``n_probes`` nearest centroids. Same three physical strategies as
+    :func:`ivf_assign` (round 16): the small-k default is the
+    fold-exact Arrow kernel (:func:`_fold_topn_udf`, identical
+    arithmetic to the plan-literal expressions without their ~1.3 s
+    per-call py4j build cost); ``method="literal"`` still forces the
+    plan-literal path (the equivalence test pins them row-identical);
+    beyond ``_IVF_LITERAL_MAX`` centroids the normalized-matmul Arrow
+    path keeps plan size O(1)."""
+    if method not in (None, "literal", "arrow", "fold"):
+        raise ValueError(
+            f"method must be None, 'literal', 'arrow' or 'fold',"
+            f" got {method!r}"
+        )
+    if method == "arrow" or (
+        method is None and len(centroids) > _IVF_LITERAL_MAX
+    ):
         topn = _topn_centroid_udf(
             queries.sparkSession, centroids, n_probes
         )
+        return queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(
+                topn(F.col(vec_col).cast("array<double>"))
+            ).alias("centroid_id"),
+        )
+    if method in (None, "fold"):
+        topn = _fold_topn_udf(queries.sparkSession, centroids, n_probes)
         return queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
@@ -641,8 +784,18 @@ def _cell_score_col(spark, centroids: list[list[float]], vec: Column, cid: Colum
     size O(1) in centroid count either way, map-only, no shuffle."""
     vecd = vec.cast("array<double>")
     if len(centroids) <= _IVF_LITERAL_MAX:
-        cent_arr = F.array(
-            *[F.array(*[F.lit(float(x)) for x in cen]) for cen in centroids]
+        # One parsed SQL literal instead of k×d F.lit/F.array py4j
+        # round trips (~1.2 s of driver time per health call at 8×64,
+        # measured r16). repr() round-trips the exact double and the
+        # string→double cast is correctly rounded, so the constant-
+        # folded literal is bit-identical to the F.lit build.
+        cent_arr = F.expr(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(_sql_double(x) for x in cen) + ")"
+                for cen in centroids
+            )
+            + ")"
         )
         return cosine_expr(vecd, F.element_at(cent_arr, cid + F.lit(1)))
     bc = _centroid_broadcast(spark, centroids)

@@ -113,15 +113,65 @@ def test_describe_auto_rank_uses_window_for_small_source(lineitem):
 
 def test_rank_strategies_agree(lineitem):
     # The windowed fast path and the bucketed 100 TB path are two
-    # physical plans for the SAME logical result — quantiles, distinct
-    # counts, and (histogram-derived) mad must be identical cell for
-    # cell, not merely close: both rank over the same exact histogram.
+    # physical plans for the SAME logical result. Rank-derived and
+    # integer statistics (quantiles, distinct counts, counts, extrema,
+    # zero/infinite counts and their ratios) must be identical cell for
+    # cell: both rank over the same exact histogram. The float-SUM
+    # statistics (mean/sum/std/variance/cv/mad/skew/kurt) re-associate
+    # Σ cnt·v between the strategies since round 16 — the windowed
+    # chain folds wsum in (vnum, vstr) window order, the bucketed chain
+    # in the totals hash-aggregation order — so they agree under the
+    # driver's %.6e formatting contract, the unit every hash is taken
+    # in (and test_bucketed_rank_matches_oracle pins the bucketed path
+    # against DuckDB end to end, the guarantee this proxy used to
+    # approximate).
+    FLOAT_SUM = {
+        "mean", "std", "variance", "cv", "sum", "mad",
+        "skewness", "kurtosis",
+    }
     cols = ["l_quantity", "l_extendedprice", "l_shipdate", "l_returnflag"]
     win = describe_frame(lineitem, cols, exact=True, rank_strategy="windowed")
     buc = describe_frame(lineitem, cols, exact=True, rank_strategy="bucketed")
-    rows_w = sorted(map(tuple, win.collect()))
-    rows_b = sorted(map(tuple, buc.collect()))
+
+    def norm(rows):
+        out = []
+        for r in rows:
+            v = r["value_num"]
+            if r["statistic"] in FLOAT_SUM and v is not None:
+                v = f"{v:.6e}"
+            out.append((r["column"], r["statistic"], v, r["value_str"]))
+        return sorted(out)
+
+    rows_w = norm(win.collect())
+    rows_b = norm(buc.collect())
     assert rows_w == rows_b
+
+
+def test_bucketed_rank_matches_oracle(spark):
+    # The scale path (bucketed two-stage prefix sum) hash-matches the
+    # DuckDB oracle exactly like the windowed path the small-SF gates
+    # exercise — the driver's own formatting model, full describe
+    # surface. This is the direct form of the guarantee
+    # test_rank_strategies_agree approximates.
+    import __spark_entry__ as em
+    from petk_spark.sources.tables import read_table
+    from tests.driver_replica import strict_compare
+    from tests.oracle_harness import duck_connection
+
+    sdf = em._shape_describe(
+        describe_frame(
+            read_table(spark, SF, "lineitem"),
+            None, exact=True, include_mad=True, rank_strategy="bucketed",
+        )
+    )
+    con = duck_connection(SF)
+    try:
+        ok, detail = strict_compare(
+            sdf, con, em.oracle_sql()["describe_lineitem"]
+        )
+    finally:
+        con.close()
+    assert ok, detail
 
 
 def test_describe_prunes_columns(lineitem):

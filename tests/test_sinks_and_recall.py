@@ -322,6 +322,72 @@ def test_ivf_assign_fold_equals_literal(spark):
     assert dflt == lit
 
 
+def test_probe_fold_equals_literal(spark):
+    """The fold-exact Arrow TOP-N kernel (the small-k probe DEFAULT
+    since round 16) is row-identical — ordered probe list per query —
+    to the plan-literal ``slice(reverse(array_sort(...)))`` path,
+    including exact ties (duplicate centroids → lower id first),
+    zero-norm centroids (NULL score slots rank last), NaN-scoring
+    centroids (rank FIRST, Spark's NaN-above-everything ordering) and
+    malformed query vectors (zero probe rows). The kernel replays the
+    literal path's float64 left-fold arithmetic, so cell membership of
+    every downstream IVF query is strategy-invariant."""
+    from petk_spark.operators.similarity import _probe_frame
+
+    vecs = _pseudo_vecs(120, 8)
+    cents = [v for _, v in _pseudo_vecs(5, 8, seed=99)]
+    cents.append(list(cents[0]))          # exact duplicate → tie
+    cents.append([0.0] * 8)               # zero-norm centroid
+    df = spark.createDataFrame(
+        vecs + [
+            (1000, None),
+            (1001, [1.0, 2.0]),
+            (1002, [0.0] * 8),
+            (1003, [float("nan")] * 8),
+            (1004, [float("inf")] + [1.0] * 7),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+    def ordered(method):
+        rows = _probe_frame(
+            df, cents, 3, "vec_id", "embedding", method=method
+        ).collect()
+        out: dict = {}
+        for r in rows:  # explode preserves array order per query row
+            out.setdefault(r["query_id"], []).append(r["centroid_id"])
+        return out
+
+    lit = ordered("literal")
+    fold = ordered("fold")
+    assert lit == fold and len(lit) == 120
+    assert all(len(v) == 3 for v in fold.values())
+    # default dispatch at small k routes through the fold kernel
+    assert ordered(None) == lit
+
+
+def test_lsh_signature_text_equals_column(spark):
+    """The SQL-text hyperplane signature (round 16: one parsed
+    expression instead of n_planes × dim F.lit py4j round trips) is
+    bit-identical to the Column-built form on every row — the literals
+    constant-fold to the same doubles and the fold/compare expressions
+    are the same, so LSH bucket ids (and therefore every LSH query's
+    candidate sets) are build-path-invariant."""
+    from petk_spark.operators.similarity import (
+        deterministic_planes,
+        hyperplane_signature,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    planes = deterministic_planes(64, 8, seed=42)
+    both = emb.select(
+        "vec_id",
+        hyperplane_signature("embedding", planes).alias("s_text"),
+        hyperplane_signature(F.col("embedding"), planes).alias("s_col"),
+    ).collect()
+    assert both and all(r["s_text"] == r["s_col"] for r in both)
+
+
 def test_ivf_arrow_plan_bounded_at_512_centroids(spark):
     """At n_centroids=512 the assignment plan must stay O(1) in the
     centroid count: centroids travel as ONE broadcast variable into an
