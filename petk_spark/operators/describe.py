@@ -10,9 +10,8 @@ frame by exploding an array of structs over the 1-row aggregate.
 Expressions are generated as SQL text and parsed once (a Column-object
 builder at this width costs seconds of py4j round trips).
 
-Job structure (round 16): approx mode (the 100 TB path) reads each
-column's bytes once across codegen-sized aggregate chunks (see
-``_pack_agg_chunks``) — the central moments behind skewness/kurtosis
+Job structure (round 16): approx mode (the 100 TB path) is ONE fused
+scan — the central moments behind skewness/kurtosis
 are computed in the same bundle as one-pass SHIFTED power sums
 ``avg((x-a)^k)`` with a per-column anchor ``a`` read from the parquet
 footer (driver-side metadata, no job; see ``_moment_anchors``), which
@@ -98,100 +97,6 @@ _TYPE_WIDTH = {
 }
 
 _PROBS_SQL = "array(" + ", ".join(str(p) for p in constants.QUANTILES) + ")"
-
-#: Per-chunk aggregation-buffer budget for the approx fused bundle
-#: (round 16, optimization — guide §1.2 "per-task work"). Whole-stage
-#: codegen refuses a HashAggregate whose OUTPUT field count or whose
-#: AGGREGATION-BUFFER field count exceeds ``spark.sql.codegen.maxFields``
-#: (default 100) — two independent checks, confirmed empirically this
-#: round (a 2-column bundle with >100 buffer fields stays interpreted;
-#: 4 columns of plain arithmetic compile). The full approx bundle
-#: (~120+ buffer fields on lineitem, plus percentile sketches forcing
-#: ObjectHashAggregate) ran INTERPRETED — measured 190 s of task time
-#: per run at sf0.1 (job_probe, r16) vs ~0.05 s for the same
-#: expressions split into compiled chunks. The budget estimates BUFFER
-#: fields per expression and stays under 100 so every declarative chunk
-#: compiles. Raising maxFields session-wide instead was measured in
-#: round 2 to lose globally (codegen cache churn on the array-heavy
-#: bundles); chunking gets the compiled form without touching session
-#: config.
-_CHUNK_BUDGET = 94
-
-
-def _agg_expr_cost(e: str) -> int:
-    """Estimated aggregation-buffer field cost of one declarative
-    alias. var/stddev buffers hold (n, avg, m2); avg holds (sum,
-    count). Estimates only steer chunk packing — over-estimating splits
-    one chunk too early, under-estimating loses codegen for one chunk —
-    so they need to be roughly right, not exact."""
-    if "var_samp(" in e or "stddev_samp(" in e:
-        return 3
-    if "avg(" in e:
-        return 2
-    return 1
-
-
-def _pack_agg_chunks(aggs: list[str]) -> list[list[str]]:
-    """Split the approx fused bundle's aggregate aliases into chunks
-    that each stay under the whole-stage-codegen field limit.
-
-    Two classes:
-
-    * **Sketches** — ``percentile_approx`` (TypedImperativeAggregate,
-      forces the whole stage into interpreted ObjectHashAggregate) and
-      ``approx_count_distinct`` (HLL++, a ~48-long buffer each, so even
-      two of them blow the buffer budget) — go into ONE shared chunk.
-      Their per-row update is imperative JVM code either way, so
-      codegen gains them nothing, and packing them together costs one
-      pass instead of one per sketch pair.
-    * **Declarative arithmetic** (count/min/max/avg/var/sum/IF-sums) —
-      packed greedily under ``_CHUNK_BUDGET`` buffer fields (output
-      aliases per chunk are always fewer than buffer fields here), so
-      every arithmetic chunk compiles as HashAggregate.
-
-    At sf0.1 this took the approx bundle's one 190 s interpreted stage
-    (job_probe, r16) down to one sketch stage plus compiled arithmetic
-    stages. Each chunk's scan prunes to its own column subset (one
-    column's aliases never straddle chunks), so the arithmetic chunks
-    together read each column's bytes once; the sketch chunk reads the
-    sketched columns once more — bounded extra I/O for compiled
-    arithmetic, a measured win at sf0.1 (OPTIMIZATION_r16.md)."""
-    obj: list[str] = []
-    chunks: list[list[str]] = []
-    cur: list[str] = []
-    cost = 0
-
-    def _alias_col(e: str) -> str:
-        # `col::stat` alias → col, so one column's aliases stay in one
-        # chunk (a straddling column would be scanned by two chunks).
-        tail = e.rsplit(" AS ", 1)[-1]
-        return tail.split("::", 1)[0]
-
-    blocks: dict[str, list[str]] = {}
-    order: list[str] = []
-    for e in aggs:
-        if "percentile_approx(" in e or "approx_count_distinct(" in e:
-            obj.append(e)
-            continue
-        k = _alias_col(e)
-        if k not in blocks:
-            blocks[k] = []
-            order.append(k)
-        blocks[k].append(e)
-    for k in order:
-        block = blocks[k]
-        c = sum(_agg_expr_cost(e) for e in block)
-        if cur and cost + c > _CHUNK_BUDGET:
-            chunks.append(cur)
-            cur, cost = [], 0
-        cur += block
-        cost += c
-    if cur:
-        chunks.append(cur)
-    if obj:
-        chunks.append(obj)
-    return chunks
-
 
 def find_columns(df: DataFrame, columns=None) -> list[str]:
     """Normalize/validate a column selection (petk/exploration.py:128-137):
@@ -371,9 +276,13 @@ def _bucketed_ranked(
     tot_cols = ["cid", "ntot", "mn_f", "mx_f"] + (
         ["wsum"] if need_wsum else []
     )
+    # q_idx=None: the caller already built a chain-only histogram (r16)
+    # — skipping the redundant filter keeps this subtree's exchange
+    # canonically IDENTICAL to the totals subtree's, so AQE's
+    # query-stage cache materializes the histogram shuffle once.
+    src = hist if q_idx is None else hist.filter(F.col("cid").isin(q_idx))
     bpart = (
-        hist.filter(F.col("cid").isin(q_idx))
-        .join(F.broadcast(totals.select(*tot_cols)), ["cid"])
+        src.join(F.broadcast(totals.select(*tot_cols)), ["cid"])
         .withColumn("bucket", bucket)
         .drop("mn_f", "mx_f")
     )
@@ -482,8 +391,8 @@ def _exact_value_stats(
     need = [c for c in cols if c in dist_cols or c in q_cols]
     idx = {c: i for i, c in enumerate(need)}
     dtypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    structs = []
-    for c in need:
+
+    def _struct_sql(c: str) -> str:
         if ltypes[c] in (constants.TYPE_DATE, constants.TYPE_NUM):
             nv = _nv(c, ltypes[c], dtypes.get(c))
             vs = f"CAST(`{c}` AS STRING)"
@@ -495,10 +404,6 @@ def _exact_value_stats(
             # rendering.
             nv = f"CAST(`{c}` AS DOUBLE)"
             vs = f"md5(CAST(`{c}` AS STRING))"
-            structs.append(
-                f"named_struct('cid', {idx[c]}, 'vnum', {nv}, 'vstr', {vs})"
-            )
-            continue
         else:
             nv = "CAST(NULL AS DOUBLE)"
             # STRING columns only need distinct counting, so group on a
@@ -511,15 +416,22 @@ def _exact_value_stats(
             # rendering (it is short, and the quantile rank tiebreak
             # must order by true value).
             vs = f"md5(CAST(`{c}` AS STRING))"
-        structs.append(
-            f"named_struct('cid', {idx[c]}, 'vnum', {nv}, 'vstr', {vs})"
+        return f"named_struct('cid', {idx[c]}, 'vnum', {nv}, 'vstr', {vs})"
+
+    def _hist_of(sub_cols: list[str]) -> DataFrame:
+        # One histogram PER CONSUMER, built from only that consumer's
+        # structs (round 16): a shared all-column histogram filtered by
+        # cid per consumer re-explodes EVERY column in each consumer's
+        # map stage (the cid filter cannot prune a generator's element
+        # list), so each consumer explodes and scans only its own
+        # columns — together one full read of the source.
+        structs = ", ".join(_struct_sql(c) for c in sub_cols)
+        return (
+            df.selectExpr(f"inline(array({structs}))")
+            .where("vstr IS NOT NULL")
+            .groupBy("cid", "vnum", "vstr")
+            .agg(F.count(F.lit(1)).alias("cnt"))
         )
-    long = df.selectExpr(f"inline(array({', '.join(structs)}))")
-    hist = (
-        long.where("vstr IS NOT NULL")
-        .groupBy("cid", "vnum", "vstr")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
 
     # ------------------------------------------------------------------
     # Linear per-cid statistics DAG (round 16, guide §2.4 "remove
@@ -548,7 +460,6 @@ def _exact_value_stats(
     mom_set = list(dict.fromkeys(num_cols + [c for c in cols if c in mad_cols]))
     chain_set = set(q_cols) | set(mom_set)
     chain_cols = [c for c in need if c in chain_set]
-    chain_idx = [idx[c] for c in chain_cols]
     rest_cols = [c for c in need if c not in chain_set]
     need_wsum = bool(mom_set) or full_stats
 
@@ -560,20 +471,21 @@ def _exact_value_stats(
             else "bucketed"
         )
 
-    # The histogram is NOT persisted (round 16): its consumers (chain +
-    # rest, + totals in bucketed mode) share the underlying shuffle via
-    # AQE's query-stage cache — the expensive map side (scan, explode,
-    # partial aggregation) runs exactly once regardless — so a cache
-    # would only dedupe the cheap final reduce while pinning the whole
-    # histogram in storage memory. The previous persist() was never
-    # unpersisted (lazy frame, unknowable lifetime): dead histogram
-    # blocks accumulated until the periodic ContextCleaner GC, and the
-    # resulting old-gen pressure showed up as bimodal 5→19 s walls on
-    # describe_orders_customer (measured this round). Unbounded memory
-    # for a derived-from-100TB histogram is also the wrong scale shape.
+    # No persist() anywhere (round 16): the chain and rest consumers
+    # each build their OWN column-pruned histogram (disjoint source
+    # columns — together one full read), and in bucketed mode the
+    # totals subtree and the rank subtree share one identical exchange
+    # that AQE's query-stage cache materializes once. The previous
+    # persist() was never unpersisted (lazy frame, unknowable
+    # lifetime): dead histogram blocks accumulated until the periodic
+    # ContextCleaner GC, and the resulting old-gen pressure showed up
+    # as bimodal 5→19 s walls on describe_orders_customer (measured
+    # this round). Unbounded memory for a derived-from-100TB histogram
+    # is also the wrong scale shape.
 
     frames = []
     if chain_cols:
+        hist = _hist_of(chain_cols)
         if rank_strategy == "windowed":
             # Small-source fast path: one running-count window per
             # column. Provably safe here (the gate bounds the reducer's
@@ -599,7 +511,7 @@ def _exact_value_stats(
                 sel.append(
                     F.sum(F.col("vnum") * F.col("cnt")).over(w_all).alias("wsum")
                 )
-            ranked = hist.filter(F.col("cid").isin(chain_idx)).select(*sel)
+            ranked = hist.select(*sel)
         else:
             # Scale path: the distributed two-stage prefix sum needs the
             # per-cid bounds, so it keeps the narrow totals aggregate +
@@ -615,7 +527,7 @@ def _exact_value_stats(
                 F.max(finite_v).alias("mx_f"),
                 F.sum(F.col("vnum") * F.col("cnt")).alias("wsum"),
             )
-            ranked = _bucketed_ranked(hist, totals, chain_idx, need_wsum)
+            ranked = _bucketed_ranked(hist, totals, None, need_wsum)
 
         ch_aggs = [
             F.expr("count(1) AS ndistinct"),
@@ -658,11 +570,8 @@ def _exact_value_stats(
             )
         frames.append(ranked.groupBy("cid").agg(*ch_aggs))
     if rest_cols:
-        rest_hist = (
-            hist.filter(~F.col("cid").isin(chain_idx)) if chain_cols else hist
-        )
         frames.append(
-            rest_hist.groupBy("cid").agg(
+            _hist_of(rest_cols).groupBy("cid").agg(
                 F.expr("count(1) AS ndistinct"),
                 F.expr("sum(cnt) AS ntot"),
                 F.expr("sum(vnum * cnt) AS wsum"),
@@ -1056,14 +965,17 @@ def describe_frame(
     Booleans are encoded 1.0/0.0 in value_num; content_type lives in
     value_str; DATE min/max/quantiles are epoch seconds.
 
-    Codegen note (round 16): every DATA-HEAVY stage of both modes now
-    compiles — exact mode has no wide aggregate at all (the histogram
-    chain is narrow), approx mode chunks the bundle under the
-    ``spark.sql.codegen.maxFields`` limit (see ``_pack_agg_chunks``).
-    The only interpreted pieces left are 1-row/ncols-row reshaping,
-    where evaluation mode is irrelevant. Session config is deliberately
-    never mutated (round-2 measurement: raising maxFields globally
-    churns the codegen cache on the array-heavy bundles).
+    Codegen note (round 16): exact mode's data-heavy stages all compile
+    — it has no wide aggregate at all (the histogram chain is narrow);
+    the interpreted pieces left are 1-row/ncols-row reshaping, where
+    evaluation mode is irrelevant. Approx mode keeps ONE fused
+    ObjectHashAggregate bundle: its interpreted expression evaluation
+    costs ~3 s of task time per run at sf0.1, measured cheaper than any
+    split that adds a second scan+shuffle pass (a codegen-sized
+    chunking variant was measured and reverted this round — task time
+    tripled). Session config is deliberately never mutated (round-2
+    measurement: raising maxFields globally churns the codegen cache on
+    the array-heavy bundles).
     """
     cols = find_columns(df, columns)
     # Prune before the (possible) repartition so a starved scan shuffles
@@ -1131,19 +1043,15 @@ def describe_frame(
         if value_stats is not None:
             stats = stats.crossJoin(F.broadcast(value_stats))
     else:
-        # Chunked fused bundle (round 16 optimization, guide §1.2):
-        # each declarative chunk stays under the codegen field limit so
-        # it compiles; sketches share one ObjectHashAggregate chunk
-        # (see _pack_agg_chunks). Chunks are combined by broadcast
-        # crossJoin of their 1-row results; each chunk's scan prunes to
-        # its own column subset (pinned in test_plan_shape.py), so the
-        # arithmetic chunks together read each column's bytes once.
-        chunks = _pack_agg_chunks(aggs)
-        stats = df.agg(*[F.expr(s) for s in chunks[0]])
-        for ch in chunks[1:]:
-            stats = stats.crossJoin(
-                F.broadcast(df.agg(*[F.expr(s) for s in ch]))
-            )
+        # ONE fused bundle, one scan (round 16: a chunked-aggregate
+        # variant — codegen-sized compiled chunks + one sketch chunk —
+        # was measured and REVERTED: the sketch chunk already reads
+        # every column, so the extra chunk scans/shuffles tripled task
+        # time (5.6 → ~20 s per run at sf0.1) for a wall regression;
+        # the interpreted ObjectHashAggregate evaluation of the fused
+        # expressions costs ~3 s of task time per run — cheaper than
+        # any second pass. See OPTIMIZATION_r16.md.)
+        stats = df.agg(*[F.expr(s) for s in aggs])
     if not exact and num_cols:
         # Approx mode: central moments from the shifted power sums of
         # the MAIN bundle — pure 1-row arithmetic, no extra scan. The

@@ -24,49 +24,42 @@ def lineitem(spark):
     return spark.read.parquet(f"{SF}/lineitem.parquet")
 
 
-def test_describe_approx_is_bounded_chunk_scans(lineitem):
-    # Round 16: the approx bundle is split into codegen-sized chunks
-    # (2 compiled arithmetic chunks on lineitem + 1 sketch chunk — see
-    # describe._pack_agg_chunks). Each chunk scans its OWN pruned
-    # column subset: the arithmetic chunks are disjoint (together one
-    # full read), the sketch chunk reads the sketched columns once
-    # more. The pin bounds the chunk count so a packer regression (one
-    # chunk per alias — the defect this replaces, 16 scans) fails here.
+def test_describe_approx_is_single_scan(lineitem):
+    # ONE fused sketch bundle, one scan. (Round 16 measured and
+    # REVERTED a codegen-sized chunking variant: the sketch chunk reads
+    # every column anyway, so extra chunk scans/shuffles tripled task
+    # time — the interpreted fused evaluation is the cheaper shape.)
     plan_df = describe_frame(lineitem, exact=False, include_mad=False)
-    assert scan_count(plan_df) == 3
-    subsets = [set(s) for s in read_schema_columns(plan_df)]
-    arith = [s for s in subsets if len(s) < len(lineitem.columns)]
-    assert len(arith) >= 2, subsets
-    for i, a in enumerate(arith):
-        for b in arith[i + 1:]:
-            assert not (a & b), f"chunk column overlap: {a & b}"
+    assert scan_count(plan_df) == 1
 
 
 def test_describe_approx_mad_adds_bounded_scans(lineitem):
     # mad needs the finished mean first, so include_mad=True costs one
-    # full extra scan plus one NARROW dedicated means-only scan (round
-    # 16: re-aggregated directly rather than pruned through the chunk
-    # chain, which replayed one scan per chunk — 33 scans). 3 chunk
-    # scans + 2 mad scans. The declared approx path (include_mad=False,
-    # what describe_lineitem_approx and bench run) is the 3-chunk plan
-    # pinned above.
+    # full extra scan plus one NARROW dedicated means-only scan (the
+    # static plan shows 3 scans; AQE's query-stage reuse dedupes the
+    # identical narrow shuffles at runtime). The declared approx path
+    # (include_mad=False, what describe_lineitem_approx and bench run)
+    # is the single-scan plan pinned above.
     plan_df = describe_frame(lineitem, exact=False, include_mad=True)
-    assert scan_count(plan_df) == 5
+    assert scan_count(plan_df) == 3
 
 
-def test_describe_exact_is_two_scans(lineitem):
-    # main bundle + ONE scan building the persisted value histogram —
-    # its three consumers (totals, partition subtotals, bucketed ranks)
-    # must read the cached blocks, not rescan the source.
-    plan_df = describe_frame(lineitem, exact=True, include_mad=False)
-    assert scan_count(plan_df) == 2
-
-
-def test_describe_exact_with_mad_is_still_two_scans(lineitem):
-    # mad is derived from the histogram (sum cnt*|v-mean| / n), NOT from
-    # two extra source scans — the round-2 win this test protects.
-    plan_df = describe_frame(lineitem, exact=True, include_mad=True)
-    assert scan_count(plan_df) == 2
+def test_describe_exact_reads_each_column_once(lineitem):
+    # Round 16: exact mode is one zero-column count(1) scan plus TWO
+    # disjoint histogram consumers — the ranked-column chain and the
+    # rest-column aggregate — whose cid filters push into the inline
+    # explode, so each source column's bytes are read exactly once
+    # across the plan (the previous shape cached one histogram and
+    # crossJoined 5-6 broadcast pivots that re-reduced it per
+    # consumer). Pinned: 3 scans, one of them column-free, the data
+    # scans disjoint.
+    for mad in (False, True):
+        plan_df = describe_frame(lineitem, exact=True, include_mad=mad)
+        assert scan_count(plan_df) == 3, mad
+        subsets = [set(s) for s in read_schema_columns(plan_df)]
+        data = [s for s in subsets if s]
+        assert len(data) == 2 and not (data[0] & data[1]), subsets
+        assert data[0] | data[1] == set(lineitem.columns), subsets
 
 
 def test_describe_exact_rank_has_no_per_column_window(lineitem):
