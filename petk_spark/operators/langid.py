@@ -136,6 +136,11 @@ def train_char_langid(
         "n": n,
         "vocab_size": vocab_size,
         "scale": LANGID_SCALE,
+        # round 16: the exact weight dict, so a same-session scorer can
+        # skip the model frame's createDataFrame→collect pickle round
+        # trip (~2.6 s per text_quality_lang run at sf0.1, job_probe) —
+        # langid_predict_frame already accepts the dict form.
+        "weights": {(lang, g): w for lang, g, _c, w in model_rows},
     }
     return model, stats
 

@@ -123,27 +123,58 @@ def train_unigram_lm(
     log2-probabilities — and ``stats`` carries ``n_total`` (reference
     token count), ``vocab_size`` (actual V ≤ requested) and
     ``oov_logp`` (the single out-of-vocabulary bucket's log2 prob).
-    Two scalar actions (N, V) — training is a run-once corpus pass
-    producing a small broadcastable artifact, the same lifecycle as
-    the IVF centroid sample."""
+    ONE scalar action (round 16: the previous separate N and V jobs —
+    plus every downstream consumer of the lazy vocab frame — each
+    re-ran the full token-count aggregation; now the top-V rows and
+    the total are fetched in a single union whose two branches share
+    the token-count exchange, and the returned vocab frame is a
+    driver-local artifact, so consumers stop re-scanning the corpus).
+    ``stats`` additionally carries ``vocab_counts`` — the exact
+    (token, n) list — so a sibling model over the same cut (the bigram
+    trainer) can skip its own unigram pass entirely."""
     cnt = (
         df.select(F.explode(_tokens(text_col, split_cjk)).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    n_total = cnt.agg(F.sum("n")).collect()[0][0] or 0
-    vocab = cnt.orderBy(F.desc("n"), F.asc("token")).limit(vocab_size)
-    v = vocab.count()
+    rows = (
+        cnt.orderBy(F.desc("n"), F.asc("token"))
+        .limit(vocab_size)
+        .select(F.lit(0).alias("tag"), "token", "n")
+        .unionAll(
+            cnt.agg(F.sum("n").alias("n")).select(
+                F.lit(1).alias("tag"),
+                F.lit(None).cast("string").alias("token"),
+                "n",
+            )
+        )
+        .collect()
+    )
+    # deterministic re-sort: union does not guarantee branch order
+    vocab_counts = sorted(
+        ((r["token"], int(r["n"])) for r in rows if r["tag"] == 0),
+        key=lambda t: (-t[1], t[0]),
+    )
+    n_total = next(
+        (int(r["n"]) for r in rows if r["tag"] == 1 and r["n"] is not None),
+        0,
+    )
+    v = len(vocab_counts)
     denom = float(n_total + v + 1)
-    out = vocab.select(
+    out = df.sparkSession.createDataFrame(
+        vocab_counts, "token string, n long"
+    ).select(
         "token",
         "n",
+        # same JVM expression over the same exact (token, n) values —
+        # logp is bit-identical to the previous cnt-derived frame's
         F.log2((F.col("n") + F.lit(1.0)) / F.lit(denom)).alias("logp"),
     )
     return out, {
         "n_total": int(n_total),
         "vocab_size": int(v),
         "oov_logp": math.log2(1.0 / denom),
+        "vocab_counts": vocab_counts,
     }
 
 
@@ -311,6 +342,8 @@ def train_bigram_lm(
     text_col: str,
     vocab_size: int = 50000,
     split_cjk: bool = False,
+    vocab_counts: list | None = None,
+    n_total: int | None = None,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """Train a Laplace-smoothed BIGRAM model over the vocab-mapped
     token stream (every token outside the top-``vocab_size`` unigram
@@ -349,16 +382,45 @@ def train_bigram_lm(
     pass 2 = an Arrow pair-emit kernel (vocab set in the closure) +
     one hash aggregate on the bigram key. Both passes are one corpus
     scan each; the model artifacts are broadcast-class frames."""
-    cnt = (
-        df.select(F.explode(_tokens(text_col, split_cjk)).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    n_total = int(cnt.agg(F.sum("n")).collect()[0][0] or 0)
-    voc_rows = (
-        cnt.orderBy(F.desc("n"), F.asc("token")).limit(vocab_size).collect()
-    )
-    vocab = {r["token"]: int(r["n"]) for r in voc_rows}
+    if vocab_counts is None or n_total is None:
+        # Round 16: one fused action instead of separate N and top-V
+        # jobs (each re-ran the token-count aggregation); callers that
+        # already trained the unigram model over the SAME cut pass its
+        # exact counts through and skip this pass entirely.
+        cnt = (
+            df.select(
+                F.explode(_tokens(text_col, split_cjk)).alias("token")
+            )
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        rows = (
+            cnt.orderBy(F.desc("n"), F.asc("token"))
+            .limit(vocab_size)
+            .select(F.lit(0).alias("tag"), "token", "n")
+            .unionAll(
+                cnt.agg(F.sum("n").alias("n")).select(
+                    F.lit(1).alias("tag"),
+                    F.lit(None).cast("string").alias("token"),
+                    "n",
+                )
+            )
+            .collect()
+        )
+        vocab_counts = sorted(
+            ((r["token"], int(r["n"])) for r in rows if r["tag"] == 0),
+            key=lambda t: (-t[1], t[0]),
+        )
+        n_total = next(
+            (
+                int(r["n"])
+                for r in rows
+                if r["tag"] == 1 and r["n"] is not None
+            ),
+            0,
+        )
+    n_total = int(n_total)
+    vocab = dict(vocab_counts)
     unk_n = n_total - sum(vocab.values())
     v2 = len(vocab) + 1
     spark = df.sparkSession
