@@ -546,6 +546,15 @@ def main() -> None:
         # readings agree within 20%, capped at 6 s — ordering debt is
         # paid as (untimed) settle time, not by whoever runs next.
         try:
+            # Round 16 measurement-protocol fix (declared in
+            # OPTIMIZATION_r16.md): `_CF` was only imported inside
+            # control_once, so this whole settle block raised NameError
+            # into the blanket except on every query since round 14 —
+            # the settle-until-quiet probe silently never ran. Only the
+            # UNTIMED inter-query settle changes; the timed methodology
+            # is untouched.
+            from pyspark.sql import functions as _SF
+
             jvm = spark.sparkContext._jvm
             jvm.System.gc()
             time.sleep(1.0)
@@ -556,7 +565,7 @@ def main() -> None:
                 t0 = time.perf_counter()
                 (
                     spark.range(0, 4_000_000 * int(cpus), 1, int(cpus))
-                    .agg(_CF.avg(_CF.xxhash64(_CF.col("id")).cast("double")))
+                    .agg(_SF.avg(_SF.xxhash64(_SF.col("id")).cast("double")))
                     .collect()
                 )
                 return time.perf_counter() - t0
