@@ -150,6 +150,69 @@ def _nv(name: str, ltype: str, dtype: str | None = None) -> str:
     return f"CAST(`{name}` AS DOUBLE)"
 
 
+#: 2^53 — the largest magnitude at which long → double stays injective.
+_MAX_EXACT_LONG = 9007199254740992
+
+#: 2^33 seconds (~year 2242) — below this magnitude the epoch-seconds
+#: double ``unix_micros(ts)/1e6`` is injective: the result's ulp
+#: (2^-20 s at [2^32, 2^33)) is strictly smaller than the 1e-6 s gap
+#: between two distinct microsecond values, so distinct micros can't
+#: round to the same double.
+_MAX_EXACT_EPOCH_S = 8589934592.0
+
+
+def _value_tiebreak_sql(name: str, dtype: str | None, nv: str) -> str:
+    """The histogram's ``vstr`` for a NUMERIC/DATE column: a per-value
+    disambiguator that exists ONLY so values whose double projection
+    ``nv`` collides (long/decimal beyond 2^53, far-future timestamps)
+    still count as distinct. For types where the projection is provably
+    injective the string is EMPTY (NULL tracks source nulls): grouping
+    on (vnum, '') yields the identical group set, the rank tiebreak
+    orders ties of equal vnum whose quantile pick reads vnum anyway,
+    and the map stage skips a per-row number→string render — the
+    dominant map CPU + shuffle-byte cost of the exact-describe
+    histogram (round 17, guide §2.3 narrower types / §1.2 per-task
+    work). Where injectivity is value-dependent (bigint, timestamps)
+    the render is kept exactly for the values that need it, so two
+    values collapsing in double still split on vstr (one of them is
+    always outside the gate). Unknown/decimal dtypes keep the full
+    render.
+
+    Float/double note: grouping on the double itself follows Spark's
+    normalized float semantics (-0.0 ≡ 0.0, one NaN class) — the SAME
+    equivalence DuckDB's count(DISTINCT double) uses, whereas the old
+    string render split -0.0 from 0.0 (a latent oracle divergence on
+    data containing both; no fixture does)."""
+    c = f"`{name}`"
+    if dtype in ("tinyint", "smallint", "int", "float", "double",
+                 "date", "boolean"):
+        return f"IF({c} IS NULL, NULL, '')"
+    if dtype == "bigint":
+        return (
+            f"CASE WHEN {c} IS NULL THEN NULL"
+            f" WHEN {c} BETWEEN -{_MAX_EXACT_LONG} AND {_MAX_EXACT_LONG}"
+            f" THEN '' ELSE CAST({c} AS STRING) END"
+        )
+    if dtype in ("timestamp", "timestamp_ntz"):
+        # epoch micros as the exact render (an integer render — far
+        # cheaper than calendar formatting — and injective); elided
+        # entirely inside the proven-injective window.
+        micros = (
+            f"unix_micros({c})"
+            if dtype == "timestamp"
+            else (
+                f"timestampdiff(MICROSECOND,"
+                f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+            )
+        )
+        return (
+            f"CASE WHEN {c} IS NULL THEN NULL"
+            f" WHEN abs({nv}) < {_MAX_EXACT_EPOCH_S!r}D THEN ''"
+            f" ELSE CAST({micros} AS STRING) END"
+        )
+    return f"CAST({c} AS STRING)"
+
+
 def _agg_sql(
     name: str,
     ltype: str,
@@ -367,18 +430,24 @@ def _exact_value_stats(
     histogram — measured 2.2× on the sf0.1 bench; buckets reuse the
     single hash shuffle the window needs anyway. Residual caveat: a
     column whose distinct values concentrate in a tiny absolute range
-    around one point still lands in few buckets.) The histogram is
-    persisted (it feeds the totals, subtotal, and rank branches); the
-    blocks are LRU-evictable and reclaimed by the ContextCleaner when
-    the result frame is dropped.
+    around one point still lands in few buckets.) The histogram is NOT
+    persisted (round 16): each of the two disjoint consumers (the
+    quantile/moment ``chain`` and the string/bool ``rest``) builds its
+    own column-pruned histogram — together one full read of the source
+    — and in bucketed mode the totals and rank subtrees share one
+    canonically-identical exchange that AQE's query-stage cache
+    materializes once.
 
     Quantile semantics match pandas ``Series.quantile`` / DuckDB
     ``quantile_cont`` / Spark ``percentile``: position ``h = (n-1)·p``,
     result ``v_lo + (h - floor(h))·(v_hi - v_lo)`` — the identical
     float64 expression, so oracle comparisons stay bit-stable.
-    Distinct counts group on the ORIGINAL value rendered to string (not
-    the double projection), so long/decimal values beyond 2^53 don't
-    collapse (petk nunique counts exact values, petk/tools.py:28).
+    Distinct counts group on (vnum, vstr) where ``vstr`` is the exact
+    string render ONLY for values whose double projection can collide
+    (long/decimal beyond 2^53, far-future timestamps — see
+    ``_value_tiebreak_sql``), so such values don't collapse (petk
+    nunique counts exact values, petk/tools.py:28) while provably
+    injective types pay no per-row render at all.
     """
     probs = list(constants.QUANTILES) if probs is None else list(probs)
     dist_cols = [c for c in cols if ltypes[c] not in _DISTINCT_SKIP]
@@ -395,15 +464,15 @@ def _exact_value_stats(
     def _struct_sql(c: str) -> str:
         if ltypes[c] in (constants.TYPE_DATE, constants.TYPE_NUM):
             nv = _nv(c, ltypes[c], dtypes.get(c))
-            vs = f"CAST(`{c}` AS STRING)"
+            vs = _value_tiebreak_sql(c, dtypes.get(c), nv)
         elif ltypes[c] == constants.TYPE_BOOL:
             # Booleans carry their 0/1 double so full_stats can derive
             # the bool mean as wsum/ntot — exact integer arithmetic
             # over the two distinct values, identical to avg(CAST(b AS
-            # DOUBLE)). Distinct counting still groups on the md5
-            # rendering.
+            # DOUBLE)). The 0/1 projection is injective, so the
+            # tiebreak is the empty string (null-tracking only).
             nv = f"CAST(`{c}` AS DOUBLE)"
-            vs = f"md5(CAST(`{c}` AS STRING))"
+            vs = f"IF(`{c}` IS NULL, NULL, '')"
         else:
             nv = "CAST(NULL AS DOUBLE)"
             # STRING columns only need distinct counting, so group on a

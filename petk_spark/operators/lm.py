@@ -382,6 +382,18 @@ def train_bigram_lm(
     pass 2 = an Arrow pair-emit kernel (vocab set in the closure) +
     one hash aggregate on the bigram key. Both passes are one corpus
     scan each; the model artifacts are broadcast-class frames."""
+    if vocab_counts is not None:
+        # Injected counts MUST be the top-``vocab_size`` unigram cut of
+        # THIS corpus under THIS tokenizer (same ``split_cjk``): the
+        # pair-emit kernel maps tokens against them, so counts trained
+        # with a different cut/tokenizer silently produce a wrong
+        # model. The size bound is the cheap invariant we can check.
+        assert len(vocab_counts) <= vocab_size, (
+            f"vocab_counts has {len(vocab_counts)} entries but "
+            f"vocab_size={vocab_size}: the injected counts must be the "
+            "same top-V cut (same corpus, same tokenizer) this trainer "
+            "would compute"
+        )
     if vocab_counts is None or n_total is None:
         # Round 16: one fused action instead of separate N and top-V
         # jobs (each re-ran the token-count aggregation); callers that
