@@ -36,7 +36,7 @@ engine-portable, and the DuckDB oracle replays it with a recursive CTE
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -109,8 +109,19 @@ def connected_components(
                 F.col("lbl"),
             )
         )
-        updated = updated.localCheckpoint(eager=True)
-        changed = updated.filter(F.col("new_lbl") != F.col("lbl")).limit(1).count()
+        # ONE driver-blocking action per round (round 17, guide §1.2
+        # driver latency): the convergence count rides the eager
+        # checkpoint's materialization job as an observed metric
+        # instead of a second filter/limit/count action — identical
+        # `changed == 0` semantics, half the per-round job round-trips.
+        obs = Observation()
+        updated = updated.observe(
+            obs,
+            F.count(
+                F.when(F.col("new_lbl") != F.col("lbl"), F.lit(1))
+            ).alias("changed"),
+        ).localCheckpoint(eager=True)
+        changed = obs.get["changed"]
         labels = updated.select("id", F.col("new_lbl").alias("lbl"))
         if changed == 0:
             break
@@ -200,11 +211,14 @@ def _star_components(
         )
 
     for _ in range(max_iterations):
-        new_e = small_star(large_star(e)).localCheckpoint(eager=True)
         # ONE symmetric-difference probe job per round (round 16: the
         # two separate exceptAll().limit(1).count() actions doubled the
         # per-round driver latency; the union short-circuits identically
-        # — changed == 0 iff the edge sets are equal).
+        # — changed == 0 iff the edge sets are equal). Round 17: the
+        # checkpoint is LAZY — the probe's shuffle maps compute every
+        # partition of new_e anyway, so its materialization rides the
+        # probe job instead of paying a separate eager action per round.
+        new_e = small_star(large_star(e)).localCheckpoint(eager=False)
         changed = (
             new_e.exceptAll(e)
             .unionAll(e.exceptAll(new_e))
