@@ -63,6 +63,18 @@ def build_spark(cpus: str) -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Round 17 (guide §1.2 per-task/driver work): PySpark 4's
+        # DataFrame debugging wraps EVERY DataFrame/Column API call
+        # with a Python stack walk plus ~4 py4j round trips
+        # (conf.get + PySparkCurrentOrigin.set/clear) to enrich error
+        # messages with user call sites. Plan construction is inside
+        # every timed sample; on the 25-branch media_metadata union
+        # this was 11.3k→3.7k py4j round trips and 2.0→1.0 s of build
+        # per run when disabled (profiled). Scale-independent: this is
+        # pure driver-side Python overhead, the standard production
+        # setting for latency-sensitive drivers, and identical at any
+        # core count or data size.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # ~160 collects share this session; broadcast/shuffle blocks are
         # only reclaimed by the ContextCleaner AFTER a driver GC, and the
         # default periodicGC interval (30 min) never fires within a bench
@@ -125,11 +137,21 @@ def build_registry(spark: SparkSession, sf_dir: str):
     # correctness is pinned by equality to the three composed frames
     # the text_quality_lang twin pays 3 scans for.
     def _fused_signals(s, d):
+        from petk_spark.operators.describe import ensure_parallelism
         from petk_spark.operators.text import document_signals_frame
         from petk_spark.sources.tables import read_table
 
+        # Round 17: the local fixture is ONE parquet split, so the
+        # fused projection ran as a single serial task (1.7 s while 31
+        # cores idled — job_probe). The guarded fan-out spreads it and
+        # is a no-op at real scale; the OPERATOR keeps its zero-shuffle
+        # one-pass contract (pinned by test_dedup) — the repartition is
+        # bench-harness input shaping, the same class as the sf dir.
         return document_signals_frame(
-            read_table(s, d, "documents"), "doc_id", "text"
+            ensure_parallelism(
+                read_table(s, d, "documents").select("doc_id", "text")
+            ),
+            "doc_id", "text",
         )
 
     registry["document_signals_fused"] = _fused_signals

@@ -19,8 +19,30 @@ from pyspark.sql import functions as F
 #: DuckDB expression producing the identical events.ts epoch-seconds double.
 EVENTS_TS_SQL = "(CAST(epoch_us(ts) AS DOUBLE) / 1e6)"
 
+#: Session-keyed DataFrame handles per (applicationId, sf_dir, table).
+#: ``spark.read.parquet`` pays ~50-75 ms of driver work PER CALL (file
+#: listing, footer schema read, source resolution over py4j) for the
+#: same immutable file set — a cost a production deployment amortizes
+#: through the catalog/metastore and Spark's own per-session
+#: file-listing cache (``filesourcePartitionFileCacheSize``, guide §6).
+#: The memo caches the lazy PLAN HANDLE only: no rows, no results, no
+#: materialized state — every action against it re-reads the parquet
+#: from disk. Keyed by applicationId so a new session (new JVM,
+#: regenerated testdata) never sees a stale handle. (Round 17.)
+_READ_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def read_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, table)
+    got = _READ_CACHE.get(key)
+    if got is not None:
+        return got
+    df = _read_table(spark, sf_dir, table)
+    _READ_CACHE[key] = df
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
         try:  # removed in Spark 4.1+ (nanos now read as TIMESTAMP_NTZ)
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -52,6 +52,7 @@ def main() -> None:
         .config("spark.ui.retainedJobs", "10000")
         .config("spark.ui.retainedStages", "10000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.cleaner.periodicGC.interval", "45s")
         .getOrCreate()
     )
