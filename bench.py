@@ -166,10 +166,15 @@ def build_registry(spark: SparkSession, sf_dir: str):
     def _pii_scrub(s, d):
         from pyspark.sql import functions as BF
 
+        from petk_spark.operators.describe import ensure_parallelism
         from petk_spark.operators.pii import pii_signals_frame, redact_pii
         from petk_spark.sources.tables import read_table
 
-        docs = read_table(s, d, "documents")
+        # round 17: single-split local scan fed serial regex chains;
+        # guarded fan-out (no-op at scale), row-local values unchanged
+        docs = ensure_parallelism(
+            read_table(s, d, "documents").select("doc_id", "text")
+        )
         sig = pii_signals_frame(docs, "doc_id", "text")
         red = redact_pii(docs, "text", out_col="red").select(
             BF.sum(BF.length("red")).alias("red_chars")
@@ -189,6 +194,9 @@ def build_registry(spark: SparkSession, sf_dir: str):
         )
         from petk_spark.operators.paragraphs import remove_boilerplate
 
+        # round 17: the _pii_scrub-style fan-out was MEASURED AND
+        # REVERTED here — remove_boilerplate's two passes each re-pay
+        # the repartition exchange (med 0.86 -> 1.58 s, control-anchored)
         out = remove_boilerplate(
             _boiler_synth_frame(s, d), "id", "text", min_docs=5
         )
@@ -209,10 +217,14 @@ def build_registry(spark: SparkSession, sf_dir: str):
     def _span_scrub(s, d):
         from pyspark.sql import functions as BF
 
+        from petk_spark.operators.describe import ensure_parallelism
         from petk_spark.operators.spans import remove_repeated_spans
         from petk_spark.sources.tables import read_table
 
-        docs = read_table(s, d, "documents")
+        # round 17: same guarded single-split fan-out as _pii_scrub
+        docs = ensure_parallelism(
+            read_table(s, d, "documents").select("doc_id", "text")
+        )
         out = remove_repeated_spans(
             docs, "doc_id", "text", window=8, min_docs=2
         )
